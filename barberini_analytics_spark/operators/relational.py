@@ -1,0 +1,266 @@
+"""Core relational operators.
+
+Each operator re-expresses a pattern the reference implements with Postgres
+self-joins or pandas loops as a single declarative Spark plan.  Citations
+point at the reference implementation whose semantics each operator
+reproduces (see SURVEY.md §2).
+
+Scale notes are attached per operator: these run on key-partitioned shuffles
+with map-side partial aggregation; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+# ---------------------------------------------------------------------------
+# J1 — latest snapshot per key ("rich" views)
+# ---------------------------------------------------------------------------
+
+def latest_per_key(df: DataFrame, keys: Sequence[str],
+                   order_cols: str | Sequence[str]) -> DataFrame:
+    """Latest row per key.
+
+    Reference: max-timestamp self-join in the ``*_rich`` views
+    (migration_015.sql:53-82, migration_056.sql:5-27) and
+    ``PerformanceValueCondenser.get_latest_performances``
+    (src/_utils/data_preparation.py:259-268).
+
+    Spark-first: a single rank window — one shuffle on the key, no
+    self-join, no second scan of the snapshot table.  At scale the window
+    shuffle partitions by ``keys``; skewed hot keys are handled by AQE.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def attach_latest(base: DataFrame, snapshots: DataFrame, keys: Sequence[str],
+                  order_cols: str | Sequence[str], how: str = "left") -> DataFrame:
+    """Base table enriched with its latest snapshot (the ``*_rich`` shape).
+
+    Reference: ``NATURAL RIGHT JOIN`` of latest performance onto the post
+    table (migration_015.sql:53-60).
+    """
+    return base.join(latest_per_key(snapshots, keys, order_cols), list(keys), how)
+
+
+# ---------------------------------------------------------------------------
+# A3 — mode (most common value) per group
+# ---------------------------------------------------------------------------
+
+def mode_per_group(df: DataFrame, group_keys: Sequence[str], value_col: str,
+                   out_col: str | None = None) -> DataFrame:
+    """Most frequent ``value_col`` per group; ties break to the smallest value.
+
+    Reference: ``(array_agg(x ORDER BY count DESC))[1]`` over pre-aggregated
+    counts — the five ``most_common_*`` CTEs of ``customer_characteristics``
+    (migration_034.sql:33-144).
+
+    Spark-first: count + ``max_by`` over a struct so the whole thing is two
+    partial-aggregatable hash aggregations (map-side combine on both), not an
+    ordered array materialization per group.  The struct orders by
+    (count DESC, value ASC) to make ties deterministic — the reference's
+    ``array_agg`` tie order is unspecified, so we pin a stricter contract.
+    """
+    out_col = out_col or f"most_common_{value_col}"
+    counted = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    # max_by on (cnt, reversed-value) would need orderable reversal for any
+    # type; a min_by on (-cnt, value) keeps it type-generic for strings too:
+    # instead use max_by with struct(cnt, neg_rank) — simplest general form
+    # is a rank window over the (tiny) counted relation.
+    w = W.partitionBy(*group_keys).orderBy(F.col("__cnt").desc(), F.col(value_col).asc())
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*group_keys, F.col(value_col).alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — deltas between consecutive snapshots
+# ---------------------------------------------------------------------------
+
+def linear_deltas(df: DataFrame, keys: Sequence[str],
+                  order_cols: str | Sequence[str],
+                  metric_cols: Sequence[str], prefix: str = "delta_") -> DataFrame:
+    """Per-key difference of each metric vs the previous snapshot (first → 0).
+
+    Reference: pandas old-vs-new merge computing ``linear_delta = new - old``
+    with fillna(0) (src/_utils/data_preparation.py:292-328,363-365) feeding
+    the ``delta_*`` columns of ``ig_post_performance`` (migration_051.sql).
+
+    Spark-first: ``lag`` windows — one shuffle, no merge.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    out = df
+    for m in metric_cols:
+        out = out.withColumn(
+            prefix + m, F.col(m) - F.coalesce(F.lag(m).over(w), F.col(m))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M13 — performance condensing (drop unchanged consecutive snapshots)
+# ---------------------------------------------------------------------------
+
+def condense_snapshots(df: DataFrame, keys: Sequence[str],
+                       order_cols: str | Sequence[str],
+                       value_cols: Sequence[str]) -> DataFrame:
+    """Keep only snapshots whose metric vector differs from the previous one.
+
+    Reference: row-by-row pandas comparison against the latest stored
+    performance (src/_utils/data_preparation.py:242-330).
+
+    Spark-first: null-safe struct inequality against ``lag`` — a snapshot is
+    kept iff it is the first for its key or any metric changed.  ``<=>``
+    (eqNullSafe) mirrors the reference's NaN-tolerant comparison.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    cur = F.struct(*[F.col(c) for c in value_cols])
+    prev = F.lag(cur).over(w)
+    return (
+        df.withColumn("__changed", prev.isNull() | ~cur.eqNullSafe(prev))
+        .filter(F.col("__changed"))
+        .drop("__changed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 — FK-violation filtering
+# ---------------------------------------------------------------------------
+
+def filter_fkey_violations(df: DataFrame, ref: DataFrame,
+                           fkey: Sequence[tuple[str, str]]) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (valid, violating) w.r.t. a foreign key.
+
+    Rows whose FK columns are all NULL pass through as valid (SQL FK
+    semantics).  Reference: ``filter_fkey_violations`` left-merge + isna
+    check (src/_utils/data_preparation.py:76-159).
+
+    Returns ``(valid, violations)`` so callers can log/abort like the
+    reference does.  Implemented as semi/anti joins — at scale the referenced
+    side is usually a dimension: Catalyst broadcasts it when small.
+    """
+    ref_keys = ref.select(
+        *[F.col(r).alias(f"__ref_{i}") for i, (_, r) in enumerate(fkey)]
+    ).distinct()
+    cond = [df[l].eqNullSafe(ref_keys[f"__ref_{i}"]) for i, (l, _) in enumerate(fkey)]
+    null_fk = None
+    for l, _ in fkey:
+        c = df[l].isNull()
+        null_fk = c if null_fk is None else (null_fk & c)
+    matched = df.join(ref_keys, on=cond, how="left_semi")
+    unmatched = df.join(ref_keys, on=cond, how="left_anti")
+    valid = matched.unionByName(unmatched.filter(null_fk))
+    violations = unmatched.filter(~null_fk)
+    return valid, violations
+
+
+# ---------------------------------------------------------------------------
+# M11 — sessionization (keyword-interval style gap merging)
+# ---------------------------------------------------------------------------
+
+def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
+               gap: Column, session_col: str = "session_id",
+               order_cols: Sequence[str] | None = None) -> DataFrame:
+    """Assign a session id per key: a new session starts when the gap from
+    the previous row exceeds ``gap``.
+
+    Reference: per-term interval merging with a ±7-day window — a Python
+    loop over sorted dates (src/extended_twitter_collection/
+    keyword_intervals.py:117-141).
+
+    Spark-first: classic two-window sessionization — ``lag`` to flag gap
+    starts, running ``sum`` to number sessions.  One shuffle on ``keys``.
+    ``gap`` is a Column (e.g. ``F.expr("INTERVAL 14 DAYS")`` or a numeric
+    seconds expression for numeric ts columns).
+    """
+    order_cols = list(order_cols) if order_cols else [ts_col]
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(prev.isNull(), F.lit(1)).otherwise(
+        (F.col(ts_col) > prev + gap).cast("int")
+    )
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (rank windows)
+# ---------------------------------------------------------------------------
+
+def top_k_per_group(df: DataFrame, group_keys: Sequence[str],
+                    order_by: Sequence[Column], k: int,
+                    rank_col: str = "rank", keep_rank: bool = False) -> DataFrame:
+    """Top-k rows per group under an explicit ordering.
+
+    Reference: top-20 terms per topic (src/topic_modeling.py:247-254),
+    recent-bookings LIMIT 2 (src/gomus/events.py:125-129).
+    """
+    w = W.partitionBy(*group_keys).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+# ---------------------------------------------------------------------------
+# calendar scaffold (generate_series replacement)
+# ---------------------------------------------------------------------------
+
+def date_series(spark_df_or_session, start: Column | str, stop: Column | str,
+                out_col: str = "date") -> DataFrame:
+    """Dense date dimension between two dates (inclusive).
+
+    Reference: ``generate_series(start, end, '1 day')`` building
+    ``exhibition_day`` (migration_025.sql:32-42) and the capacities
+    zero-grid (src/gomus/capacities.py:120-132).
+
+    Spark-first: ``sequence() + explode`` — generated distributed, no
+    driver loop.  Accepts a SparkSession (literal bounds) for convenience.
+    """
+    from pyspark.sql import SparkSession
+
+    if isinstance(spark_df_or_session, SparkSession):
+        df = spark_df_or_session.range(1)
+    else:
+        df = spark_df_or_session
+    start_c = F.to_date(F.lit(start)) if isinstance(start, str) else start
+    stop_c = F.to_date(F.lit(stop)) if isinstance(stop, str) else stop
+    return df.select(
+        F.explode(F.sequence(start_c, stop_c, F.expr("INTERVAL 1 DAY"))).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set-operation helpers (Postgres UNION semantics)
+# ---------------------------------------------------------------------------
+
+def union_dedup(*dfs: DataFrame) -> DataFrame:
+    """Postgres ``UNION`` (distinct) across frames with column padding.
+
+    Reference: the layered union views — ``social_media_post``
+    (migration_023.sql:30-90), ``post`` (migration_015.sql:140-185),
+    ``app_review`` (migration_059.sql:22-50).  SQL UNION dedups; Spark's
+    ``unionByName`` appends, so an explicit ``dropDuplicates`` preserves the
+    reference semantics (SURVEY.md §4 trap 4).
+    """
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out.dropDuplicates()
