@@ -1,0 +1,210 @@
+"""Corpus deduplication operators (exact + near-duplicate).
+
+The training-data-pipeline dedup family, each designed as a shuffle-bounded
+DataFrame plan that survives a 100 TB corpus:
+
+- **exact**: hash-groupBy on a normalized content fingerprint — one shuffle
+  on a 56-bit key, representative = min id.
+- **MinHash + LSH**: shingle → per-permutation min-hash → band → bucket join.
+  Candidate generation never compares all pairs: docs meet only inside a
+  band bucket.  Verification computes true Jaccard on the candidate set.
+- **SimHash**: 16-bit sign-of-weighted-sum signature computed in ONE hash
+  aggregation (no per-bit explode) — near-dups collide on equal signatures.
+- **n-gram Jaccard**: exact pairwise similarity, bucketed by a cheap block
+  key so the cross product stays within blocks.
+
+All hashing is md5-derived (:func:`..operators.text.hash56`) so the DuckDB
+correctness oracle reproduces every signature bit-exactly — no engine-private
+hash functions in results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .text import hash56
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint.
+
+    Returns one row per distinct content: ``(fingerprint, rep_id, n_dups)``
+    with the smallest id as representative.  Reference analogue:
+    ``drop_duplicates`` on key subsets (SURVEY §2.3 P4) — upgraded to
+    content-hash grouping, the only form that scales to 100 TB (the shuffle
+    key is 8 bytes, not the document).
+    """
+    normalized = F.concat_ws(" ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    return (
+        df.withColumn("fingerprint", hash56(normalized))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str = "text",
+                  k: int = 3, out_col: str = "shingle") -> DataFrame:
+    """Distinct k-word shingles per document (lowercased, whitespace split).
+
+    ``transform`` over the token array builds the shingle list without a
+    join or window; ``explode`` + ``distinct`` yields the set.
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+    # repartition before the explode: corpus tables often arrive as few large
+    # files (locally: one), and the shingle explode + downstream md5 hashing
+    # is CPU-bound — spread it across the cluster before fan-out
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias(out_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       num_perm: int = 8, shingle_col: str = "shingle") -> DataFrame:
+    """Per-document MinHash signature: ``sig_j = min(hash56(j || shingle))``.
+
+    The j-th permutation is simulated by salting the shingle with ``j``
+    before hashing — standard public construction, engine-portable via md5.
+    One hash aggregation computes all permutations (columns, not rows).
+    """
+    aggs = [
+        F.min(hash56(F.concat(F.lit(f"{j}|"), F.col(shingle_col)))).alias(f"mh_{j}")
+        for j in range(num_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        num_perm: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding: docs whose signature agrees on ALL rows of ≥1 band.
+
+    Returns distinct candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``.
+    The self-join key is ``(band_index, band_hash)`` — at scale this is the
+    classic band-bucket shuffle; no all-pairs comparison ever happens.
+    """
+    rows_per_band = num_perm // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = hash56(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash"))
+        )
+    # one explode instead of a bands-way union: a union would replicate the
+    # whole signature subplan per band (Spark does not dedupe common
+    # subplans), turning one aggregation into `bands` of them
+    banded = (
+        signatures.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"),
+                F.col("bb.band_hash").alias("band_hash"))
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str,
+                  shingle_col: str = "shingle") -> DataFrame:
+    """True Jaccard similarity for candidate pairs via a shingle co-join.
+
+    ``|A ∩ B|`` comes from joining the shingle table to itself restricted to
+    the candidate pairs; ``|A ∪ B| = |A| + |B| − |A ∩ B|``.  Exact integer
+    counts → the final division is engine-portable.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col(shingle_col))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col(shingle_col))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", shingle_col])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
+                            k: int = 3, num_perm: int = 8, bands: int = 4,
+                            threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
+
+    Returns ``(id_a, id_b, jaccard)`` for verified pairs above threshold.
+    """
+    # persist the two frames the plan reuses (shingles: signature build +
+    # both sides of the intersection join; signatures: both sides of the
+    # band self-join) — the same staging the reference does with temp
+    # tables for its fuzzy joins (src/absa/post_aspects.py:59-118)
+    sh = word_shingles(df, id_col, text_col, k).persist()
+    sigs = minhash_signatures(sh, id_col, num_perm).persist()
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    return jaccard_pairs(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text",
+            bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """Per-document SimHash over word tokens (with multiplicity).
+
+    For each bit ``b``: sum ±1 over token hashes' bit ``b``; the signature
+    bit is 1 iff the sum is positive.  Computed as ``bits`` aggregate
+    columns in ONE groupBy — no per-bit row explosion, so the cost is one
+    token explode + one hash aggregation regardless of ``bits``.
+    """
+    tokens = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .withColumn("h", hash56(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else (sig + term)
+    return agg.select(F.col(id_col), sig.alias(out_col))

@@ -1,0 +1,128 @@
+"""Vector similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- **brute-force cosine top-k** — the exact baseline.  The query side is
+  broadcast (queries are few); the corpus side streams through one scan.
+  Dot products run JVM-side via ``zip_with`` + ``aggregate`` in codegen —
+  no Python in the loop.
+- **IVF (inverted-file) cosine top-k** — the scale path: assign every
+  vector to its nearest centroid (broadcast centroids), then search only
+  the probed cells.  Centroids here are computed per partition-key (the
+  synthetic ``label``) or by a provided centroid table; at real scale
+  they come from k-means (Spark MLlib) — the search plan is identical.
+
+All float math is widened to double before accumulation so results are
+engine-portable (the DuckDB oracle folds the same element order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric array columns (double-widened)."""
+    return _dot(a, b) / (_norm2(a) * _norm2(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` carries ``(query_id, embedding)``.  The join is a broadcast
+    cross join (few queries × corpus scan); ranking is one window per
+    query id.  Cosine is rounded to 6 decimals *before* ranking with an id
+    tie-break, so the top-k set is reproducible across engines.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        )
+    )
+    from .relational import top_k_per_group
+
+    return top_k_per_group(
+        scored, [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k, rank_col="rank", keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def centroids_by_key(vectors: DataFrame, key_col: str = "label",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Per-key mean vector (IVF cell centroids).
+
+    ``posexplode`` → per-(key, dim) mean → rebuild the array ordered by
+    dim.  Exact double sums divided by exact counts keep it
+    engine-portable.  One shuffle on (key, dim) — at scale this is the
+    standard map-reduce centroid update.
+    """
+    exploded = vectors.select(
+        F.col(key_col),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    per_dim = (
+        exploded.groupBy(key_col, "dim")
+        .agg((F.sum(F.col("x").cast("double"))
+              / F.count(F.lit(1)).cast("double")).alias("c"))
+    )
+    return (
+        per_dim.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(key_col, F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               key_col: str = "label", centroid_col: str = "centroid") -> DataFrame:
+    """Nearest-centroid assignment (the IVF build step).
+
+    Broadcast the centroid table (bounded: n_cells × dim), score every
+    vector against every cell in one projection, keep the argmax by
+    (rounded cosine, key) — a single corpus scan, no shuffle.
+    """
+    c = centroids.select(
+        F.col(key_col).alias("cell"), F.col(centroid_col)
+    )
+    scored = (
+        vectors.crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            "cell",
+            F.round(cosine(F.col(vec_col), F.col(centroid_col)), 6).alias("cosine"),
+        )
+    )
+    from .relational import top_k_per_group
+
+    return top_k_per_group(
+        scored, [id_col],
+        [F.col("cosine").desc(), F.col("cell").asc()],
+        k=1,
+    ).select(id_col, F.col("cell").alias("assigned_cell"), F.col("cosine").alias("cell_cosine"))

@@ -1,0 +1,222 @@
+"""Text-analysis operators over document corpora.
+
+Two client layers share these:
+
+- the museum ABSA chain (reference ``src/absa/post_words.py`` /
+  ``post_ngrams.py`` — tokenization, n-grams, stopword filtering), and
+- the training-data pipeline ops (token counting, quality scoring,
+  language ID, fingerprinting) that a 100 TB corpus needs.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — no Python
+UDFs in any hot path: at corpus scale the tokenizer is a per-row regexp
+pipeline inside whole-stage codegen, and the "hashes" are ``md5`` prefixes so
+an external SQL engine (the correctness oracle) can reproduce them bit-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+#: default stopword list for the synthetic corpus (the reference ships a
+#: 176-word German list, data/stopwords.csv — swap in per deployment)
+DEFAULT_STOPWORDS = ("a", "the")
+
+#: tiny per-language function-word lexicons for the n-gram/stopword
+#: language-ID heuristic (public-knowledge function words)
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est"),
+}
+
+
+# ---------------------------------------------------------------------------
+# M1 — tokenization (sentence + word split with stable indices)
+# ---------------------------------------------------------------------------
+
+def tokenize(df: DataFrame, id_cols: Sequence[str], text_col: str = "text",
+             lowercase: bool = True) -> DataFrame:
+    """Explode text into one row per word with 1-based word/sentence indices.
+
+    Reference: the ABSA tokenizer ``src/absa/post_words.py:150-231``
+    (sentence split, word split, lowercasing; indices are 1-based and the
+    word index runs continuously across sentences — PK of ``post_word``,
+    migration_014.sql:11-17).  The emoji/URL special cases of the reference
+    live in :func:`barberini_analytics_spark.domain.absa_text.tokenize_posts`;
+    this core operator pins the portable semantics: sentences split on
+    ``[.!?]+``, words on whitespace.
+
+    One ``posexplode`` per level — the plan stays a narrow pipeline
+    (no shuffle) until the window that numbers words per document.
+    """
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    sentences = F.split(text, r"[.!?]+\s*")
+    out = (
+        df.select(*id_cols, F.posexplode(sentences).alias("__spos", "__sentence"))
+        .filter(F.trim(F.col("__sentence")) != "")
+        .select(
+            *id_cols,
+            (F.col("__spos") + 1).alias("sentence_index"),
+            F.posexplode(F.split(F.trim(F.col("__sentence")), r"\s+"))
+            .alias("__wpos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    w = W.partitionBy(*id_cols).orderBy("sentence_index", "__wpos")
+    return (
+        out.withColumn("word_index", F.row_number().over(w))
+        .select(*id_cols, "word_index", "word", "sentence_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — contiguous n-grams (window-based, sentence-bounded)
+# ---------------------------------------------------------------------------
+
+def ngrams(tokens: DataFrame, id_cols: Sequence[str], n_values: Sequence[int],
+           stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> DataFrame:
+    """Sentence-bounded contiguous n-grams from a tokenized frame.
+
+    Reference: ``src/absa/post_ngrams.py:111-168`` builds n-grams with an
+    n-way self-join on ``word_index + 1 = next.word_index``; the Spark plan
+    uses ``lead(word, i)`` over one window — a single shuffle instead of n-1
+    joins (SURVEY §2.4 J7).  Stopword unigrams are excluded, matching the
+    reference's anti-join (post_ngrams.py:149-152); multi-word phrases keep
+    interior stopwords, also matching.
+    """
+    w = (
+        W.partitionBy(*id_cols, "sentence_index")
+        .orderBy("word_index")
+    )
+    parts = []
+    for n in n_values:
+        phrase = F.concat_ws(
+            " ", F.col("word"), *[F.lead("word", i).over(w) for i in range(1, n)]
+        )
+        last = F.lead("word", n - 1).over(w) if n > 1 else F.col("word")
+        gram = (
+            tokens.withColumn("phrase", phrase)
+            .withColumn("__last", last)
+            .filter(F.col("__last").isNotNull())
+            .select(*id_cols, F.lit(n).alias("n"), "word_index",
+                    "phrase", "sentence_index")
+        )
+        if n == 1 and stopwords:
+            gram = gram.filter(~F.col("phrase").isin(*stopwords))
+        parts.append(gram)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# token counting + quality scoring
+# ---------------------------------------------------------------------------
+
+def with_tokens(df: DataFrame, text_col: str = "text",
+                out_col: str = "tokens") -> Column | DataFrame:
+    """Lowercased whitespace tokens as an array column (no explode)."""
+    return df.withColumn(
+        out_col, F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> DataFrame:
+    """Per-document quality signals for corpus filtering.
+
+    The training-data-pipeline quality score: token count, mean token
+    length, stopword ratio, alphabetic ratio, distinct-token ratio.  All
+    ratios are exact integer divisions (engine-portable doubles) computed
+    inside codegen — at 100 TB this is a single scan, no shuffle.
+    """
+    df = with_tokens(df, text_col)
+    n_tokens = F.size("tokens")
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter("tokens", lambda t: F.array_contains(sw, t)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return (
+        df.withColumn("n_chars", F.length(text_col))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("tokens")))
+        .withColumn("n_stopwords", n_stop)
+        .withColumn(
+            "mean_token_len",
+            (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double")
+             / n_tokens),
+        )
+        .withColumn("stopword_ratio", n_stop.cast("double") / n_tokens)
+        .withColumn("alpha_ratio", n_alpha.cast("double") / F.length(text_col))
+        .withColumn(
+            "distinct_ratio",
+            F.col("n_distinct_tokens").cast("double") / n_tokens,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (function-word heuristic)
+# ---------------------------------------------------------------------------
+
+def language_id(df: DataFrame, text_col: str = "text",
+                lexicons: dict[str, Sequence[str]] | None = None,
+                out_col: str = "predicted_lang") -> DataFrame:
+    """Heuristic language ID: argmax of function-word hit counts.
+
+    Reference analogue: ``langdetect`` gate in topic modeling
+    (src/topic_modeling.py:155-160) — an external model there; here a
+    deterministic, oracle-reproducible n-gram/function-word heuristic, which
+    is also the honest baseline for corpus-scale language bucketing.
+    Ties (incl. zero hits) resolve to the lexicographically first language,
+    pinned deterministic.
+    """
+    lex = lexicons or LANG_LEXICONS
+    df = with_tokens(df, text_col, "__tokens")
+    scores = []
+    def _hit_counter(arr):
+        # NB: F.filter treats a 2-arg lambda as (element, index) — close over
+        # the lexicon array instead of passing it as a defaulted parameter
+        return F.size(F.filter("__tokens", lambda t: F.array_contains(arr, t)))
+
+    for lang in sorted(lex):
+        hits = _hit_counter(F.array(*[F.lit(t) for t in lex[lang]]))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # argmax with ties → first language in sorted order: compare (hits, lang)
+    # with lang ranked ascending by preferring earlier on equal hits
+    best = scores[0]
+    for s in scores[1:]:
+        best = F.when(s["hits"] > best["hits"], s).otherwise(best)
+    return df.withColumn(out_col, best["lang"]).drop("__tokens")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (md5-derived 56-bit hash)
+# ---------------------------------------------------------------------------
+
+def hash56(col: Column) -> Column:
+    """Deterministic 56-bit integer hash of a string column.
+
+    ``conv(substr(md5(x), 1, 14), 16, 10)`` — reproducible in any engine
+    with ``md5`` (the DuckDB oracle uses ``('0x' || substring(md5(x),1,14))
+    ::BIGINT``).  56 bits keeps the value positive in a signed 64-bit int.
+    Used for fingerprints, shingle hashing, and minhash permutations.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Whole-document content fingerprint over normalized tokens.
+
+    Normalization (lowercase, collapse whitespace) makes the fingerprint
+    robust to spacing; the md5-based hash makes it portable.  This is the
+    exact-dedup key for corpus-scale dedup (group by fingerprint).
+    """
+    normalized = F.concat_ws(" ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    return df.withColumn(out_col, hash56(normalized))

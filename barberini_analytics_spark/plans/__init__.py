@@ -2,5 +2,8 @@ from .registry import QUERIES, ORACLES, query
 
 # import for registration side effects
 from . import relational_queries  # noqa: E402,F401
+from . import text_queries  # noqa: E402,F401
+from . import dedup_queries  # noqa: E402,F401
+from . import similarity_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,200 @@
+"""Deduplication query inventory: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the training-data-pipeline dedup family over ``documents``.
+
+The oracle SQL reproduces every md5-derived hash bit-exactly, so even the
+LSH banding pipeline is value-checked end-to-end, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import load_table
+from ..operators import dedup as D
+from .registry import query
+
+_NUM_PERM = 8
+_SHINGLE_K = 3
+_JACCARD_THRESHOLD = 0.5
+
+
+def _hash56_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 14)) AS BIGINT)"
+
+
+_SHINGLE_CTE = rf"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) >= {_SHINGLE_K}
+                 THEN [array_to_string(w[i:i+{_SHINGLE_K - 1}], ' ')
+                       for i in generate_series(1, len(w) - {_SHINGLE_K - 1})]
+                 ELSE [array_to_string(w, ' ')] END)) AS shingle
+        FROM toks
+    )
+"""
+
+_MINHASH_AGGS = ",\n               ".join(
+    "min({h}) AS mh_{j}".format(h=_hash56_sql(f"'{j}|' || shingle"), j=j)
+    for j in range(_NUM_PERM)
+)
+
+_BAND_UNION = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_hash56_sql(f'CAST(mh_{b} AS VARCHAR)')} AS band_hash FROM mh"
+    for b in range(_NUM_PERM)
+)
+
+
+@query(
+    "exact_dedup_documents",
+    oracle=r"""
+    SELECT CAST(('0x' || substring(md5(
+               array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+           ), 1, 14)) AS BIGINT) AS fingerprint,
+           min(doc_id) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one shuffle on an 8-byte key.
+
+    Reference analogue: ``drop_duplicates`` on key subsets (SURVEY §2.3 P4)
+    — content-hash grouping is the 100 TB-safe variant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id")
+
+
+@query(
+    "minhash_near_duplicates",
+    oracle=rf"""
+    WITH {_SHINGLE_CTE},
+    mh AS (
+        SELECT doc_id,
+               {_MINHASH_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection, verified with true Jaccard.
+
+    shingle(k=3) → 8 minhash permutations → 8 one-row bands → bucket join →
+    exact Jaccard ≥ 0.5.  Candidate generation is the banded bucket join —
+    never an all-pairs comparison; at 100 TB the bucket join is the only
+    shuffle that grows with corpus size, and its key is (band, 56-bit hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(
+        docs, "doc_id", k=_SHINGLE_K, num_perm=_NUM_PERM, bands=_NUM_PERM,
+        threshold=_JACCARD_THRESHOLD,
+    )
+
+
+_SIMHASH_BITS = 16
+
+_BIT_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIG_SUM = " + ".join(
+    f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_documents",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id, {_hash56_sql('tok')} AS h FROM tok
+    ), s AS (
+        SELECT doc_id,
+               {_BIT_SUMS}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash
+    FROM s
+    """,
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (near-dup docs collide / differ in few bits).
+
+    One token explode + ONE hash aggregation computes all bit-sums as
+    columns — cost independent of signature width, no per-bit explosion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", bits=_SIMHASH_BITS)
+
+
+@query(
+    "ngram_jaccard_sample_pairs",
+    oracle=rf"""
+    WITH {_SHINGLE_CTE},
+    ids AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id < 30),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    """,
+)
+def ngram_jaccard_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over a bounded id block (docs 0-29, all pairs
+    with non-empty intersection).
+
+    The exact-similarity primitive that MinHash approximates; bounded
+    blocking keeps the pair space quadratic only within the block —
+    the pattern used for within-bucket verification at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = D.word_shingles(docs, "doc_id", k=_SHINGLE_K)
+    ids = sh.select("doc_id").distinct()
+    pairs = (
+        ids.select(F.col("doc_id").alias("id_a"))
+        .join(ids.select(F.col("doc_id").alias("id_b")),
+              F.col("id_a") < F.col("id_b"))
+    )
+    return D.jaccard_pairs(sh, pairs, "doc_id")

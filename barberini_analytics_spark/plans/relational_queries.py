@@ -485,7 +485,9 @@ def regex_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the scan side streams — a broadcast nested-loop join, which
     is the right physical plan for a non-equi predicate.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # repartition: the table arrives as one file; the regex probe is
+    # CPU-bound and should run on all cores
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     terms = spark.createDataFrame([(t,) for t in _REGEX_TERMS], ["term"])
     return (
         docs.join(

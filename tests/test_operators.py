@@ -1,0 +1,112 @@
+"""Unit tests for library operators on crafted fixtures — covers edge cases
+the synthetic corpus doesn't reach (multi-sentence text, FK nulls, ties,
+empty inputs).  Mirrors the reference's golden-file test level (SURVEY §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.operators import dedup as D
+from barberini_analytics_spark.operators import relational as R
+from barberini_analytics_spark.operators import text as X
+
+
+def test_tokenize_multi_sentence(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world. Second sentence here! And a third?")], ["doc_id", "text"]
+    )
+    rows = X.tokenize(df, ["doc_id"]).orderBy("word_index").collect()
+    words = [r.word for r in rows]
+    assert words == ["hello", "world", "second", "sentence", "here", "and", "a", "third"]
+    # continuous 1-based word index, per-sentence sentence index
+    assert [r.word_index for r in rows] == list(range(1, 9))
+    assert [r.sentence_index for r in rows] == [1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_tokenize_empty_and_whitespace(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "one")], ["doc_id", "text"])
+    rows = X.tokenize(df, ["doc_id"]).collect()
+    assert [(r.doc_id, r.word) for r in rows] == [(2, "one")]
+
+
+def test_ngrams_sentence_bounded(spark):
+    df = spark.createDataFrame([(1, "a b c. d e")], ["doc_id", "text"])
+    tokens = X.tokenize(df, ["doc_id"])
+    grams = X.ngrams(tokens, ["doc_id"], [2], stopwords=()).collect()
+    phrases = sorted(g.phrase for g in grams)
+    # no bigram spans the sentence boundary (no "c d")
+    assert phrases == ["a b", "b c", "d e"]
+
+
+def test_mode_per_group_tie_breaks_to_smallest(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (2, "z")], ["k", "v"]
+    )
+    rows = R.mode_per_group(df, ["k"], "v").orderBy("k").collect()
+    assert [(r.k, r.most_common_v) for r in rows] == [(1, "a"), (2, "z")]
+
+
+def test_filter_fkey_violations_null_passthrough(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], ["id", "parent_id"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pid"])
+    valid, bad = R.filter_fkey_violations(child, parent, [("parent_id", "pid")])
+    assert sorted(r.id for r in valid.collect()) == [1, 3]  # null FK passes
+    assert [r.id for r in bad.collect()] == [2]
+
+
+def test_condense_keeps_first_and_changes(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 5.0), ("k", 2, 5.0), ("k", 3, 6.0), ("k", 4, 6.0), ("k", 5, 5.0)],
+        ["key", "seq", "v"],
+    )
+    kept = R.condense_snapshots(df, ["key"], "seq", ["v"]).orderBy("seq").collect()
+    assert [r.seq for r in kept] == [1, 3, 5]
+
+
+def test_union_dedup_matches_sql_union(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    b = spark.createDataFrame([(2, "y"), (3, "z")], ["id", "v"])
+    out = R.union_dedup(a, b)
+    assert out.count() == 3
+
+
+def test_date_series_inclusive(spark):
+    days = R.date_series(spark, "2024-01-30", "2024-02-02").collect()
+    assert len(days) == 4
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 10, "new")], ["k", "ts", "v"]
+    ).withColumn("id", F.monotonically_increasing_id())
+    # same ts: order falls to the second order column
+    out = R.latest_per_key(df, ["k"], ["ts", "v"]).collect()
+    assert out[0].v == "old"  # 'old' > 'new' lexicographically
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "just two")], ["doc_id", "text"])
+    rows = D.word_shingles(df, "doc_id", k=3).collect()
+    assert [r.shingle for r in rows] == ["just two"]
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    sig = {r.doc_id: r.simhash for r in D.simhash(df, "doc_id").collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    groups = {r.rep_id: r.n_dups for r in D.exact_dedup(df, "doc_id").collect()}
+    assert groups == {1: 2, 3: 1}
