@@ -1,0 +1,314 @@
+"""ABSA-chain query inventory (SURVEY §2.10 M3-M6) over the synthetic
+corpus: fuzzy aspect matching (3 algorithms), phrase polarity, document
+sentiment, aspect×polarity pairing with distance weighting.
+
+Lexicons are inline (the reference loads them from JSONC/CSV — S18); weights
+are integer decipoints so every aggregate is exact until one final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..core.io import load_table
+from ..operators import fuzzy as FZ
+from ..operators import text as X
+from .registry import query
+
+# aspect lexicon: exercises all three match algorithms against the corpus
+# vocabulary (equality hits, trigram-close forms, levenshtein-close forms)
+ASPECT_WORDS = (
+    "spark", "query", "join", "window",          # equality hits
+    "sparks", "windows", "joins", "merges",      # trigram-close
+    "vektor", "streem", "qeury", "tabel",        # levenshtein-close
+)
+
+# polarity lexicon in integer decipoints (SentiWS weights are [-1, 1] reals;
+# decipoints keep the aggregation exact — functions/money.py policy)
+POLARITY_DECIPOINTS = {
+    "fast": 8, "slow": -7, "big": 3, "small": -2, "value": 5, "dup": -9,
+}
+
+_ASPECT_VALUES = ", ".join(f"('{w}')" for w in ASPECT_WORDS)
+_POLARITY_VALUES = ", ".join(f"('{w}', {v})" for w, v in POLARITY_DECIPOINTS.items())
+
+_TOK_CTE = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(w, 1) AS INT) AS word_index,
+               unnest(w) AS word
+        FROM toks
+    )
+"""
+
+# pg_trgm trigram-set extraction (same semantics as operators/fuzzy.py
+# trigram_set): split into alphanumeric words, pad each '  w ', distinct
+# trigrams of all padded words
+_TRGM = """
+    list_distinct(flatten(list_transform(
+        list_filter(string_split_regex({e}, '[^a-zA-Z0-9]+'), x -> length(x) > 0),
+        w -> list_transform(generate_series(1, length(w) + 1),
+                            i -> substring('  ' || w || ' ', i, 3))
+    )))
+"""
+
+
+def _trgm_sql(expr: str) -> str:
+    return _TRGM.format(e=expr).strip()
+
+
+def _aspect_lexicon(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(w,) for w in ASPECT_WORDS], ["matched"])
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tokenize(docs, ["doc_id"]).withColumn(
+        "word_index", F.col("word_index").cast("int")
+    ).drop("sentence_index")
+
+
+@query(
+    "aspect_match_equality",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id, word_index, word, word AS matched,
+           'equality' AS match_algorithm
+    FROM tok
+    WHERE word IN (SELECT term FROM (VALUES {_ASPECT_VALUES}) t(term))
+    """,
+)
+def aspect_match_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 aspect matching, equality algorithm (post_aspects.py:131-141).
+
+    Vocabulary-staged: the match runs on distinct words, then re-joins the
+    token occurrences (both joins broadcast).
+    """
+    tokens = _tokens(spark, sf_dir)
+    out = FZ.match_occurrences(tokens, _aspect_lexicon(spark), "equality")
+    return out.select("doc_id", "word_index", "word", "matched", "match_algorithm")
+
+
+@query(
+    "aspect_match_trigram",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    vocab AS (SELECT DISTINCT word FROM tok),
+    scored AS (
+        SELECT v.word, t.term AS matched,
+               CAST(len(list_intersect({_trgm_sql('v.word')}, {_trgm_sql('t.term')})) AS DOUBLE)
+               / (len({_trgm_sql('v.word')}) + len({_trgm_sql('t.term')})
+                  - len(list_intersect({_trgm_sql('v.word')}, {_trgm_sql('t.term')})))
+               AS score
+        FROM vocab v CROSS JOIN (VALUES {_ASPECT_VALUES}) t(term)
+    ),
+    best AS (
+        SELECT word, matched, score,
+               row_number() OVER (
+                   PARTITION BY word ORDER BY score DESC, matched ASC
+               ) AS rn
+        FROM scored WHERE score >= {FZ.TRIGRAM_THRESHOLD}
+    )
+    SELECT tok.doc_id, tok.word_index, tok.word, b.matched, b.score,
+           'trigram' AS match_algorithm
+    FROM tok JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
+    """,
+)
+def aspect_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 aspect matching, pg_trgm similarity ≥ 0.65 (post_aspects.py:146-166).
+
+    Trigram similarity is the §4 "genuinely custom" expression: distinct
+    3-grams of the '  s '-padded strings, |∩|/|∪| — exact integer ratio.
+    """
+    tokens = _tokens(spark, sf_dir)
+    out = FZ.match_occurrences(tokens, _aspect_lexicon(spark), "trigram")
+    return out.select("doc_id", "word_index", "word", "matched", "score",
+                      "match_algorithm")
+
+
+@query(
+    "aspect_match_levenshtein",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    vocab AS (SELECT DISTINCT word FROM tok WHERE length(word) <= {FZ.LEVENSHTEIN_MAX_LEN}),
+    scored AS (
+        SELECT v.word, t.term AS matched,
+               CAST(levenshtein(v.word, t.term) AS DOUBLE)
+               / greatest(length(v.word), length(t.term)) AS score
+        FROM vocab v CROSS JOIN (VALUES {_ASPECT_VALUES}) t(term)
+        WHERE length(t.term) <= {FZ.LEVENSHTEIN_MAX_LEN}
+    ),
+    best AS (
+        SELECT word, matched, score,
+               row_number() OVER (
+                   PARTITION BY word ORDER BY score ASC, matched ASC
+               ) AS rn
+        FROM scored WHERE score <= {FZ.LEVENSHTEIN_MAX_RATIO}
+    )
+    SELECT tok.doc_id, tok.word_index, tok.word, b.matched, b.score,
+           'levenshtein' AS match_algorithm
+    FROM tok JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
+    """,
+)
+def aspect_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 aspect matching, levenshtein ratio ≤ 0.19 (post_aspects.py:168-199),
+    with the reference's length-255 pre-filter before the cross join.
+    """
+    tokens = _tokens(spark, sf_dir)
+    out = FZ.match_occurrences(tokens, _aspect_lexicon(spark), "levenshtein")
+    return out.select("doc_id", "word_index", "word", "matched", "score",
+                      "match_algorithm")
+
+
+@query(
+    "document_sentiment",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    pol AS (SELECT * FROM (VALUES {_POLARITY_VALUES}) p(word, w10)),
+    hits AS (
+        SELECT tok.doc_id, tok.word, pol.w10
+        FROM tok JOIN pol USING (word)
+    ),
+    doc_tokens AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(w10) AS BIGINT) AS s,
+               CAST(sum(w10 * w10) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_distinct
+        FROM hits GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           a.s / (10.0 * a.n) AS sentiment,
+           CASE WHEN a.n > 1
+                THEN sqrt((a.n * a.ss - a.s * a.s)
+                          / (100.0 * a.n * (a.n - 1)))
+                ELSE NULL END AS sentiment_stddev,
+           CAST(a.n_distinct AS DOUBLE) / d.n_tokens AS subjectivity,
+           a.n AS n_polarity_words,
+           d.n_tokens AS n_tokens
+    FROM agg a JOIN doc_tokens d USING (doc_id)
+    """,
+)
+def document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5: phrase-polarity matching + per-document sentiment.
+
+    Reference: identity polarity join + avg/stddev/subjectivity aggregation
+    (src/absa/post_sentiments.py:103-283; migration_038.sql:32-63).
+    Weights are integer decipoints: mean and sample stddev are computed from
+    exact integer sums (``sqrt((n·Σw² − (Σw)²) / (100·n·(n−1)))``), so both
+    engines evaluate identical IEEE expressions — no rounding, no
+    Welford-vs-textbook variance divergence.  Subjectivity = distinct
+    polarity words / document tokens (post_sentiments.py:115-139).
+    """
+    tokens = _tokens(spark, sf_dir)
+    pol = spark.createDataFrame(
+        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
+    )
+    hits = tokens.join(F.broadcast(pol), "word")
+    doc_tokens = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    agg = hits.groupBy("doc_id").agg(
+        F.sum("w10").alias("s"),
+        F.sum(F.col("w10") * F.col("w10")).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("word").alias("n_distinct"),
+    )
+    return (
+        agg.join(doc_tokens, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("s") / (10.0 * F.col("n"))).alias("sentiment"),
+            F.when(
+                F.col("n") > 1,
+                F.sqrt(
+                    (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                    / (100.0 * F.col("n") * (F.col("n") - 1))
+                ),
+            ).alias("sentiment_stddev"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("subjectivity"),
+            F.col("n").alias("n_polarity_words"),
+            "n_tokens",
+        )
+    )
+
+
+_ALPHA = 5          # gaussian distance scale, post_aspect_sentiments.py:186-190
+_MAX_DISTANCE = 4   # linear-distance limit variant, migration_038.sql:122-146
+
+
+@query(
+    "aspect_sentiment_distance",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    aspects AS (
+        SELECT doc_id, word_index, word
+        FROM tok WHERE word IN (SELECT term FROM (VALUES {_ASPECT_VALUES}) t(term))
+    ),
+    pol AS (
+        SELECT tok.doc_id, tok.word_index, p.w10
+        FROM tok JOIN (VALUES {_POLARITY_VALUES}) p(word, w10) USING (word)
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.word AS aspect_word,
+               abs(a.word_index - p.word_index) AS d, p.w10
+        FROM aspects a JOIN pol p USING (doc_id)
+        WHERE a.word_index <> p.word_index
+          AND abs(a.word_index - p.word_index) <= {_MAX_DISTANCE}
+    ),
+    weighted AS (
+        SELECT doc_id, aspect_word, w10,
+               exp(-pow(CAST(d AS DOUBLE) / {_ALPHA}, 2)) AS gw
+        FROM pairs
+    )
+    SELECT doc_id, aspect_word,
+           round(sum((w10 / 10.0) * gw) / sum(gw), 6) AS aspect_sentiment,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM weighted
+    GROUP BY doc_id, aspect_word
+    """,
+)
+def aspect_sentiment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: aspect×polarity pairing with linear-distance limit + gaussian
+    weighting.
+
+    Reference: pair every aspect occurrence with every polarity phrase in
+    the same post (J8, post_aspect_sentiments.py:61-75), token distance
+    limit ≤ 4 and gaussian weight ``exp(-(d/α)²)``, α=5
+    (post_aspect_sentiments.py:170-255; migration_038.sql:98-146).
+
+    Deviation, pinned deliberately: the sentiment is the **gw-weighted
+    mean** ``Σ(p·gw)/Σ(gw)`` rather than the reference's self-normalizing
+    ``Σ(p²·gw)/Σ(p·gw)`` — the latter's denominator can cancel to ±ε in
+    engine-dependent ways; the A4 self-normalizing form is exercised with
+    exact integers in ``weighted_value_by_type``.  ``exp`` may differ by an
+    ulp across libm implementations, hence the single round(6).
+    """
+    tokens = _tokens(spark, sf_dir)
+    aspects = tokens.filter(F.col("word").isin(*ASPECT_WORDS)).select(
+        "doc_id", F.col("word_index").alias("a_idx"), F.col("word").alias("aspect_word")
+    )
+    pol = spark.createDataFrame(
+        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
+    )
+    pol_occ = tokens.join(F.broadcast(pol), "word").select(
+        "doc_id", F.col("word_index").alias("p_idx"), "w10"
+    )
+    d = F.abs(F.col("a_idx") - F.col("p_idx"))
+    pairs = (
+        aspects.join(pol_occ, "doc_id")
+        .filter((F.col("a_idx") != F.col("p_idx")) & (d <= _MAX_DISTANCE))
+        .withColumn("gw", F.exp(-F.pow(d.cast("double") / _ALPHA, F.lit(2))))
+    )
+    return (
+        pairs.groupBy("doc_id", "aspect_word")
+        .agg(
+            F.round(
+                F.sum((F.col("w10") / 10.0) * F.col("gw")) / F.sum("gw"), 6
+            ).alias("aspect_sentiment"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
