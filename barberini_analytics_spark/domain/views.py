@@ -1,0 +1,423 @@
+"""The reference's layered view stack, re-expressed as DataFrame builders.
+
+View tree (SURVEY §3.3): base tables → generated columns → ``fb_post_all`` /
+``*_rich`` → ``social_media_post`` / ``app_review`` / ``museum_review`` →
+``post``; plus ``exhibition``/``exhibition_day`` and
+``customer_characteristics``.
+
+Design notes:
+
+- Generated columns (``GENERATED ALWAYS AS … STORED``) become derivations
+  applied when building views — `with_*_generated` below.
+- "Latest snapshot" is a rank window (operators.relational.latest_per_key),
+  not the reference's max-timestamp self-join — one shuffle instead of two
+  scans (migration_015.sql:53-82).
+- Postgres ``UNION`` deduplicates → ``union_dedup`` (SURVEY §4 trap 4).
+- ``(x) IS TRUE`` 3-valued idioms → ``coalesce(x, false)`` (§4 trap 3).
+- Every view builder is a pure function ``dict[str, DataFrame] → DataFrame``
+  so the stack composes lazily and Catalyst prunes unused branches when a
+  consumer selects few columns (the Power-BI read pattern, §3.3).
+
+At scale: performance tables are the big fact tables — the rank window
+partitions on the post key; all dimension joins (author, exhibition) are
+broadcastable.  The union views are cheap (no shuffle beyond the dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..operators.relational import (
+    date_series, latest_per_key, mode_per_group, union_dedup,
+)
+
+#: reference constants (museum-specific filters)
+APPSTORE_APP_ID = "1150432552"                      # migration_059.sql:33
+GPLAY_APP_ID = "com.barberini.museum.barberinidigital"  # migration_059.sql:48
+GMAPS_PLACE_ID = "ChIJyV9mg0lfqEcRnbhJji6c17E"      # migration_029.sql:34
+
+
+def is_true(c: Column) -> Column:
+    """Postgres ``(expr) IS TRUE`` under 3-valued logic."""
+    return F.coalesce(c, F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# generated columns (migration_011/013/015)
+# ---------------------------------------------------------------------------
+
+def with_appstore_generated(df: DataFrame) -> DataFrame:
+    """appstore_review_id + permalink (migration_011.sql:22-41,
+    migration_059.sql:22-28)."""
+    return df.withColumns({
+        "appstore_review_id": F.concat_ws("_", "app_id", "review_id"),
+        "permalink": F.concat(
+            F.lit("https://apps.apple.com/de/app/museum-barberini/id"),
+            F.col("app_id"), F.lit("#see-all/reviews")),
+    })
+
+
+def with_gplay_generated(df: DataFrame) -> DataFrame:
+    """permalink (migration_011.sql:116-123)."""
+    return df.withColumn(
+        "permalink",
+        F.concat(F.lit("https://play.google.com/store/apps/details?id="),
+                 F.col("app_id"), F.lit("&reviewId="),
+                 F.col("playstore_review_id")))
+
+
+def with_fb_post_generated(df: DataFrame) -> DataFrame:
+    """fb_post_id + permalink (migration_011.sql:60-71)."""
+    return df.withColumns({
+        "fb_post_id": F.concat_ws("_", "page_id", "post_id"),
+        "permalink": F.concat(F.lit("https://www.facebook.com/"),
+                              F.col("page_id"), F.lit("/posts/"),
+                              F.col("post_id")),
+    })
+
+
+def with_fb_comment_generated(df: DataFrame) -> DataFrame:
+    """fb_post_comment_id + permalink (migration_013.sql:2-20,
+    migration_015.sql:22-28)."""
+    return df.withColumns({
+        "fb_post_comment_id": F.concat_ws("_", "post_id", "comment_id"),
+        "permalink": F.concat(F.lit("https://www.facebook.com/"),
+                              F.col("page_id"), F.lit("/posts/"),
+                              F.col("post_id"), F.lit("?comment_id="),
+                              F.col("comment_id")),
+    })
+
+
+def with_tweet_generated(df: DataFrame) -> DataFrame:
+    """permalink (migration_011.sql:125-129)."""
+    return df.withColumn(
+        "permalink",
+        F.concat(F.lit("https://twitter.com/user/status/"), F.col("tweet_id")))
+
+
+# ---------------------------------------------------------------------------
+# rich views (J1 latest-snapshot enrichment)
+# ---------------------------------------------------------------------------
+
+def fb_post_rich(t: dict[str, DataFrame]) -> DataFrame:
+    """fb_post + latest performance snapshot (migration_015.sql:53-60)."""
+    base = with_fb_post_generated(t["fb_post"])
+    latest = latest_per_key(t["fb_post_performance"],
+                            ["page_id", "post_id"], "timestamp")
+    return base.join(latest, ["page_id", "post_id"], "left")
+
+
+def ig_post_rich(t: dict[str, DataFrame]) -> DataFrame:
+    """ig_post + latest performance, exact column list of
+    migration_056.sql:5-27 (delta_* excluded)."""
+    latest = latest_per_key(t["ig_post_performance"], ["ig_post_id"],
+                            "timestamp")
+    joined = t["ig_post"].join(latest, ["ig_post_id"], "left")
+    return joined.select(
+        "ig_post_id", "timestamp", "impressions", "reach", "engagement",
+        "saved", "video_views", "text", "post_date", "media_type", "likes",
+        "comments", "permalink", "thumbnail_uri")
+
+
+def tweet_rich(t: dict[str, DataFrame]) -> DataFrame:
+    """tweet + latest performance + author; ``is_from_museum =
+    (author_role = 'official') IS TRUE`` (migration_015.sql:62-82)."""
+    base = with_tweet_generated(t["tweet"])
+    latest = latest_per_key(t["tweet_performance"], ["tweet_id"], "timestamp")
+    author = t["tweet_author"].select(
+        "user_id", "user_name", F.col("role").alias("author_role"))
+    return (
+        base.join(latest, ["tweet_id"], "left")
+        .join(F.broadcast(author), ["user_id"], "left")
+        .withColumn("is_from_museum",
+                    is_true(F.col("author_role") == "official"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# union layer
+# ---------------------------------------------------------------------------
+
+def fb_post_all(t: dict[str, DataFrame]) -> DataFrame:
+    """Posts ∪ comments with comment flags (migration_023.sql:5-28)."""
+    posts = with_fb_post_generated(t["fb_post"]).select(
+        F.col("fb_post_id").alias("post_id"), "page_id", "post_date", "text",
+        F.lit(True).alias("is_from_museum"),
+        F.lit(None).cast("string").alias("response_to"),
+        F.lit(False).alias("is_comment"), "permalink")
+    comments = with_fb_comment_generated(t["fb_post_comment"]).select(
+        F.col("fb_post_comment_id").alias("post_id"), "page_id", "post_date",
+        "text", "is_from_museum", "response_to",
+        F.lit(True).alias("is_comment"), "permalink")
+    return union_dedup(posts, comments)
+
+
+def app_review(t: dict[str, DataFrame]) -> DataFrame:
+    """Apple ∪ Google Play reviews for the museum apps
+    (migration_059.sql:22-50).  Apple text = title + body joined by
+    newline, NULLIF empty."""
+    apple = with_appstore_generated(t["appstore_review"]).filter(
+        F.col("app_id") == APPSTORE_APP_ID
+    ).select(
+        F.lit("Apple Appstore").alias("source"),
+        F.col("appstore_review_id").alias("review_id"),
+        F.nullif(F.concat_ws("\n", "title", "text"), F.lit("")).alias("text"),
+        "post_date", "rating", "app_version",
+        F.lit(None).cast("int").alias("likes"), "title", "permalink")
+    gplay = with_gplay_generated(t["gplay_review"]).filter(
+        F.col("app_id") == GPLAY_APP_ID
+    ).select(
+        F.lit("Google Play").alias("source"),
+        F.col("playstore_review_id").alias("review_id"), "text",
+        F.col("date").alias("post_date"), "rating", "app_version",
+        F.col("thumbs_up").alias("likes"),
+        F.lit(None).cast("string").alias("title"), "permalink")
+    return union_dedup(apple, gplay)
+
+
+def museum_review(t: dict[str, DataFrame]) -> DataFrame:
+    """Google Maps reviews of the museum place (migration_029.sql:23-36)."""
+    return t["google_maps_review"].filter(
+        F.col("place_id") == GMAPS_PLACE_ID
+    ).select(
+        F.lit("Google Maps").alias("source"),
+        F.col("google_maps_review_id").alias("review_id"),
+        "rating", "text", "post_date", "permalink")
+
+
+def social_media_post(t: dict[str, DataFrame]) -> DataFrame:
+    """FB posts+comments ∪ IG ∪ Twitter with latest engagement and
+    ``is_response`` flag (migration_023.sql:30-90)."""
+    fb_all = fb_post_all(t)
+    fb_rich = fb_post_rich(t).select("fb_post_id", "likes", "comments",
+                                     "shares")
+    fb = (
+        fb_all.join(fb_rich, fb_all["post_id"] == fb_rich["fb_post_id"],
+                    "left")
+        .select(
+            F.when(F.col("is_comment"), "Facebook Comment")
+            .otherwise("Facebook Post").alias("source"),
+            "post_id", "text", "post_date",
+            F.lit(None).cast("string").alias("media_type"), "response_to",
+            F.lit(None).cast("string").alias("user_id"), "is_from_museum",
+            "likes", "comments", "shares", "permalink")
+    )
+    ig = ig_post_rich(t).select(
+        F.lit("Instagram").alias("source"),
+        F.col("ig_post_id").alias("post_id"), "text", "post_date",
+        "media_type", F.lit(None).cast("string").alias("response_to"),
+        F.lit(None).cast("string").alias("user_id"),
+        F.lit(True).alias("is_from_museum"), "likes", "comments",
+        F.lit(None).cast("int").alias("shares"), "permalink")
+    tw = tweet_rich(t).select(
+        F.lit("Twitter").alias("source"),
+        F.col("tweet_id").alias("post_id"), "text", "post_date",
+        F.lit(None).cast("string").alias("media_type"), "response_to",
+        "user_id", "is_from_museum", "likes",
+        F.col("replies").alias("comments"),
+        F.col("retweets").alias("shares"), "permalink")
+    return union_dedup(fb, ig, tw).withColumn(
+        "is_response", F.col("response_to").isNotNull())
+
+
+def post(t: dict[str, DataFrame]) -> DataFrame:
+    """The top-level union of everything postable
+    (migration_015.sql:140-185)."""
+    app = app_review(t).select(
+        "source", F.col("review_id").alias("post_id"),
+        F.lit("App Review").alias("context"), "text", "post_date", "rating",
+        F.lit(False).alias("is_from_museum"),
+        F.lit(False).alias("is_response"), "likes",
+        F.lit(None).cast("int").alias("comments"),
+        F.lit(None).cast("int").alias("shares"), "permalink")
+    museum = museum_review(t).select(
+        "source", F.col("review_id").alias("post_id"),
+        F.lit("Museum Review").alias("context"), "text", "post_date",
+        "rating", F.lit(False).alias("is_from_museum"),
+        F.lit(False).alias("is_response"),
+        F.lit(None).cast("int").alias("likes"),
+        F.lit(None).cast("int").alias("comments"),
+        F.lit(None).cast("int").alias("shares"), "permalink")
+    social = social_media_post(t).select(
+        "source", "post_id", F.lit("Social Media").alias("context"), "text",
+        "post_date", F.lit(None).cast("int").alias("rating"),
+        "is_from_museum", "is_response", "likes", "comments", "shares",
+        "permalink")
+    return union_dedup(app, museum, social)
+
+
+# ---------------------------------------------------------------------------
+# exhibitions (migration_018/025/041)
+# ---------------------------------------------------------------------------
+
+#: first segment of the title up to " . ", " / " or " - " (migration_025.sql:17-19)
+_SHORT_TITLE_RE = r"^(.*?\S)\s*[./-] "
+
+
+def exhibition(t: dict[str, DataFrame]) -> DataFrame:
+    """exhibition_raw + ``special`` + ``short_title`` (migration_018.sql:9-23,
+    migration_025.sql:12-29, migration_041.sql:24-30).
+
+    ``short_title`` prefixes the year of the exhibition's earliest run,
+    computed from ``exhibition_time`` for non-special rows — the correlated
+    SQL function becomes a broadcastable aggregate join.
+    """
+    raw = t["exhibition_raw"].withColumn(
+        "special",
+        F.when(F.col("title") == "Schließtag / Closing Day", "closing day")
+        .when(F.col("title") == "Präsentationen zwischen den Ausstellungen",
+              "presentation"))
+    first_run = t["exhibition_time"].groupBy("title").agg(
+        F.min("start_date").alias("__first_start"))
+    short = F.concat_ws(
+        " ",
+        F.when(F.col("special").isNull(),
+               F.year("__first_start").cast("string")),
+        F.coalesce(F.nullif(F.regexp_extract("title", _SHORT_TITLE_RE, 1),
+                            F.lit("")),
+                   F.col("title")))
+    return (
+        raw.join(F.broadcast(first_run), ["title"], "left")
+        .withColumn("short_title", short)
+        .drop("__first_start")
+    )
+
+
+def exhibition_day(t: dict[str, DataFrame], today: str | Column) -> DataFrame:
+    """Every day mapped to the exhibition(s) running on it
+    (migration_041.sql:33-42): a dense date series from the earliest
+    ``start_date`` range-joined into ``exhibition_time``.
+
+    ``today`` replaces the view's ``now()`` so results are deterministic.
+    The range join is a broadcast nested-loop on a tiny dimension — exactly
+    the J4 shape.  Days without any exhibition drop out (the view's NATURAL
+    JOIN after the LEFT JOIN discards unmatched NULL titles).
+    """
+    times = t["exhibition_time"]
+    start = times.agg(F.min("start_date").alias("s"))
+    days = date_series(start, F.col("s"),
+                       F.to_date(F.lit(today)) if isinstance(today, str)
+                       else today)
+    ex = exhibition(t).select("title", "short_title")
+    return (
+        days.join(F.broadcast(times),
+                  F.col("date").between(F.col("start_date"),
+                                        F.col("end_date")))
+        .join(F.broadcast(ex), ["title"])
+        .select("date", "title", "short_title")
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_characteristics (migration_034.sql:7-193)
+# ---------------------------------------------------------------------------
+
+def customer_characteristics(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-customer order/booking/event aggregates, five mode-per-group
+    columns, and the ``is_tourism_specialist`` 3VL flag.
+
+    Spark-first: the reference's eight CTE scans collapse into three grouped
+    aggregations plus mode windows; all eight joins stay left joins keyed on
+    ``customer_id``.  Tie order of ``array_agg(... ORDER BY cnt DESC)[1]``
+    is unspecified in Postgres — pinned here to (count DESC, value ASC) via
+    ``mode_per_group``.
+    """
+    cust, orders = t["gomus_customer"], t["gomus_order"]
+    oc, bookings, events = (t["gomus_order_contains"], t["gomus_booking"],
+                            t["gomus_event"])
+
+    per_order = (
+        orders.join(oc, ["order_id"])
+        .groupBy("order_id", "customer_id")
+        .agg(F.sum("quantity").alias("q"), F.sum("price").alias("p"))
+    )
+    o_general = per_order.groupBy("customer_id").agg(
+        F.count("order_id").alias("order_count"),
+        F.sum("q").alias("ordered_article_count"),
+        F.sum("p").alias("sum_order_price"))
+
+    ticket_qty = (
+        cust.select("customer_id").join(orders, ["customer_id"])
+        .join(oc, ["order_id"])
+        .groupBy("customer_id", "ticket")
+        .agg(F.sum("quantity").alias("__cnt"))
+    )
+    o_common = _mode_from_counts(ticket_qty, "ticket", "most_common_ticket")
+
+    cust_bookings = cust.select("customer_id").join(bookings, ["customer_id"])
+    b_general = cust_bookings.groupBy("customer_id").agg(
+        F.count("booking_id").alias("booking_count"),
+        F.sum("participants").alias("sum_booked_participants"))
+    b_common_name = mode_per_group(bookings, ["customer_id"], "title",
+                                   "most_common_booking")
+    b_common_category = mode_per_group(bookings, ["customer_id"], "category",
+                                       "most_common_booking_category")
+
+    cust_events = cust.select("customer_id").join(events, ["customer_id"])
+    e_general = cust_events.groupBy("customer_id").agg(
+        F.count("event_id").alias("event_count"),
+        F.sum("reservation_count").alias("sum_event_reservations"))
+    per_booking = events.groupBy("customer_id", "booking_id").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    e_common_name = _mode_from_counts(
+        per_booking.join(bookings.select("booking_id", "title"),
+                         ["booking_id"]),
+        "title", "most_common_event")
+    e_common_category = mode_per_group(events, ["customer_id"], "category",
+                                       "most_common_event_category")
+
+    out = cust
+    for d in (o_general, o_common, b_general, b_common_name,
+              b_common_category, e_general, e_common_name, e_common_category):
+        out = out.join(d, ["customer_id"], "left")
+    tourism = (
+        (F.col("category") == "Reiseveranstalter")
+        | F.col("category").like("%Hotel%")
+        | (F.col("category") == "Verband")
+        | (F.col("category") == "Verein")
+        | (F.col("category") == "Stiftung")
+        | (F.size("tourism_tags") > 0)
+        | (F.col("booking_count") > 1)
+    )
+    return out.withColumn("is_tourism_specialist", is_true(tourism))
+
+
+def _mode_from_counts(counted: DataFrame, value_col: str,
+                      out_col: str) -> DataFrame:
+    """Mode where the count column ``__cnt`` is already aggregated."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("customer_id").orderBy(
+        F.col("__cnt").desc(), F.col(value_col).asc())
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("customer_id", F.col(value_col).alias(out_col))
+    )
+
+
+#: name → builder, in dependency order; ``register_domain_views`` publishes
+#: all of them to the SQL catalog.
+VIEW_BUILDERS = {
+    "fb_post_all": fb_post_all,
+    "fb_post_rich": fb_post_rich,
+    "ig_post_rich": ig_post_rich,
+    "tweet_rich": tweet_rich,
+    "app_review": app_review,
+    "museum_review": museum_review,
+    "social_media_post": social_media_post,
+    "post": post,
+    "exhibition": exhibition,
+    "customer_characteristics": customer_characteristics,
+}
+
+
+def register_domain_views(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Build every view and register it as a temp view (the Spark analog of
+    the reference's Postgres view catalog, §3.3)."""
+    out = {}
+    for name, build in VIEW_BUILDERS.items():
+        df = build(tables)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

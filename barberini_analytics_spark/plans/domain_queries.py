@@ -1,0 +1,528 @@
+"""Driver-facing queries exercising the full domain view stack (SURVEY §3.3
+entry point 3) on the synthetic corpus.
+
+The testdata tables are mapped onto the reference's base tables with pure
+arithmetic (no randomness), identically in Spark and in the DuckDB oracle
+SQL; the Spark side then runs the real ``domain.views`` builders — so the
+oracle checks the *entire* layered stack end-to-end: generated columns →
+rich views (J1) → unions with NULL padding → ``post``; and the 8-join
+``customer_characteristics`` with its five mode-per-group columns and 3VL
+tourism flag.
+
+Money policy: ``gomus_order_contains.price`` is carried as exact integer
+cents inside a DOUBLE (sums stay exact in IEEE754 far beyond this data
+size), so double-summation order cannot produce hash mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import load_table
+from ..domain import views as V
+from .registry import query
+
+#: 2024-01-01 00:00:00 UTC in epoch seconds (fixture post_date base)
+_T0 = 1_704_067_200
+
+
+def _social_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Deterministic base-table fixture derived from documents + events."""
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    pd = f"timestamp_micros(({_T0} + doc_id * 3600) * 1000000)"
+    return {
+        "fb_post": docs.filter("doc_id % 5 = 0").selectExpr(
+            "'pg' AS page_id", "CAST(doc_id AS STRING) AS post_id",
+            f"{pd} AS post_date", "text"),
+        "fb_post_comment": docs.filter("doc_id % 5 = 1").selectExpr(
+            "CAST(doc_id - 1 AS STRING) AS post_id",
+            "CAST(doc_id AS STRING) AS comment_id", "'pg' AS page_id",
+            f"{pd} AS post_date", "text",
+            "doc_id % 2 = 0 AS is_from_museum",
+            "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id - 5 AS STRING) END"
+            " AS response_to"),
+        "fb_post_performance": events.filter("event_type = 'view'")
+        .selectExpr(
+            "'pg' AS page_id",
+            "CAST((event_id % 100) * 5 AS STRING) AS post_id",
+            "ts AS timestamp", "CAST(floor(value) AS INT) AS likes",
+            "CAST(event_id % 5 AS INT) AS shares",
+            "CAST(event_id % 7 AS INT) AS comments"),
+        "ig_post": docs.filter("doc_id % 5 = 3").selectExpr(
+            "CAST(doc_id AS STRING) AS ig_post_id", "text",
+            f"{pd} AS post_date",
+            "CASE doc_id % 3 WHEN 0 THEN 'IMAGE' WHEN 1 THEN 'VIDEO' "
+            "ELSE 'CAROUSEL_ALBUM' END AS media_type",
+            "CAST(doc_id % 50 AS INT) AS likes",
+            "CAST(doc_id % 20 AS INT) AS comments",
+            "'ig://' || CAST(doc_id AS STRING) AS permalink",
+            "CAST(NULL AS STRING) AS thumbnail_uri"),
+        "ig_post_performance": events.filter("event_type = 'signup'")
+        .selectExpr(
+            "CAST((event_id % 100) * 5 + 3 AS STRING) AS ig_post_id",
+            "ts AS timestamp", "CAST(floor(value) AS INT) AS impressions",
+            "CAST(event_id % 100 AS INT) AS reach",
+            "CAST(event_id % 10 AS INT) AS engagement",
+            "CAST(event_id % 3 AS INT) AS saved",
+            "CAST(event_id % 9 AS INT) AS video_views"),
+        "tweet": docs.filter("doc_id % 5 = 2").selectExpr(
+            "CAST(doc_id % 30 AS STRING) AS user_id",
+            "CAST(doc_id AS STRING) AS tweet_id", "text",
+            "CASE WHEN doc_id % 10 = 7 THEN CAST(doc_id - 5 AS STRING) END"
+            " AS response_to",
+            f"{pd} AS post_date"),
+        "tweet_performance": events.filter("event_type = 'click'")
+        .selectExpr(
+            "CAST((event_id % 100) * 5 + 2 AS STRING) AS tweet_id",
+            "ts AS timestamp", "CAST(floor(value) AS INT) AS likes",
+            "CAST(event_id % 4 AS INT) AS retweets",
+            "CAST(event_id % 6 AS INT) AS replies"),
+        "tweet_author": spark.range(0, 20).selectExpr(
+            "CAST(id AS STRING) AS user_id",
+            "'u' || CAST(id AS STRING) AS user_name",
+            "CASE WHEN id % 7 = 0 THEN 'official' WHEN id % 7 = 3 THEN NULL "
+            "ELSE 'follower' END AS role"),
+        "appstore_review": docs.filter("doc_id % 10 = 4").selectExpr(
+            f"CASE WHEN doc_id % 20 = 4 THEN '{V.APPSTORE_APP_ID}' "
+            "ELSE '999' END AS app_id",
+            "'r' || CAST(doc_id AS STRING) AS review_id", "text",
+            "CAST(doc_id % 5 + 1 AS INT) AS rating",
+            "'1.' || CAST(doc_id % 3 AS STRING) AS app_version",
+            "CASE WHEN doc_id % 3 = 0 THEN 'T' || CAST(doc_id AS STRING) END"
+            " AS title",
+            f"{pd} AS post_date"),
+        "gplay_review": docs.filter("doc_id % 10 = 9").selectExpr(
+            "'g' || CAST(doc_id AS STRING) AS playstore_review_id", "text",
+            "CAST(doc_id % 5 + 1 AS INT) AS rating",
+            "'2.' || CAST(doc_id % 2 AS STRING) AS app_version",
+            "CAST(doc_id % 11 AS INT) AS thumbs_up",
+            "CAST(NULL AS STRING) AS title", f"{pd} AS date",
+            f"CASE WHEN doc_id % 20 = 9 THEN '{V.GPLAY_APP_ID}' "
+            "ELSE 'other' END AS app_id"),
+        "google_maps_review": docs.filter("doc_id % 10 = 6").selectExpr(
+            "'m' || CAST(doc_id AS STRING) AS google_maps_review_id",
+            f"{pd} AS post_date", "CAST(doc_id % 5 + 1 AS INT) AS rating",
+            "text", "CAST(NULL AS STRING) AS text_english",
+            "lang AS language",
+            f"CASE WHEN doc_id % 20 = 6 THEN '{V.GMAPS_PLACE_ID}' "
+            "ELSE 'other' END AS place_id",
+            "'https://maps.google.com/maps?cid=' || CAST(doc_id AS STRING)"
+            " AS permalink"),
+    }
+
+
+#: the same fixture mapping as DuckDB CTE text
+_FIXTURE_CTES = f"""
+    pd AS (SELECT doc_id, text, lang,
+                  make_timestamp(({_T0} + doc_id * 3600) * 1000000)
+                      AS post_date
+           FROM documents),
+    fb_post AS (
+        SELECT 'pg' AS page_id, CAST(doc_id AS VARCHAR) AS post_id,
+               post_date, text
+        FROM pd WHERE doc_id % 5 = 0),
+    fb_post_comment AS (
+        SELECT CAST(doc_id - 1 AS VARCHAR) AS post_id,
+               CAST(doc_id AS VARCHAR) AS comment_id, 'pg' AS page_id,
+               post_date, text, doc_id % 2 = 0 AS is_from_museum,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST(doc_id - 5 AS VARCHAR) END AS response_to
+        FROM pd WHERE doc_id % 5 = 1),
+    fb_perf AS (
+        SELECT 'pg' AS page_id,
+               CAST((event_id % 100) * 5 AS VARCHAR) AS post_id,
+               ts AS timestamp, CAST(floor(value) AS INT) AS likes,
+               CAST(event_id % 5 AS INT) AS shares,
+               CAST(event_id % 7 AS INT) AS comments
+        FROM events WHERE event_type = 'view'),
+    ig_post AS (
+        SELECT CAST(doc_id AS VARCHAR) AS ig_post_id, text, post_date,
+               CASE doc_id % 3 WHEN 0 THEN 'IMAGE' WHEN 1 THEN 'VIDEO'
+                    ELSE 'CAROUSEL_ALBUM' END AS media_type,
+               CAST(doc_id % 50 AS INT) AS likes,
+               CAST(doc_id % 20 AS INT) AS comments,
+               'ig://' || CAST(doc_id AS VARCHAR) AS permalink,
+               CAST(NULL AS VARCHAR) AS thumbnail_uri
+        FROM pd WHERE doc_id % 5 = 3),
+    ig_perf AS (
+        SELECT CAST((event_id % 100) * 5 + 3 AS VARCHAR) AS ig_post_id,
+               ts AS timestamp, CAST(floor(value) AS INT) AS impressions,
+               CAST(event_id % 100 AS INT) AS reach,
+               CAST(event_id % 10 AS INT) AS engagement,
+               CAST(event_id % 3 AS INT) AS saved,
+               CAST(event_id % 9 AS INT) AS video_views
+        FROM events WHERE event_type = 'signup'),
+    tweet AS (
+        SELECT CAST(doc_id % 30 AS VARCHAR) AS user_id,
+               CAST(doc_id AS VARCHAR) AS tweet_id, text,
+               CASE WHEN doc_id % 10 = 7
+                    THEN CAST(doc_id - 5 AS VARCHAR) END AS response_to,
+               post_date
+        FROM pd WHERE doc_id % 5 = 2),
+    tweet_perf AS (
+        SELECT CAST((event_id % 100) * 5 + 2 AS VARCHAR) AS tweet_id,
+               ts AS timestamp, CAST(floor(value) AS INT) AS likes,
+               CAST(event_id % 4 AS INT) AS retweets,
+               CAST(event_id % 6 AS INT) AS replies
+        FROM events WHERE event_type = 'click'),
+    tweet_author AS (
+        SELECT CAST(u AS VARCHAR) AS user_id,
+               'u' || CAST(u AS VARCHAR) AS user_name,
+               CASE WHEN u % 7 = 0 THEN 'official'
+                    WHEN u % 7 = 3 THEN NULL
+                    ELSE 'follower' END AS role
+        FROM (SELECT unnest(generate_series(0, 19)) AS u)),
+    appstore_review AS (
+        SELECT CASE WHEN doc_id % 20 = 4 THEN '{V.APPSTORE_APP_ID}'
+                    ELSE '999' END AS app_id,
+               'r' || CAST(doc_id AS VARCHAR) AS review_id, text,
+               CAST(doc_id % 5 + 1 AS INT) AS rating,
+               '1.' || CAST(doc_id % 3 AS VARCHAR) AS app_version,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'T' || CAST(doc_id AS VARCHAR) END AS title,
+               post_date
+        FROM pd WHERE doc_id % 10 = 4),
+    gplay_review AS (
+        SELECT 'g' || CAST(doc_id AS VARCHAR) AS playstore_review_id, text,
+               CAST(doc_id % 5 + 1 AS INT) AS rating,
+               '2.' || CAST(doc_id % 2 AS VARCHAR) AS app_version,
+               CAST(doc_id % 11 AS INT) AS thumbs_up,
+               CAST(NULL AS VARCHAR) AS title, post_date AS date,
+               CASE WHEN doc_id % 20 = 9 THEN '{V.GPLAY_APP_ID}'
+                    ELSE 'other' END AS app_id
+        FROM pd WHERE doc_id % 10 = 9),
+    google_maps_review AS (
+        SELECT 'm' || CAST(doc_id AS VARCHAR) AS google_maps_review_id,
+               post_date, CAST(doc_id % 5 + 1 AS INT) AS rating, text,
+               CAST(NULL AS VARCHAR) AS text_english, lang AS language,
+               CASE WHEN doc_id % 20 = 6 THEN '{V.GMAPS_PLACE_ID}'
+                    ELSE 'other' END AS place_id,
+               'https://maps.google.com/maps?cid=' ||
+                   CAST(doc_id AS VARCHAR) AS permalink
+        FROM pd WHERE doc_id % 10 = 6)
+"""
+
+#: the reference view stack (migration_015/023/029/059) as CTE text
+_VIEW_CTES = f"""
+    fb_post_g AS (
+        SELECT *, page_id || '_' || post_id AS fb_post_id,
+               'https://www.facebook.com/' || page_id || '/posts/' || post_id
+                   AS permalink
+        FROM fb_post),
+    fb_comment_g AS (
+        SELECT *, post_id || '_' || comment_id AS fb_post_comment_id,
+               'https://www.facebook.com/' || page_id || '/posts/' || post_id
+                   || '?comment_id=' || comment_id AS permalink
+        FROM fb_post_comment),
+    tweet_g AS (
+        SELECT *, 'https://twitter.com/user/status/' || tweet_id AS permalink
+        FROM tweet),
+    fb_post_rich AS (
+        SELECT b.*, p.likes, p.shares, p.comments
+        FROM fb_post_g b LEFT JOIN (
+            SELECT * FROM (SELECT *, row_number() OVER (
+                PARTITION BY page_id, post_id ORDER BY timestamp DESC) rn
+                FROM fb_perf) WHERE rn = 1) p USING (page_id, post_id)),
+    ig_post_rich AS (
+        SELECT b.ig_post_id, p.timestamp, p.impressions, p.reach,
+               p.engagement, p.saved, p.video_views, b.text, b.post_date,
+               b.media_type, b.likes, b.comments, b.permalink,
+               b.thumbnail_uri
+        FROM ig_post b LEFT JOIN (
+            SELECT * FROM (SELECT *, row_number() OVER (
+                PARTITION BY ig_post_id ORDER BY timestamp DESC) rn
+                FROM ig_perf) WHERE rn = 1) p USING (ig_post_id)),
+    tweet_rich AS (
+        SELECT b.*, p.likes, p.retweets, p.replies,
+               COALESCE(a.role = 'official', FALSE) AS is_from_museum
+        FROM tweet_g b
+        LEFT JOIN (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY tweet_id ORDER BY timestamp DESC) rn
+            FROM tweet_perf) WHERE rn = 1) p USING (tweet_id)
+        LEFT JOIN tweet_author a USING (user_id)),
+    fb_post_all AS (
+        (SELECT fb_post_id AS post_id, page_id, post_date, text,
+                TRUE AS is_from_museum, CAST(NULL AS VARCHAR) AS response_to,
+                FALSE AS is_comment, permalink
+         FROM fb_post_g)
+        UNION
+        (SELECT fb_post_comment_id, page_id, post_date, text,
+                is_from_museum, response_to, TRUE, permalink
+         FROM fb_comment_g)),
+    app_review AS (
+        (SELECT 'Apple Appstore' AS source,
+                app_id || '_' || review_id AS review_id,
+                NULLIF(CONCAT_WS(chr(10), title, text), '') AS text,
+                post_date, rating, app_version, CAST(NULL AS INT) AS likes,
+                title,
+                'https://apps.apple.com/de/app/museum-barberini/id'
+                    || app_id || '#see-all/reviews' AS permalink
+         FROM appstore_review WHERE app_id = '{V.APPSTORE_APP_ID}')
+        UNION
+        (SELECT 'Google Play', playstore_review_id, text, date, rating,
+                app_version, thumbs_up, CAST(NULL AS VARCHAR),
+                'https://play.google.com/store/apps/details?id=' || app_id
+                    || '&reviewId=' || playstore_review_id
+         FROM gplay_review WHERE app_id = '{V.GPLAY_APP_ID}')),
+    museum_review AS (
+        SELECT 'Google Maps' AS source,
+               google_maps_review_id AS review_id, rating, text, post_date,
+               permalink
+        FROM google_maps_review WHERE place_id = '{V.GMAPS_PLACE_ID}'),
+    smp AS (
+        SELECT *, (response_to IS NOT NULL) AS is_response FROM (
+            (SELECT CASE WHEN is_comment THEN 'Facebook Comment'
+                         ELSE 'Facebook Post' END AS source,
+                    a.post_id, a.text, a.post_date,
+                    CAST(NULL AS VARCHAR) AS media_type, a.response_to,
+                    CAST(NULL AS VARCHAR) AS user_id, a.is_from_museum,
+                    r.likes, r.comments, r.shares, a.permalink
+             FROM fb_post_all a
+             LEFT JOIN fb_post_rich r ON a.post_id = r.fb_post_id)
+            UNION
+            (SELECT 'Instagram', ig_post_id, text, post_date, media_type,
+                    NULL, NULL, TRUE, likes, comments, CAST(NULL AS INT),
+                    permalink
+             FROM ig_post_rich)
+            UNION
+            (SELECT 'Twitter', tweet_id, text, post_date, NULL, response_to,
+                    user_id, is_from_museum, likes, replies, retweets,
+                    permalink
+             FROM tweet_rich))),
+    post AS (
+        (SELECT source, review_id AS post_id, 'App Review' AS context, text,
+                post_date, rating, FALSE AS is_from_museum,
+                FALSE AS is_response, likes, CAST(NULL AS INT) AS comments,
+                CAST(NULL AS INT) AS shares, permalink
+         FROM app_review)
+        UNION
+        (SELECT source, review_id, 'Museum Review', text, post_date, rating,
+                FALSE, FALSE, NULL, NULL, NULL, permalink
+         FROM museum_review)
+        UNION
+        (SELECT source, post_id, 'Social Media', text, post_date,
+                CAST(NULL AS INT), is_from_museum, is_response, likes,
+                comments, shares, permalink
+         FROM smp))
+"""
+
+
+@query(
+    "post_view_stack",
+    oracle=f"WITH {_FIXTURE_CTES}, {_VIEW_CTES} SELECT * FROM post",
+)
+def post_view_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deepest read path of the reference (§3.3): base tables →
+    generated columns → rich views → three-level union → ``post``.
+
+    Catalyst collapses the whole stack into a handful of stages: the three
+    rank windows shuffle on their post keys, the unions are append-only,
+    and the final UNION dedup is one hash aggregate.  Column pruning drops
+    every unused base column at the scans.
+    """
+    return V.post(_social_tables(spark, sf_dir))
+
+
+@query(
+    "social_media_post_view",
+    oracle=f"WITH {_FIXTURE_CTES}, {_VIEW_CTES} SELECT * FROM smp",
+)
+def social_media_post_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mid-layer union view with latest-engagement enrichment
+    (migration_023.sql:30-90)."""
+    return V.social_media_post(_social_tables(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# customer_characteristics over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def _gomus_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Map customer/orders/lineitem onto the gomus schema.
+
+    ``price`` carries exact integer cents (see module docstring); bookings
+    and events are deterministic order/lineitem slices so every
+    characteristic column is exercised, including customers with no
+    activity at all.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gomus_orders = orders.selectExpr(
+        "o_orderkey AS order_id", "CAST(o_orderdate AS DATE) AS order_date",
+        "o_custkey AS customer_id", "true AS valid",
+        "o_orderstatus = 'F' AS paid", "'web' AS origin")
+    return {
+        "gomus_customer": cust.selectExpr(
+            "c_custkey AS customer_id", "CAST(NULL AS STRING) AS postal_code",
+            "c_custkey % 2 = 0 AS newsletter", "CAST(NULL AS STRING) AS gender",
+            "c_mktsegment AS category", "CAST(NULL AS STRING) AS language",
+            "CAST(NULL AS STRING) AS country", "CAST(NULL AS STRING) AS type",
+            "CAST(NULL AS DATE) AS register_date", "false AS annual_ticket",
+            "true AS valid_mail",
+            "CAST(NULL AS STRING) AS cleansed_postal_code",
+            "CAST(NULL AS STRING) AS cleansed_country",
+            "CASE WHEN c_custkey % 97 = 0 THEN array('hotel') "
+            "ELSE array() END AS tourism_tags",
+            "CAST(NULL AS DOUBLE) AS latitude",
+            "CAST(NULL AS DOUBLE) AS longitude"),
+        "gomus_order": gomus_orders,
+        "gomus_order_contains": li.selectExpr(
+            "l_orderkey * 10 + l_linenumber AS article_id",
+            "'ticket' AS article_type", "l_orderkey AS order_id",
+            "l_returnflag AS ticket", "CAST(l_shipdate AS DATE) AS date",
+            "CAST(l_quantity AS INT) AS quantity",
+            "CAST(round(l_extendedprice * 100) AS DOUBLE) AS price",
+            "false AS is_cancelled"),
+        "gomus_booking": orders.filter("o_orderkey % 10 = 0").selectExpr(
+            "o_orderkey AS booking_id", "o_custkey AS customer_id",
+            "o_orderstatus AS category",
+            "CAST(o_orderkey % 7 + 1 AS INT) AS participants",
+            "CAST(NULL AS BIGINT) AS guide_id", "60 AS duration",
+            "CAST(NULL AS STRING) AS exhibition",
+            "o_orderpriority AS title", "'confirmed' AS status",
+            "o_orderdate AS start_datetime",
+            "CAST(o_orderdate AS DATE) AS order_date",
+            "'de' AS language"),
+        "gomus_event": li.filter("l_orderkey % 10 = 0 AND l_linenumber <= 2")
+        .join(orders.selectExpr("o_orderkey AS l_orderkey",
+                                "o_custkey AS customer_id"), "l_orderkey")
+        .selectExpr(
+            "l_orderkey * 10 + l_linenumber AS event_id", "customer_id",
+            "l_orderkey AS booking_id",
+            "CAST(CAST(l_quantity AS INT) % 5 + 1 AS INT)"
+            " AS reservation_count",
+            "CAST(l_shipdate AS DATE) AS order_date", "'ok' AS status",
+            "l_linestatus AS category"),
+    }
+
+
+@query(
+    "customer_characteristics_view",
+    oracle="""
+    WITH gomus_customer AS (
+        SELECT c_custkey AS customer_id, c_mktsegment AS category,
+               CASE WHEN c_custkey % 97 = 0 THEN ['hotel']
+                    ELSE [] END AS tourism_tags
+        FROM customer),
+    gomus_order AS (
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id
+        FROM orders),
+    gomus_order_contains AS (
+        SELECT l_orderkey AS order_id, l_returnflag AS ticket,
+               CAST(l_quantity AS INT) AS quantity,
+               CAST(round(l_extendedprice * 100) AS DOUBLE) AS price
+        FROM lineitem),
+    gomus_booking AS (
+        SELECT o_orderkey AS booking_id, o_custkey AS customer_id,
+               o_orderstatus AS category,
+               CAST(o_orderkey % 7 + 1 AS INT) AS participants,
+               o_orderpriority AS title
+        FROM orders WHERE o_orderkey % 10 = 0),
+    gomus_event AS (
+        SELECT l_orderkey * 10 + l_linenumber AS event_id, o.o_custkey
+                   AS customer_id, l_orderkey AS booking_id,
+               CAST(CAST(l_quantity AS INT) % 5 + 1 AS INT)
+                   AS reservation_count,
+               l_linestatus AS category
+        FROM lineitem JOIN orders o ON o_orderkey = l_orderkey
+        WHERE l_orderkey % 10 = 0 AND l_linenumber <= 2),
+    per_order AS (
+        SELECT o.order_id, o.customer_id, SUM(oc.quantity) AS q,
+               SUM(oc.price) AS p
+        FROM gomus_order o JOIN gomus_order_contains oc USING (order_id)
+        GROUP BY o.order_id, o.customer_id),
+    o_general AS (
+        SELECT customer_id, CAST(COUNT(order_id) AS BIGINT) AS order_count,
+               CAST(SUM(q) AS BIGINT) AS ordered_article_count,
+               SUM(p) AS sum_order_price_cents
+        FROM per_order GROUP BY customer_id),
+    ticket_qty AS (
+        SELECT o.customer_id, oc.ticket, SUM(oc.quantity) AS cnt
+        FROM gomus_customer c
+        JOIN gomus_order o USING (customer_id)
+        JOIN gomus_order_contains oc USING (order_id)
+        GROUP BY o.customer_id, oc.ticket),
+    o_common AS (
+        SELECT customer_id, ticket AS most_common_ticket FROM (
+            SELECT *, row_number() OVER (PARTITION BY customer_id
+                ORDER BY cnt DESC, ticket ASC) rn FROM ticket_qty)
+        WHERE rn = 1),
+    b_general AS (
+        SELECT customer_id,
+               CAST(COUNT(booking_id) AS BIGINT) AS booking_count,
+               CAST(SUM(participants) AS BIGINT) AS sum_booked_participants
+        FROM gomus_customer JOIN gomus_booking USING (customer_id)
+        GROUP BY customer_id),
+    b_common_name AS (
+        SELECT customer_id, title AS most_common_booking FROM (
+            SELECT customer_id, title,
+                   row_number() OVER (PARTITION BY customer_id
+                       ORDER BY COUNT(*) DESC, title ASC) rn
+            FROM gomus_booking GROUP BY customer_id, title)
+        WHERE rn = 1),
+    b_common_category AS (
+        SELECT customer_id, category AS most_common_booking_category FROM (
+            SELECT customer_id, category,
+                   row_number() OVER (PARTITION BY customer_id
+                       ORDER BY COUNT(*) DESC, category ASC) rn
+            FROM gomus_booking GROUP BY customer_id, category)
+        WHERE rn = 1),
+    e_general AS (
+        SELECT customer_id, CAST(COUNT(event_id) AS BIGINT) AS event_count,
+               CAST(SUM(reservation_count) AS BIGINT)
+                   AS sum_event_reservations
+        FROM gomus_customer JOIN gomus_event USING (customer_id)
+        GROUP BY customer_id),
+    e_common_name AS (
+        SELECT customer_id, title AS most_common_event FROM (
+            SELECT ge.customer_id, b.title,
+                   row_number() OVER (PARTITION BY ge.customer_id
+                       ORDER BY ge.cnt DESC, b.title ASC) rn
+            FROM (SELECT customer_id, booking_id, COUNT(*) cnt
+                  FROM gomus_event GROUP BY customer_id, booking_id) ge
+            JOIN gomus_booking b USING (booking_id))
+        WHERE rn = 1),
+    e_common_category AS (
+        SELECT customer_id, category AS most_common_event_category FROM (
+            SELECT customer_id, category,
+                   row_number() OVER (PARTITION BY customer_id
+                       ORDER BY COUNT(*) DESC, category ASC) rn
+            FROM gomus_event GROUP BY customer_id, category)
+        WHERE rn = 1)
+    SELECT c.customer_id, order_count, ordered_article_count,
+           sum_order_price_cents, booking_count, sum_booked_participants,
+           event_count, sum_event_reservations, most_common_ticket,
+           most_common_booking, most_common_event,
+           most_common_booking_category, most_common_event_category,
+           COALESCE(c.category = 'Reiseveranstalter'
+               OR c.category LIKE '%Hotel%' OR c.category = 'Verband'
+               OR c.category = 'Verein' OR c.category = 'Stiftung'
+               OR len(c.tourism_tags) > 0 OR booking_count > 1,
+               FALSE) AS is_tourism_specialist
+    FROM gomus_customer c
+    LEFT JOIN o_general USING (customer_id)
+    LEFT JOIN o_common USING (customer_id)
+    LEFT JOIN b_general USING (customer_id)
+    LEFT JOIN b_common_name USING (customer_id)
+    LEFT JOIN b_common_category USING (customer_id)
+    LEFT JOIN e_general USING (customer_id)
+    LEFT JOIN e_common_name USING (customer_id)
+    LEFT JOIN e_common_category USING (customer_id)
+    """,
+)
+def customer_characteristics_view(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The reference's biggest relational view (migration_034.sql:7-193):
+    eight left joins, five mode-per-group columns, 3VL tourism flag —
+    run by the real ``domain.views.customer_characteristics`` builder."""
+    out = V.customer_characteristics(_gomus_tables(spark, sf_dir))
+    return out.select(
+        "customer_id", "order_count", "ordered_article_count",
+        F.col("sum_order_price").alias("sum_order_price_cents"),
+        "booking_count", "sum_booked_participants", "event_count",
+        "sum_event_reservations", "most_common_ticket",
+        "most_common_booking", "most_common_event",
+        "most_common_booking_category", "most_common_event_category",
+        "is_tourism_specialist")
