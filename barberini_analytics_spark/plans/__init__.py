@@ -7,5 +7,6 @@ from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import absa_queries  # noqa: E402,F401
 from . import domain_queries  # noqa: E402,F401
+from . import function_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
