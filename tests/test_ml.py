@@ -1,0 +1,71 @@
+"""ML-layer tests: GSDMM separates obvious topics, DBSCAN clusters cosine
+balls with noise, KNN predicts neighbor means, forecast determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from barberini_analytics_spark.ml.dbscan import cosine_dbscan
+from barberini_analytics_spark.ml.gsdmm import GSDMM
+from barberini_analytics_spark.ml.knn import KNNRegressor, MinMaxScaler
+
+
+def test_gsdmm_separates_disjoint_topics():
+    docs = ([["apple", "banana", "fruit"]] * 10
+            + [["engine", "wheel", "car"]] * 10)
+    labels = GSDMM(n_clusters=5, n_iters=15, seed=7).fit_predict(docs)
+    a, b = set(labels[:10]), set(labels[10:])
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_gsdmm_deterministic():
+    docs = [["a", "b"], ["b", "c"], ["x", "y"], ["y", "z"]] * 3
+    l1 = GSDMM(n_clusters=3, seed=42).fit_predict(docs)
+    l2 = GSDMM(n_clusters=3, seed=42).fit_predict(docs)
+    assert (l1 == l2).all()
+
+
+def test_dbscan_two_balls_and_noise():
+    rng = np.random.default_rng(0)
+    a = rng.normal([10, 0, 0], 0.01, (5, 3))
+    b = rng.normal([0, 10, 0], 0.01, (5, 3))
+    outlier = np.array([[5.0, 5.0, 30.0]])
+    labels = cosine_dbscan(np.vstack([a, b, outlier]), eps=0.05,
+                           min_samples=2)
+    assert len(set(labels[:5])) == 1
+    assert len(set(labels[5:10])) == 1
+    assert labels[0] != labels[5]
+    assert labels[10] == -1
+    # canonical ids: cluster id == smallest member index
+    assert labels[0] == 0 and labels[5] == 5
+
+
+def test_knn_mean_of_neighbors():
+    x = np.array([[0.0], [1.0], [2.0], [10.0], [11.0]])
+    y = np.array([0.0, 1.0, 2.0, 10.0, 11.0])
+    model = KNNRegressor(2).fit(x, y)
+    assert model.predict([[0.4]])[0] == 0.5       # neighbors 0,1
+    assert model.predict([[10.6]])[0] == 10.5     # neighbors 10,11
+
+
+def test_minmax_roundtrip():
+    s = MinMaxScaler().fit(np.array([10.0, 20.0, 30.0]))
+    scaled = s.transform(np.array([10.0, 30.0]))
+    assert scaled.tolist() == [0.0, 1.0]
+    assert s.inverse(scaled).tolist() == [10.0, 30.0]
+
+
+def test_ml_queries_deterministic(spark):
+    from barberini_analytics_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["embedding_dbscan_clusters"](spark, sf).collect()
+    b = QUERIES["embedding_dbscan_clusters"](spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    t1 = QUERIES["topic_modeling_texts"](spark, sf).collect()
+    t2 = QUERIES["topic_modeling_texts"](spark, sf).collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
+    f = QUERIES["visitor_prediction_forecast"](spark, sf).collect()
+    assert len(f) == 7
+    # Tuesday forecasts are forced to zero
+    assert all(r.entries == 0 for r in f if r.date.weekday() == 1)
