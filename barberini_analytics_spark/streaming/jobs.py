@@ -1,0 +1,118 @@
+"""Structured Streaming jobs.
+
+The reference has no streams — its "hourly" cadence is a cron-driven batch
+re-run of the performance-snapshot fetchers (src/_fill_db.py:24-54,
+scripts/setup/.crontab:4-5).  The Spark-native replacement treats those
+snapshot feeds as streams:
+
+- ``stream_events``       — file-source stream over the events table (at
+                            production scale: a Kafka/file-drop source; the
+                            schema and transformations are identical).
+- ``windowed_engagement`` — watermarked sliding-window aggregation (the
+                            hourly-rollup the cron emulates).
+- ``condense_stream``     — the M13 performance-condense operator as a
+                            custom stateful op (``applyInPandasWithState``):
+                            per key, emit only snapshots whose metric vector
+                            differs from the last seen one — dropping
+                            unchanged polls at the source instead of in the
+                            nightly batch.
+- ``run_available_now``   — drain a stream to a memory sink with the
+                            ``availableNow`` trigger (test/backfill mode:
+                            process everything currently on disk, then
+                            stop — batch parity by construction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+from ..core.io import table_path
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file-per-batch keeps
+    the availableNow drain deterministic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # the file source needs a directory: stream the sf dir filtered to the
+    # events file (a production feed would be a landing directory anyway)
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_engagement(events: DataFrame, window: str = "1 hour",
+                        slide: str | None = None,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Per-type event counts/sums over (sliding) event-time windows with a
+    late-data watermark.  Streaming shuffle state is bounded by the
+    watermark horizon — the 100 TB knob is the watermark, not the data
+    volume."""
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
+    return (events.withWatermark("ts", watermark)
+            .groupBy(win.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "value_sum"))
+
+
+def condense_stream(events: DataFrame, keys: Sequence[str],
+                    value_cols: Sequence[str],
+                    ts_col: str = "ts") -> DataFrame:
+    """M13 as a custom stateful operator: keep per-key state = last emitted
+    metric vector; emit a row only when the vector changes
+    (src/_utils/data_preparation.py:242-330 reimagined at the source).
+
+    State is one tuple per key — constant-size, watermark-free; rows within
+    a micro-batch are processed in event-time order.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    key_fields = [events.schema[k] for k in keys]
+    val_fields = [events.schema[c] for c in value_cols]
+    ts_field = events.schema[ts_col]
+    out_schema = StructType(key_fields + [ts_field] + val_fields)
+    state_schema = StructType(val_fields)
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        last = list(state.get) if state.exists else None
+        out = []
+        for pdf in batches:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for _, row in pdf.iterrows():
+                cur = [row[c] for c in value_cols]
+                if last is None or any(a != b for a, b in zip(cur, last)):
+                    out.append(list(key) + [row[ts_col]] + cur)
+                    last = cur
+        if last is not None:
+            state.update(tuple(last))
+        cols = keys + [ts_col] + value_cols
+        yield pd.DataFrame(out, columns=cols)
+
+    return (events.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(df: DataFrame, query_name: str,
+                      output_mode: str = "append") -> DataFrame:
+    """Drain everything currently available into a memory sink and return
+    the result as a batch DataFrame.  Use ``complete`` for windowed
+    aggregations in tests — ``availableNow`` + append would hold back
+    windows newer than the final watermark."""
+    q = (df.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,89 @@
+"""Structured Streaming tests: batch-parity of the windowed rollup and the
+stateful condense operator, driven with the availableNow trigger."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.core.io import load_table
+from barberini_analytics_spark.operators.relational import condense_snapshots
+from barberini_analytics_spark.streaming import jobs as SJ
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+def test_windowed_engagement_matches_batch(spark, batch_events):
+    stream = SJ.stream_events(spark, SF)
+    got = SJ.run_available_now(
+        SJ.windowed_engagement(stream, "1 hour"), "win_counts",
+        output_mode="complete",
+    ).toPandas()
+
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"),
+                             "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n",
+                "value_sum")
+    ).toPandas()
+
+    key = ["window_start", "window_end", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["n"].to_numpy() == expected["n"].to_numpy()).all()
+    # float sums: same values summed in different orders
+    assert abs(got["value_sum"].to_numpy()
+               - expected["value_sum"].to_numpy()).max() < 1e-6
+
+
+def test_condense_stream_matches_batch(spark, batch_events):
+    stream = SJ.stream_events(spark, SF).withColumn(
+        "bucket", F.floor("value").cast("long"))
+    got = SJ.run_available_now(
+        SJ.condense_stream(stream, ["user_id"], ["bucket"]),
+        "condensed").toPandas()
+
+    batch = batch_events.withColumn("bucket",
+                                    F.floor("value").cast("long"))
+    expected = condense_snapshots(batch, ["user_id"], "ts",
+                                  ["bucket"]).toPandas()
+
+    # same per-key change-points (single input file → one micro-batch in
+    # event-time order, exactly the batch semantics)
+    key = ["user_id", "ts"]
+    g = got[["user_id", "ts", "bucket"]].sort_values(key).reset_index(drop=True)
+    e = expected[["user_id", "ts", "bucket"]].sort_values(key) \
+        .reset_index(drop=True)
+    assert g.equals(e)
+
+
+def test_stateful_condense_keeps_state_across_batches(spark, tmp_path):
+    # two files → two micro-batches; a value repeated across the batch
+    # boundary must be dropped by the state, not re-emitted
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"k": [1], "t": [1], "v": [10.0]})),
+        str(d / "f1.parquet"))
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"k": [1, 1], "t": [2, 3], "v": [10.0, 11.0]})),
+        str(d / "f2.parquet"))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = SJ.run_available_now(
+        SJ.condense_stream(stream, ["k"], ["v"], ts_col="t"),
+        "state_test").toPandas()
+    assert sorted(out["t"].tolist()) == [1, 3]
