@@ -11,5 +11,6 @@ from . import function_queries  # noqa: E402,F401
 from . import interval_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
+from . import media_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

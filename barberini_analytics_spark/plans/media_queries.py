@@ -1,0 +1,145 @@
+"""Driver queries for the multimodal and log-mining layers.
+
+``multimodal_manifest`` is oracle-checked end-to-end: both engines build
+the identical synthetic payload bytes and hash them — so the binary-column
+plumbing (headers, concat, utf-8 encode) is verified bit-exact.  The
+decode/feature/frame steps go through ``mapInPandas`` and are rows-only
+(their determinism is pinned in tests/test_multimodal_sources.py).
+
+``log_event_summary`` synthesizes a log-line stream from events in both
+engines and checks the regex event extraction + run attribution + pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import load_table
+from ..multimodal import media as M
+from ..sources import logs as L
+from .registry import query
+
+
+@query(
+    "multimodal_manifest",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(
+               '\\x53\\x59\\x4E\\x4D'::BLOB
+               || unhex(lpad(hex(doc_id % 3), 2, '0'))
+               || unhex(lpad(hex((doc_id % 64 + 1) * 16), 4, '0'))
+               || unhex(lpad(hex((doc_id % 36 + 1) * 16), 4, '0'))
+               || unhex(lpad(hex(doc_id % 120 + 1), 4, '0'))
+               || encode(text)) AS BIGINT) AS n_bytes,
+           hex('\\x53\\x59\\x4E\\x4D'::BLOB
+               || unhex(lpad(hex(doc_id % 3), 2, '0'))
+               || unhex(lpad(hex((doc_id % 64 + 1) * 16), 4, '0'))
+               || unhex(lpad(hex((doc_id % 36 + 1) * 16), 4, '0'))
+               || unhex(lpad(hex(doc_id % 120 + 1), 4, '0'))
+               || encode(text)) AS payload_hex
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns verified bit-exact: the full payload is
+    compared as hex (DuckDB 1.0 cannot sha-hash blobs; the driver's
+    value-hash covers the bytes either way)."""
+    media = M.synth_media(spark, sf_dir)
+    return media.select(
+        "media_id", "kind",
+        F.length("data").cast("long").alias("n_bytes"),
+        F.hex("data").alias("payload_hex"))
+
+
+@query("media_decode_features")  # rows-only: mapInPandas stub decode
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stubbed codec) + deterministic feature extraction over the
+    media table — the mapInPandas plumbing under the driver's smoke gate."""
+    media = M.blob_repartition(M.synth_media(spark, sf_dir))
+    decoded = M.decode_media(media, fake=True)
+    feats = M.extract_features(media, dim=8)
+    return (decoded.join(feats, "media_id")
+            .select("media_id", "kind", "width", "height", "n_frames",
+                    "n_payload_bytes", "features"))
+
+
+@query("media_frame_sample")  # rows-only: mapInPandas frame fan-out
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out for video rows (one row per sampled frame)."""
+    return M.sample_frames(M.synth_media(spark, sf_dir), every_n=10)
+
+
+# ---------------------------------------------------------------------------
+# log mining (S19/M16)
+# ---------------------------------------------------------------------------
+
+_LOG_LINES_SQL = """
+    log_lines AS (
+        SELECT 'f' || CAST(user_id % 4 AS VARCHAR) AS file,
+               CAST(row_number() OVER (PARTITION BY user_id % 4
+                   ORDER BY event_id) AS INT) AS line_no,
+               CASE event_type
+                   WHEN 'view' THEN 'INFO: [pid 7] Worker w'
+                       || CAST(user_id AS VARCHAR) || ' (s=1) running Task'
+                       || CAST(event_id % 5 AS VARCHAR) || '(p=1)'
+                   WHEN 'error' THEN 'ERROR: failure '
+                       || CAST(event_id AS VARCHAR)
+                   WHEN 'click' THEN 'WARNING: slow '
+                       || CAST(event_id AS VARCHAR)
+                   ELSE 'INFO: noise' END AS value
+        FROM events)
+"""
+
+
+@query(
+    "log_event_summary",
+    oracle=f"""
+    WITH {_LOG_LINES_SQL},
+    events_x AS (
+        SELECT file, line_no,
+               NULLIF(regexp_extract(value,
+                   '^INFO: \\[pid 7\\] Worker (\\w+) \\(s=1\\) running (\\w+)\\(p=1\\)$',
+                   2), '') AS task_started,
+               CASE WHEN value LIKE 'ERROR:%' THEN 'ERROR'
+                    WHEN value LIKE 'WARNING:%' THEN 'WARNING'
+                    END AS log_level
+        FROM log_lines),
+    runs AS (
+        SELECT *, last_value(task_started IGNORE NULLS) OVER (
+                   PARTITION BY file ORDER BY line_no
+                   ROWS UNBOUNDED PRECEDING) AS current_task
+        FROM events_x)
+    SELECT current_task,
+           CAST(COUNT(*) FILTER (WHERE log_level = 'ERROR') AS BIGINT)
+               AS ERROR,
+           CAST(COUNT(*) FILTER (WHERE log_level = 'WARNING') AS BIGINT)
+               AS WARNING
+    FROM runs
+    WHERE log_level IS NOT NULL AND current_task IS NOT NULL
+    GROUP BY current_task
+    """,
+)
+def log_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19/M16: regex event extraction + run attribution (last-start
+    window) + per-task ERROR/WARNING pivot, over a log-line stream
+    synthesized from events identically in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    lines = events.selectExpr(
+        "'f' || CAST(user_id % 4 AS STRING) AS file",
+        "CAST(row_number() OVER (PARTITION BY user_id % 4"
+        " ORDER BY event_id) AS INT) AS line_no",
+        "CASE event_type"
+        " WHEN 'view' THEN 'INFO: [pid 7] Worker w' || CAST(user_id AS STRING)"
+        "   || ' (s=1) running Task' || CAST(event_id % 5 AS STRING)"
+        "   || '(p=1)'"
+        " WHEN 'error' THEN 'ERROR: failure ' || CAST(event_id AS STRING)"
+        " WHEN 'click' THEN 'WARNING: slow ' || CAST(event_id AS STRING)"
+        " ELSE 'INFO: noise' END AS value")
+    extracted = L.extract_events(lines)
+    return (L.error_summary(extracted)
+            .withColumnRenamed("current_task", "current_task")
+            .select("current_task",
+                    F.col("ERROR").cast("long").alias("ERROR"),
+                    F.col("WARNING").cast("long").alias("WARNING")))
