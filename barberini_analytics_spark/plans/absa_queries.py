@@ -312,3 +312,75 @@ def aspect_sentiment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+# inflection lexicon: lemma -> (decipoint weight, inflected surface forms).
+# Stems ("merg") only hit via inflections; full lemmas ("stream") also hit
+# via the identity branch — both arms of the reference's absa.inflection
+# view (migration_028.sql:31-76) are exercised against the corpus vocab.
+INFLECTION_LEXICON: dict[str, tuple[int, tuple[str, ...]]] = {
+    "merg": (4, ("merge", "merges", "merged")),
+    "stream": (6, ("streams", "streaming")),
+    "sort": (-3, ("sorted", "sorting")),
+    "vector": (7, ("vectors", "vectorized")),
+    "slow": (-7, ("slower", "slowest")),
+}
+
+_INFL_VALUES = ", ".join(
+    "('{}', {}, [{}])".format(
+        lemma, w10, ", ".join(f"'{f}'" for f in forms)
+    )
+    for lemma, (w10, forms) in INFLECTION_LEXICON.items()
+)
+
+
+@query(
+    "inflection_polarity_match",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    lex AS (SELECT * FROM (VALUES {_INFL_VALUES}) l(lemma, w10, infl)),
+    forms AS (
+        SELECT lemma, w10, lemma AS form, 'identity' AS match_kind FROM lex
+        UNION ALL
+        SELECT lemma, w10, unnest(infl) AS form, 'inflection' AS match_kind
+        FROM lex
+    ),
+    dedup AS (SELECT DISTINCT lemma, w10, form, match_kind
+              FROM forms WHERE NOT (match_kind = 'inflection' AND form = lemma))
+    SELECT t.doc_id, t.word_index, t.word, f.lemma, f.w10, f.match_kind
+    FROM tok t JOIN dedup f ON lower(t.word) = lower(f.form)
+    """,
+)
+def inflection_polarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/J9: polarity matching through inflected surface forms.
+
+    Reference: ``absa.inflection`` unions each lexicon word with its
+    unnested ``inflections`` array (migration_028.sql:31-76); tokens join
+    case-insensitively against the inflected form
+    (src/absa/post_sentiments.py:201-214).
+
+    The lexicon is tiny → broadcast hash join against the token stream;
+    at 100 TB this stays a map-side join with no shuffle on the fact side.
+    """
+    tokens = _tokens(spark, sf_dir)
+    lex = spark.createDataFrame(
+        [(lemma, w10, list(forms))
+         for lemma, (w10, forms) in INFLECTION_LEXICON.items()],
+        ["lemma", "w10", "infl"],
+    )
+    identity = lex.select(
+        "lemma", "w10", F.col("lemma").alias("form"),
+        F.lit("identity").alias("match_kind"),
+    )
+    inflected = lex.select(
+        "lemma", "w10", F.explode("infl").alias("form"),
+        F.lit("inflection").alias("match_kind"),
+    ).filter(F.col("form") != F.col("lemma"))
+    forms = identity.unionByName(inflected).dropDuplicates(
+        ["lemma", "form", "match_kind"]
+    )
+    return (
+        tokens.join(F.broadcast(forms),
+                    F.lower(tokens.word) == F.lower(forms.form))
+        .select("doc_id", "word_index", "word", "lemma", "w10", "match_kind")
+    )

@@ -198,3 +198,141 @@ def ngram_jaccard_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("id_a") < F.col("id_b"))
     )
     return D.jaccard_pairs(sh, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (sign-LSH candidate generation)
+# ---------------------------------------------------------------------------
+
+_SRP_BANDS = 4          # bands of sign bits; a pair is a candidate if ANY
+_SRP_BITS = 6           # band matches (same AND-OR scheme as MinHash LSH)
+_SRP_DIM = 64
+_COS_THRESHOLD = 0.35   # tuned to the synthetic corpus (max cosine ≈ 0.51)
+
+
+def _srp_proj_sql(p: int) -> str:
+    """Signed projection onto deterministic pseudo-hyperplane ``p`` (DuckDB)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_SRP_DIM}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * (((i*31 + {p + 1}*17) % 7) - 3)), "
+        "(a, x) -> a + x)"
+    )
+
+
+_SRP_BITS_SQL = ", ".join(
+    f"CASE WHEN {_srp_proj_sql(p)} >= 0 THEN 1 ELSE 0 END"
+    for p in range(_SRP_BANDS * _SRP_BITS)
+)
+
+_SRP_DOT = (
+    f"list_reduce(list_transform(generate_series(1, {_SRP_DIM}), "
+    "i -> CAST(e1[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE)), (a, x) -> a + x)"
+)
+_SRP_N1 = (
+    f"sqrt(list_reduce(list_transform(generate_series(1, {_SRP_DIM}), "
+    "i -> CAST(e1[i] AS DOUBLE) * CAST(e1[i] AS DOUBLE)), (a, x) -> a + x))"
+)
+_SRP_N2 = (
+    f"sqrt(list_reduce(list_transform(generate_series(1, {_SRP_DIM}), "
+    "i -> CAST(e2[i] AS DOUBLE) * CAST(e2[i] AS DOUBLE)), (a, x) -> a + x))"
+)
+
+
+@query(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+    WITH bits AS (
+        SELECT vec_id, embedding, [{_SRP_BITS_SQL}] AS b
+        FROM embeddings
+    ),
+    banded AS (
+        SELECT vec_id, embedding, band,
+               list_reduce(list_transform(generate_series(1, {_SRP_BITS}),
+                   j -> b[band * {_SRP_BITS} + j] * (1 << (j - 1))),
+                   (a, x) -> a + x) AS bucket
+        FROM bits,
+             (SELECT unnest(generate_series(0, {_SRP_BANDS - 1})) AS band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+               a.embedding AS e1, b.embedding AS e2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT id1, id2,
+               round({_SRP_DOT} / ({_SRP_N1} * {_SRP_N2}), 6) AS cosine
+        FROM cand
+    )
+    SELECT id1, id2, cosine FROM scored WHERE cosine >= {_COS_THRESHOLD}
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via signed-random-projection LSH.
+
+    Candidate generation is the MinHash-LSH AND-OR scheme transplanted to
+    cosine space: {_SRP_BANDS} bands × {_SRP_BITS} sign bits of fixed
+    pseudo-hyperplanes (deterministic integer coefficients, so the DuckDB
+    oracle reproduces the buckets bit-exactly); a pair is a candidate when
+    any band's bucket matches, then the exact cosine is verified against
+    the threshold.
+
+    Scale shape: bucketing is one narrow projection per row (codegen'd
+    ``aggregate`` over the array — no Python); the self-join shuffles on
+    (band, bucket), so candidate volume is O(sum of bucket² sizes), not
+    O(n²) — the plan that survives a 100×-scale-up where the brute-force
+    pair join does not.  Bits-per-band trades recall for bucket size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    projs = [
+        F.expr(
+            f"aggregate(sequence(1, {_SRP_DIM}), CAST(0.0 AS DOUBLE), "
+            f"(a, i) -> a + CAST(element_at(embedding, i) AS DOUBLE) "
+            f"* (((i*31 + {p + 1}*17) % 7) - 3))"
+        )
+        for p in range(_SRP_BANDS * _SRP_BITS)
+    ]
+    bits = [F.when(pr >= 0, 1).otherwise(0) for pr in projs]
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    bits[b * _SRP_BITS + j] * (1 << j)
+                    for j in range(_SRP_BITS)
+                ).alias("bucket"),
+            )
+            for b in range(_SRP_BANDS)
+        ])
+    )
+    banded = (
+        emb.select("vec_id", "embedding", bands.alias("bb"))
+        .select("vec_id", "embedding", "bb.band", "bb.bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.col("a.embedding").alias("e1"),
+            F.col("b.embedding").alias("e2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    from ..operators.similarity import cosine
+
+    return (
+        cand.select(
+            "id1", "id2",
+            F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COS_THRESHOLD)
+    )

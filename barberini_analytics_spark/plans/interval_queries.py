@@ -373,3 +373,135 @@ def extended_dataset_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select("doc_id", "post_date", "score",
                          "n_intervals").distinct()
+
+
+# ---------------------------------------------------------------------------
+# M15 — exhibition popularity (fuzzy announcement matching)
+# ---------------------------------------------------------------------------
+
+_POP_EPOCH = "2024-01-10"   # earliest synthetic exhibition start
+_POP_WINDOW_DAYS = 360      # announcement pre-window (exhibition_popularity.py:60)
+
+
+@query(
+    "exhibition_popularity",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS DATE) AS post_date,
+               event_type AS text, value FROM events
+    ),
+    ex0 AS (SELECT DISTINCT event_type AS et FROM events),
+    exh AS (
+        SELECT et || '!' AS title FROM ex0
+        UNION
+        SELECT substring(et, 1, 4) AS title FROM ex0 WHERE length(et) > 5
+    ),
+    exd AS (
+        SELECT title,
+               lower(regexp_replace(title, '[^a-zA-Z0-9]', '', 'g')) AS simple,
+               DATE '{_POP_EPOCH}' + CAST(
+                   (length(regexp_replace(title, '[^a-zA-Z0-9]', '', 'g')) * 5)
+                   % 40 AS INT) AS start_date
+        FROM exh
+    ),
+    cand AS (
+        SELECT e.event_id, x.title, e.value
+        FROM ev e JOIN exd x
+          ON contains(lower(regexp_replace(e.text, '[^a-zA-Z0-9]', '', 'g')),
+                      x.simple)
+         AND e.post_date >= x.start_date - INTERVAL {_POP_WINDOW_DAYS} DAY
+         AND e.post_date < x.start_date
+    ),
+    uniq AS (
+        SELECT event_id FROM cand GROUP BY event_id
+        HAVING count(DISTINCT title) = 1
+    ),
+    ann AS (
+        SELECT c.title, max(c.value) AS pop
+        FROM cand c JOIN uniq u USING (event_id) GROUP BY c.title
+    ),
+    fb AS (SELECT avg(pop) AS mean_pop FROM ann)
+    SELECT x.title, x.start_date,
+           round(coalesce(a.pop, f.mean_pop), 6) AS popularity,
+           a.pop IS NOT NULL AS announced
+    FROM exd x LEFT JOIN ann a USING (title) CROSS JOIN fb f
+    """,
+)
+def exhibition_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: exhibition popularity via fuzzy announcement matching.
+
+    Reference (src/visitor_prediction/exhibition_popularity.py:43-95):
+    a post announces an exhibition when its simplified text contains the
+    simplified title and the post date falls in the 360-day window before
+    the opening; posts matching more than one exhibition are ambiguous and
+    dropped; popularity = max(likes) per exhibition, with the mean over
+    announced exhibitions as fallback (P10 simplification
+    :98-100).
+
+    Synthetic mapping: "posts" are events (text = event_type, likes =
+    value); exhibitions are decorated event types plus 4-char prefixes of
+    the long ones, which makes prefix/full pairs genuinely ambiguous
+    inside the overlap of their windows.
+
+    Scale shape: the exhibition side is tiny → the containment+range theta
+    join is a BroadcastNestedLoopJoin over one events scan; ambiguity
+    filtering and the max are one shuffle on (event_id) then (title).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("post_date"),
+        F.col("event_type").alias("text"),
+        "value",
+    )
+    et = ev.select(F.col("text").alias("et")).distinct()
+    exh = (
+        et.select(F.concat(F.col("et"), F.lit("!")).alias("title"))
+        .unionByName(
+            et.filter(F.length("et") > 5)
+            .select(F.substring("et", 1, 4).alias("title"))
+        )
+        .distinct()
+    )
+    simple = F.lower(F.regexp_replace(F.col("title"), "[^a-zA-Z0-9]", ""))
+    exd = exh.select(
+        "title",
+        simple.alias("simple"),
+        F.date_add(
+            F.lit(_POP_EPOCH).cast("date"),
+            (F.length(simple) * 5) % 40,
+        ).alias("start_date"),
+    )
+    post_simple = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+    cand = (
+        ev.join(
+            F.broadcast(exd),
+            post_simple.contains(F.col("simple"))
+            & (F.col("post_date") >= F.date_sub(F.col("start_date"),
+                                                _POP_WINDOW_DAYS))
+            & (F.col("post_date") < F.col("start_date")),
+        )
+        .select("event_id", "title", "value")
+    )
+    uniq = (
+        cand.groupBy("event_id")
+        .agg(F.countDistinct("title").alias("n_titles"))
+        .filter(F.col("n_titles") == 1)
+        .select("event_id")
+    )
+    ann = (
+        cand.join(uniq, "event_id")
+        .groupBy("title")
+        .agg(F.max("value").alias("pop"))
+    )
+    fb = ann.agg(F.avg("pop").alias("mean_pop"))
+    return (
+        exd.join(ann, "title", "left")
+        .crossJoin(F.broadcast(fb))
+        .select(
+            "title",
+            "start_date",
+            F.round(F.coalesce(F.col("pop"), F.col("mean_pop")), 6)
+            .alias("popularity"),
+            F.col("pop").isNotNull().alias("announced"),
+        )
+    )
