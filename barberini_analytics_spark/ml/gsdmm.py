@@ -41,37 +41,41 @@ class GSDMM:
         n_z = np.zeros(K, dtype=np.int64)          # tokens per cluster
         n_zw = np.zeros((K, V), dtype=np.int64)    # token counts per cluster
 
-        labels = rng.integers(0, K, size=D)
-        for d, z in enumerate(labels):
-            m_z[z] += 1
-            n_z[z] += len(docs_i[d])
-            np.add.at(n_zw[z], docs_i[d], 1)
-
         # per-doc unique tokens + counts, precomputed once
         uniq_cnt = [np.unique(w, return_counts=True) for w in docs_i]
+
+        labels = rng.integers(0, K, size=D)
+        for d, z in enumerate(labels):
+            uniq, cnt = uniq_cnt[d]
+            m_z[z] += 1
+            n_z[z] += len(docs_i[d])
+            n_zw[z, uniq] += cnt
+
+        # Prefix-sum log tables turn every Σ log(base + j) term of the
+        # conditional into an O(1) table difference per cluster:
+        #   Σ_{j<c} log(n + β + j)  = B[n + c] − B[n]
+        #   Σ_{i<Nd} log(n_z + Vβ + i) = C[n_z + Nd] − C[n_z]
+        # with B/C[k] = Σ_{i<k} log(i + β | Vβ).  No per-step np.log at all.
+        total = int(sum(len(w) for w in docs_i))
+        max_nd = max((len(w) for w in docs_i), default=0)
+        grid = np.arange(total + max_nd + 1, dtype=np.float64)
+        tblA = np.log(np.arange(D + 1) + self.alpha)
+        tblB = np.concatenate(([0.0], np.cumsum(np.log(grid + self.beta))))
+        tblC = np.concatenate(([0.0], np.cumsum(np.log(grid + V * self.beta))))
 
         for _ in range(self.n_iters):
             for d in range(D):
                 z_old = labels[d]
-                w = docs_i[d]
                 uniq, cnt = uniq_cnt[d]
+                Nd = len(docs_i[d])
                 m_z[z_old] -= 1
-                n_z[z_old] -= len(w)
-                np.add.at(n_zw[z_old], w, -1)
+                n_z[z_old] -= Nd
+                n_zw[z_old, uniq] -= cnt
 
-                # log p(z|rest) ∝ log(m_z + α) + Σ_w log(n_zw + β + seen)
-                #                − Σ_i log(n_z + Vβ + i)
-                logp = np.log(m_z + self.alpha)
-                once = uniq[cnt == 1]
-                if len(once):
-                    logp += np.log(n_zw[:, once] + self.beta).sum(axis=1)
-                for u, c in zip(uniq[cnt > 1], cnt[cnt > 1]):
-                    base = n_zw[:, u] + self.beta
-                    logp += np.log(base[:, None]
-                                   + np.arange(c)).sum(axis=1)
-                Nd = len(w)
-                logp -= np.log((n_z + V * self.beta)[:, None]
-                               + np.arange(Nd)).sum(axis=1)
+                nzw_u = n_zw[:, uniq]
+                logp = (tblA[m_z]
+                        + (tblB[nzw_u + cnt] - tblB[nzw_u]).sum(axis=1)
+                        - (tblC[n_z + Nd] - tblC[n_z]))
 
                 p = np.exp(logp - logp.max())
                 # inverse-CDF draw (rng.choice is ~10x slower per call)
@@ -80,7 +84,7 @@ class GSDMM:
                 labels[d] = z_new
                 m_z[z_new] += 1
                 n_z[z_new] += Nd
-                np.add.at(n_zw[z_new], w, 1)
+                n_zw[z_new, uniq] += cnt
 
         self.labels_ = labels
         return labels

@@ -28,10 +28,20 @@ _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
               "for", "on", "with", "as", "at", "by", "be", "this", "that")
 
 
+#: per-(session, sf) persisted preprocessing result — topic_modeling_texts
+#: and _terms run back-to-back over the same corpus; one materialization
+#: serves both (the reference fits all its models off one Doc list too,
+#: src/topic_modeling.py:163-189)
+_TOKENS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _topic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 preprocessing, fully distributed (src/topic_modeling.py:300-335):
     keep one language, tokenize, drop stopwords/non-alpha/single chars,
     drop corpus-hapax tokens, drop docs with ≤ 2 tokens."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TOKENS_CACHE:
+        return _TOKENS_CACHE[key]
     docs = load_table(spark, sf_dir, "documents").filter("lang = 'en'")
     tokens = X.tokenize(docs, ["doc_id"]).select("doc_id", "word")
     tokens = tokens.filter(
@@ -42,7 +52,9 @@ def _topic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = tokens.join(F.broadcast(non_hapax), "word")
     keep = tokens.groupBy("doc_id").count().filter("count > 2") \
         .select("doc_id")
-    return tokens.join(keep, "doc_id")
+    out = tokens.join(keep, "doc_id").persist()
+    _TOKENS_CACHE[key] = out
+    return out
 
 
 #: deterministic fit cache — topic_modeling_texts and _terms share one fit
@@ -72,7 +84,7 @@ def topic_modeling_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: text→topic assignment; the topic is renamed to its top term
     (src/topic_modeling.py:247-254), computed distributed via explode +
     rank window."""
-    tokens = _topic_tokens(spark, sf_dir).cache()
+    tokens = _topic_tokens(spark, sf_dir)
     assign = _fit_topics(tokens, sf_dir)
     term_counts = (tokens.join(assign, "doc_id")
                    .groupBy("topic", "word").count())
@@ -87,7 +99,7 @@ def topic_modeling_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("topic_modeling_terms")  # rows-only: Gibbs sampling is not SQL
 def topic_modeling_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: top-20 terms per topic by count (A11 rank window)."""
-    tokens = _topic_tokens(spark, sf_dir).cache()
+    tokens = _topic_tokens(spark, sf_dir)
     assign = _fit_topics(tokens, sf_dir)
     term_counts = (tokens.join(assign, "doc_id")
                    .groupBy("topic", "word").count())
