@@ -384,3 +384,107 @@ def inflection_polarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lower(tokens.word) == F.lower(forms.form))
         .select("doc_id", "word_index", "word", "lemma", "w10", "match_kind")
     )
+
+
+# deterministic rule-based POS lexicon over the corpus vocabulary — the
+# reference tags with spaCy de_core_news_lg (not in this container); the
+# pattern machinery downstream is identical either way.
+_ADJ_WORDS = ("fast", "slow", "big", "small")
+_DET_WORDS = ("the", "a")
+_ADJ_SQL = ", ".join(f"'{w}'" for w in _ADJ_WORDS)
+_DET_SQL = ", ".join(f"'{w}'" for w in _DET_WORDS)
+
+
+@query(
+    "opinion_pattern_sentiment",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    tagged AS (
+        SELECT doc_id, word_index, word,
+               CASE WHEN word IN ({_ADJ_SQL}) THEN 'ADJ'
+                    WHEN word IN ({_DET_SQL}) THEN 'DET'
+                    ELSE 'NOUN' END AS tag
+        FROM tok
+    ),
+    bi AS (
+        SELECT doc_id, word AS w1, tag AS t1,
+               lead(word) OVER w AS w2, lead(tag) OVER w AS t2
+        FROM tagged
+        WINDOW w AS (PARTITION BY doc_id ORDER BY word_index)
+    ),
+    pairs AS (
+        SELECT doc_id,
+               CASE WHEN t1 = 'ADJ' THEN w2 ELSE w1 END AS aspect_word,
+               CASE WHEN t1 = 'ADJ' THEN w1 ELSE w2 END AS opinion_word,
+               CASE WHEN t1 = 'ADJ' THEN 'ADJ_NOUN'
+                    ELSE 'NOUN_ADJ' END AS pattern
+        FROM bi
+        WHERE (t1 = 'ADJ' AND t2 = 'NOUN') OR (t1 = 'NOUN' AND t2 = 'ADJ')
+    ),
+    pol AS (SELECT * FROM (VALUES {_POLARITY_VALUES}) p(word, w10))
+    SELECT pr.doc_id, pr.aspect_word,
+           CAST(count(*) AS BIGINT) AS n_opinions,
+           CAST(count(DISTINCT pr.pattern) AS BIGINT) AS n_patterns,
+           CAST(sum(pol.w10) AS BIGINT) / (10.0 * count(*))
+               AS opinion_sentiment
+    FROM pairs pr JOIN pol ON pol.word = pr.opinion_word
+    GROUP BY pr.doc_id, pr.aspect_word
+    """,
+)
+def opinion_pattern_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7/M8-lite: opinion-pattern extraction + per-aspect opinion sentiment.
+
+    Reference: spaCy-POS-tag posts, find POS subsequences matching the
+    JSONC opinion patterns (ADJ+NOUN / NOUN+ADJ), extract the aspect and
+    sentiment tokens (src/absa/post_opinion_patterns.py:277-463), then
+    group to ``post_opinion_sentiment`` — count, mean sentiment per aspect
+    (post_opinion_patterns.py:264-271; migration_053.sql:5-20).
+
+    The tagger here is a deterministic broadcast lexicon (the container has
+    no spaCy model); pattern search is a ``lead()`` window — adjacency
+    comes from one sort within the doc partition, no self-join (J7→window
+    rewrite, SURVEY §2.6).  Mean sentiment uses exact integer decipoint
+    sums with a single final division.
+    """
+    tokens = _tokens(spark, sf_dir)
+    tag = (
+        F.when(F.col("word").isin(*_ADJ_WORDS), "ADJ")
+        .when(F.col("word").isin(*_DET_WORDS), "DET")
+        .otherwise("NOUN")
+    )
+    tagged = tokens.select("doc_id", "word_index", "word", tag.alias("tag"))
+    w = W.partitionBy("doc_id").orderBy("word_index")
+    bi = tagged.select(
+        "doc_id",
+        F.col("word").alias("w1"), F.col("tag").alias("t1"),
+        F.lead("word").over(w).alias("w2"),
+        F.lead("tag").over(w).alias("t2"),
+    )
+    adj_noun = (F.col("t1") == "ADJ") & (F.col("t2") == "NOUN")
+    noun_adj = (F.col("t1") == "NOUN") & (F.col("t2") == "ADJ")
+    pairs = (
+        bi.filter(adj_noun | noun_adj)
+        .select(
+            "doc_id",
+            F.when(adj_noun, F.col("w2")).otherwise(F.col("w1"))
+            .alias("aspect_word"),
+            F.when(adj_noun, F.col("w1")).otherwise(F.col("w2"))
+            .alias("opinion_word"),
+            F.when(adj_noun, F.lit("ADJ_NOUN")).otherwise(F.lit("NOUN_ADJ"))
+            .alias("pattern"),
+        )
+    )
+    pol = spark.createDataFrame(
+        [(w_, v) for w_, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
+    )
+    return (
+        pairs.join(F.broadcast(pol),
+                   pol.word == pairs.opinion_word)
+        .groupBy("doc_id", "aspect_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_opinions"),
+            F.countDistinct("pattern").alias("n_patterns"),
+            (F.sum("w10") / (10.0 * F.count(F.lit(1))))
+            .alias("opinion_sentiment"),
+        )
+    )

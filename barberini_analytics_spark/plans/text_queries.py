@@ -182,3 +182,41 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return X.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 style, minus the \s+(?!\S) lookahead
+# so the same pattern runs on Java regex AND DuckDB's RE2): contractions,
+# optionally space-prefixed letter runs / digit runs / symbol runs.
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@query(
+    "token_counts",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '{_BPE_SQL}'))
+               AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens + BPE-ish regex
+    pre-tokens (the training-data-pipeline budget metric).
+
+    Both counts are single JVM regex expressions inside one codegen stage —
+    no UDF, no shuffle; at 100 TB this is a pure map over the scan with
+    only (doc_id, 3 ints) leaving each task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+        .cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
