@@ -105,3 +105,40 @@ def simplify_text(col: Column) -> Column:
     """Strip non-alphanumerics + lowercase (P10,
     src/visitor_prediction/exhibition_popularity.py:98-100)."""
     return F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]", ""))
+
+
+#: Google-translated review markers (src/google_maps.py:234-273)
+_TR_PREFIX = r"(?s)^\(Translated by Google\) (.*) \(Original\) (.*)$"
+_TR_SUFFIX = r"(?s)^(.*) \(Translated by Google\) (.*)$"
+
+
+def split_translated_review(col: Column) -> tuple[Column, Column, Column]:
+    """P9: 3-case Google-translated review splitter
+    (src/google_maps.py:234-273).
+
+    Returns ``(original_text, english_text, translation_case)``:
+
+    - prefix form ``(Translated by Google) EN (Original) ORIG`` →
+      ``(ORIG, EN, 'prefix')``
+    - suffix form ``ORIG (Translated by Google) EN`` →
+      ``(ORIG, EN, 'suffix')``
+    - no markers → ``(text, NULL, 'none')``
+
+    Pure ``when``/``regexp_extract`` — one codegen stage, no UDF.
+    """
+    pre_en = F.regexp_extract(col, _TR_PREFIX, 1)
+    pre_orig = F.regexp_extract(col, _TR_PREFIX, 2)
+    suf_orig = F.regexp_extract(col, _TR_SUFFIX, 1)
+    suf_en = F.regexp_extract(col, _TR_SUFFIX, 2)
+    is_prefix = col.rlike(_TR_PREFIX)
+    is_suffix = col.rlike(_TR_SUFFIX)
+    original = (F.when(is_prefix, pre_orig)
+                .when(is_suffix, suf_orig)
+                .otherwise(col))
+    english = (F.when(is_prefix, pre_en)
+               .when(is_suffix, suf_en)
+               .otherwise(F.lit(None).cast("string")))
+    case = (F.when(is_prefix, "prefix")
+            .when(is_suffix, "suffix")
+            .otherwise("none"))
+    return original, english, case

@@ -264,3 +264,35 @@ def union_dedup(*dfs: DataFrame) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out.dropDuplicates()
+
+
+def high_watermark_filter(incoming: DataFrame, processed: DataFrame,
+                          ts_col: str) -> DataFrame:
+    """Incremental-processing filter: keep rows strictly newer than the
+    max ``ts_col`` already processed; keep EVERYTHING when nothing was
+    processed yet.
+
+    Reference idiom: ``WHERE post_date > ANY(SELECT max(post_date) …)
+    IS NOT FALSE`` (src/absa/post_words.py:106-115, post_ngrams.py:133-141,
+    post_aspects.py:61-69) — the ``IS NOT FALSE`` makes the NULL watermark
+    (empty history) pass every row, a Postgres 3VL trap (SURVEY §4).
+
+    The watermark is a one-row aggregate broadcast into the scan's filter;
+    at 100 TB with date-partitioned tables the comparison prunes whole
+    partitions.
+    """
+    wm = processed.agg(F.max(ts_col).alias("__wm"))
+    return (
+        incoming.crossJoin(F.broadcast(wm))
+        .filter(F.coalesce(F.col(ts_col) > F.col("__wm"), F.lit(True)))
+        .drop("__wm")
+    )
+
+
+def anti_processed(incoming: DataFrame, processed: DataFrame,
+                   keys: Sequence[str]) -> DataFrame:
+    """Processed-key anti-join: drop rows whose key was already handled
+    (``known_post_id NOT IN …``, src/absa/phrase_matching.py:28-38)."""
+    return incoming.join(
+        processed.select(*keys).dropDuplicates(list(keys)),
+        list(keys), "left_anti")

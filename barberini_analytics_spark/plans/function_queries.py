@@ -109,3 +109,68 @@ def pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         F.col("c_custkey").alias("customer_id"),
         H.hash_id(mail, F.col("c_custkey")).alias("hashed_id"))
+
+
+@query(
+    "translated_review_split",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                    WHEN 0 THEN '(Translated by Google) ' || text
+                                || ' (Original) ' || upper(text)
+                    WHEN 1 THEN upper(text) || ' (Translated by Google) '
+                                || text
+                    ELSE text END AS review
+        FROM documents
+    )
+    SELECT doc_id, review,
+           CASE WHEN regexp_matches(review,
+                    '(?s)^\(Translated by Google\) (.*) \(Original\) (.*)$')
+                THEN regexp_extract(review,
+                    '(?s)^\(Translated by Google\) (.*) \(Original\) (.*)$', 2)
+                WHEN regexp_matches(review,
+                    '(?s)^(.*) \(Translated by Google\) (.*)$')
+                THEN regexp_extract(review,
+                    '(?s)^(.*) \(Translated by Google\) (.*)$', 1)
+                ELSE review END AS original_text,
+           CASE WHEN regexp_matches(review,
+                    '(?s)^\(Translated by Google\) (.*) \(Original\) (.*)$')
+                THEN regexp_extract(review,
+                    '(?s)^\(Translated by Google\) (.*) \(Original\) (.*)$', 1)
+                WHEN regexp_matches(review,
+                    '(?s)^(.*) \(Translated by Google\) (.*)$')
+                THEN regexp_extract(review,
+                    '(?s)^(.*) \(Translated by Google\) (.*)$', 2)
+                ELSE NULL END AS english_text,
+           CASE WHEN regexp_matches(review,
+                    '(?s)^\(Translated by Google\) (.*) \(Original\) (.*)$')
+                THEN 'prefix'
+                WHEN regexp_matches(review,
+                    '(?s)^(.*) \(Translated by Google\) (.*)$')
+                THEN 'suffix'
+                ELSE 'none' END AS translation_case
+    FROM raw
+    """,
+)
+def translated_review_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: Google translated-review splitter (src/google_maps.py:234-273)
+    over synthesized prefix/suffix/plain review texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    review = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("(Translated by Google) "), F.col("text"),
+                        F.lit(" (Original) "), F.upper("text")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.upper("text"), F.lit(" (Translated by Google) "),
+                       F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    raw = docs.select("doc_id", review.alias("review"))
+    original, english, case = P.split_translated_review(F.col("review"))
+    return raw.select(
+        "doc_id", "review",
+        original.alias("original_text"),
+        english.alias("english_text"),
+        case.alias("translation_case"),
+    )

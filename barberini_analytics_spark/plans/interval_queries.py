@@ -463,6 +463,8 @@ def exhibition_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     simple = F.lower(F.regexp_replace(F.col("title"), "[^a-zA-Z0-9]", ""))
+    # tiny dimension reused by the candidate join AND the final left join —
+    # persist so the distinct-over-events subtree runs once, not per branch
     exd = exh.select(
         "title",
         simple.alias("simple"),
@@ -470,7 +472,7 @@ def exhibition_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_POP_EPOCH).cast("date"),
             (F.length(simple) * 5) % 40,
         ).alias("start_date"),
-    )
+    ).persist()
     post_simple = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
     cand = (
         ev.join(
@@ -492,7 +494,7 @@ def exhibition_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(uniq, "event_id")
         .groupBy("title")
         .agg(F.max("value").alias("pop"))
-    )
+    ).persist()  # reused by the fallback mean and the final join
     fb = ann.agg(F.avg("pop").alias("mean_pop"))
     return (
         exd.join(ann, "title", "left")

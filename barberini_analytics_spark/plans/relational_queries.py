@@ -594,3 +594,32 @@ def union_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("source") == "src0"),
     )
+
+
+_WATERMARK_CUTOFF = "2024-01-15 00:00:00"
+
+
+@query(
+    "incremental_new_events",
+    oracle=f"""
+    WITH processed AS (
+        SELECT * FROM events WHERE ts < TIMESTAMP '{_WATERMARK_CUTOFF}'
+    ),
+    wm AS (SELECT max(ts) AS w FROM processed)
+    SELECT e.event_id, e.ts, e.user_id, e.event_type
+    FROM events e, wm
+    WHERE (e.ts > wm.w) IS NOT FALSE
+    """,
+)
+def incremental_new_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4/§7.6 incremental layer: high-watermark new-row filter with the
+    reference's ``> ANY(...) IS NOT FALSE`` null semantics — an empty
+    processed history admits every row.
+
+    ``processed`` is simulated as all events before a cutoff; the query
+    returns exactly the rows an incremental run would process next.
+    """
+    events = load_table(spark, sf_dir, "events")
+    processed = events.filter(F.col("ts") < F.lit(_WATERMARK_CUTOFF))
+    return R.high_watermark_filter(events, processed, "ts").select(
+        "event_id", "ts", "user_id", "event_type")

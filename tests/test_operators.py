@@ -110,3 +110,27 @@ def test_exact_dedup_normalizes_whitespace_and_case(spark):
     )
     groups = {r.rep_id: r.n_dups for r in D.exact_dedup(df, "doc_id").collect()}
     assert groups == {1: 2, 3: 1}
+
+
+def test_high_watermark_filter_empty_history_admits_all(spark):
+    inc = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-02-01")], ["id", "d"]
+    ).withColumn("d", F.to_date("d"))
+    empty = inc.filter("1 = 0")
+    assert R.high_watermark_filter(inc, empty, "d").count() == 2
+
+
+def test_high_watermark_filter_strictly_newer(spark):
+    inc = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-15"), (3, "2024-02-01")], ["id", "d"]
+    ).withColumn("d", F.to_date("d"))
+    processed = inc.filter("id <= 2")
+    got = sorted(r.id for r in R.high_watermark_filter(inc, processed, "d").collect())
+    assert got == [3]  # the watermark row itself (=) is NOT reprocessed
+
+
+def test_anti_processed_drops_known_keys(spark):
+    inc = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    known = spark.createDataFrame([(1,), (3,), (3,)], ["id"])
+    got = sorted(r.id for r in R.anti_processed(inc, known, ["id"]).collect())
+    assert got == [2]
