@@ -12,5 +12,6 @@ from . import interval_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import media_queries  # noqa: E402,F401
+from . import sink_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

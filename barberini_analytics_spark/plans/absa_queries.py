@@ -238,6 +238,163 @@ def document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ALPHA = 5          # gaussian distance scale, post_aspect_sentiments.py:186-190
 _MAX_DISTANCE = 4   # linear-distance limit variant, migration_038.sql:122-146
+_SENT_LEN = 10      # pseudo-sentence width (corpus has no punctuation)
+
+
+@query(
+    "sentence_sentiment",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    sent AS (
+        SELECT doc_id, word_index, word,
+               CAST((word_index - 1) // {_SENT_LEN} AS INT) + 1 AS sentence_index
+        FROM tok
+    ),
+    pol AS (SELECT * FROM (VALUES {_POLARITY_VALUES}) p(word, w10)),
+    hits AS (
+        SELECT s.doc_id, s.sentence_index, pol.w10
+        FROM sent s JOIN pol USING (word)
+    )
+    SELECT doc_id, sentence_index,
+           CAST(sum(w10) AS BIGINT) / (10.0 * count(*)) AS sentiment,
+           CAST(count(*) AS BIGINT) AS n_polarity_words
+    FROM hits
+    GROUP BY doc_id, sentence_index
+    """,
+)
+def sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 sentence-level sentiment (``post_sentiment_sentence``).
+
+    Reference: per-(post, sentence) mean polarity with counts
+    (migration_038.sql:50-63; src/absa/post_sentiments.py:141-170).  The
+    synthetic corpus has no sentence punctuation, so sentences are pinned
+    as fixed 10-token windows of ``word_index`` — deterministic in both
+    engines and exercising the same sentence-grain grouping.
+
+    Scale: broadcast lexicon join, then one hash-agg shuffle on
+    (doc_id, sentence_index) — identical bound to the document grain.
+    """
+    tokens = _tokens(spark, sf_dir)
+    sent = tokens.withColumn(
+        "sentence_index",
+        (F.floor((F.col("word_index") - 1) / _SENT_LEN).cast("int") + 1),
+    )
+    pol = spark.createDataFrame(
+        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
+    )
+    return (
+        sent.join(F.broadcast(pol), "word")
+        .groupBy("doc_id", "sentence_index")
+        .agg(
+            (F.sum("w10") / (10.0 * F.count(F.lit(1)))).alias("sentiment"),
+            F.count(F.lit(1)).alias("n_polarity_words"),
+        )
+    )
+
+
+@query(
+    "aspect_sentiment_max",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    sent AS (
+        SELECT doc_id, word_index, word,
+               CAST((word_index - 1) // {_SENT_LEN} AS INT) + 1 AS sentence_index
+        FROM tok
+    ),
+    aspects AS (
+        SELECT doc_id, word_index, sentence_index, word
+        FROM sent WHERE word IN (SELECT term FROM (VALUES {_ASPECT_VALUES}) t(term))
+    ),
+    pol AS (
+        SELECT s.doc_id, s.word_index, s.sentence_index, p.w10
+        FROM sent s JOIN (VALUES {_POLARITY_VALUES}) p(word, w10) USING (word)
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.word AS aspect_word,
+               p.word_index AS polarity_word_index, p.w10,
+               a.sentence_index = p.sentence_index AS same_sentence
+        FROM aspects a JOIN pol p USING (doc_id)
+    ),
+    doc_model AS (
+        SELECT doc_id, aspect_word, 'same_document' AS sentiment_model,
+               CASE WHEN sum(w10) > 0
+                    THEN CAST(sum(w10 * w10) AS BIGINT)
+                         / (10.0 * CAST(sum(w10) AS BIGINT))
+                    ELSE NULL END AS sentiment,
+               CAST(count(DISTINCT polarity_word_index) AS BIGINT) AS count
+        FROM pairs GROUP BY doc_id, aspect_word
+    ),
+    sent_model AS (
+        SELECT doc_id, aspect_word, 'same_sentence' AS sentiment_model,
+               CASE WHEN sum(w10) > 0
+                    THEN CAST(sum(w10 * w10) AS BIGINT)
+                         / (10.0 * CAST(sum(w10) AS BIGINT))
+                    ELSE NULL END AS sentiment,
+               CAST(count(DISTINCT polarity_word_index) AS BIGINT) AS count
+        FROM pairs WHERE same_sentence GROUP BY doc_id, aspect_word
+    )
+    SELECT * FROM doc_model UNION ALL SELECT * FROM sent_model
+    """,
+)
+def aspect_sentiment_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 "max" aspect-sentiment: document + sentence pairing models.
+
+    Reference: ``absa.post_aspect_sentiment_max_document`` pairs every
+    aspect occurrence with every polarity phrase in the same post and
+    aggregates the A4 self-normalizing sentiment ``Σp²/Σp`` (NULL when
+    ``Σp ≤ 0``) with ``count(DISTINCT polarity_word_index)``; the
+    ``_sentence`` variant restricts pairs to the same sentence; the
+    ``post_aspect_sentiment_max`` view unions both with a
+    ``sentiment_model`` tag (migration_038.sql:148-198).
+
+    Integer decipoints keep ``Σp²/Σp`` exact: ``Σw²/(10·Σw)`` divides two
+    exact integer sums, so the zero-sum guard and the quotient agree
+    bit-for-bit with the oracle.  Pseudo-sentences as in
+    ``sentence_sentiment``.
+
+    Scale: the pairing is the reference's intentional m×n-within-post join
+    (J8) — bounded per doc, shuffled on doc_id; both models aggregate the
+    *same* pair stream (one join, two aggregations).
+    """
+    tokens = _tokens(spark, sf_dir)
+    sent = tokens.withColumn(
+        "sentence_index",
+        (F.floor((F.col("word_index") - 1) / _SENT_LEN).cast("int") + 1),
+    )
+    aspects = sent.filter(F.col("word").isin(*ASPECT_WORDS)).select(
+        "doc_id", F.col("word").alias("aspect_word"),
+        F.col("sentence_index").alias("a_sent"),
+    )
+    pol = spark.createDataFrame(
+        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
+    )
+    pol_occ = sent.join(F.broadcast(pol), "word").select(
+        "doc_id", F.col("word_index").alias("polarity_word_index"),
+        F.col("sentence_index").alias("p_sent"), "w10",
+    )
+    pairs = aspects.join(pol_occ, "doc_id").select(
+        "doc_id", "aspect_word", "polarity_word_index", "w10",
+        (F.col("a_sent") == F.col("p_sent")).alias("same_sentence"),
+    )
+
+    def _model(src: DataFrame, tag: str) -> DataFrame:
+        return (
+            src.groupBy("doc_id", "aspect_word")
+            .agg(F.sum("w10").alias("s"),
+                 F.sum(F.col("w10") * F.col("w10")).alias("ss"),
+                 F.countDistinct("polarity_word_index").alias("count"))
+            .select(
+                "doc_id", "aspect_word",
+                F.lit(tag).alias("sentiment_model"),
+                F.when(F.col("s") > 0,
+                       F.col("ss") / (10.0 * F.col("s"))).alias("sentiment"),
+                F.col("count").cast("long").alias("count"),
+            )
+        )
+
+    return _model(pairs, "same_document").unionByName(
+        _model(pairs.filter("same_sentence"), "same_sentence")
+    )
 
 
 @query(

@@ -1,0 +1,142 @@
+"""Sink-semantics and integrity query inventory (SURVEY §2.2 K1, §2.4 J13).
+
+The write sinks themselves are side-effecting (core/sinks.py, unit-tested in
+tests/test_sinks.py); these queries express their *merge semantics* as pure
+dataflow over the synthetic ``events`` / ``orders`` tables so the DuckDB
+oracle can hash-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..core.io import load_table
+from ..operators import relational as R
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# K1 — upsert-by-PK merge semantics (batch wins over stored on key collision)
+# ---------------------------------------------------------------------------
+
+@query(
+    "upsert_merge",
+    oracle="""
+    WITH stored AS (
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    ),
+    batch AS (
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT user_id, event_id, ts, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 1
+        ) WHERE rn = 1
+    )
+    SELECT
+        coalesce(b.user_id, s.user_id)        AS user_id,
+        coalesce(b.event_id, s.event_id)      AS event_id,
+        coalesce(b.ts, s.ts)                  AS ts,
+        coalesce(b.event_type, s.event_type)  AS event_type,
+        coalesce(b.value, s.value)            AS value,
+        b.user_id IS NOT NULL                 AS from_batch
+    FROM batch b FULL OUTER JOIN stored s USING (user_id)
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 upsert-by-PK merge semantics as a pure query.
+
+    Reference: ``CsvToDb`` stages the batch into a temp table and runs
+    ``INSERT ... ON CONFLICT ON CONSTRAINT pk DO UPDATE SET`` all columns
+    (src/_utils/database.py:140-174) — batch rows win on PK collision,
+    stored rows survive otherwise.  Here the PK is ``user_id``; "stored"
+    is the latest even-id snapshot per user, "batch" the latest odd-id
+    snapshot, and the merge is the rank-window union that backs
+    ``core.sinks.upsert_by_pk``.
+
+    Scale: one shuffle on the PK for the union+rank; with a partitioned
+    table the stored side is pruned to the batch's partitions first
+    (dynamic partition overwrite), so 100 TB of history is never rewritten
+    for a small batch.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    order = ["ts", "event_id"]
+    stored = R.latest_per_key(ev.filter(F.col("event_id") % 2 == 0),
+                              ["user_id"], order)
+    batch = R.latest_per_key(ev.filter(F.col("event_id") % 2 == 1),
+                             ["user_id"], order)
+    merged = (
+        batch.withColumn("__is_new", F.lit(1))
+        .unionByName(stored.withColumn("__is_new", F.lit(0)))
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("__is_new").desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value",
+                (F.col("__is_new") == 1).alias("from_batch"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 — FK-violation filter (left-semi with NULL pass-through)
+# ---------------------------------------------------------------------------
+
+@query(
+    "fkey_violation_filter",
+    oracle="""
+    WITH incoming AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                    ELSE o_custkey END AS o_custkey,
+               o_totalprice, o_orderdate
+        FROM orders
+    ),
+    ref AS (
+        SELECT c_custkey FROM customer WHERE c_nationkey < 10
+    )
+    SELECT i.o_orderkey, i.o_custkey, i.o_totalprice, i.o_orderdate
+    FROM incoming i
+    WHERE i.o_custkey IS NULL
+       OR i.o_custkey IN (SELECT c_custkey FROM ref)
+    """,
+)
+def fkey_violation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: keep rows whose FK resolves in the referenced table or is NULL.
+
+    Reference: ``filter_fkey_violations`` left-merges incoming rows against
+    the referenced table, keeps matches *and* null-FK rows, and logs the
+    violations (src/_utils/data_preparation.py:76-159).  The referenced set
+    is restricted to nations 0-9 so real violations exist, and every 97th
+    order gets a NULL FK to exercise the pass-through arm.
+
+    Scale: the semi join broadcasts when the referenced key set is small
+    (dimension tables); otherwise it is a shuffled semi join on the FK —
+    never a full materialized outer join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        "o_totalprice", "o_orderdate",
+    )
+    ref = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 10)
+        .select("c_custkey")
+    )
+    valid, _violations = R.filter_fkey_violations(
+        orders, ref, [("o_custkey", "c_custkey")]
+    )
+    return valid.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
