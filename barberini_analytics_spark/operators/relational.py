@@ -148,9 +148,9 @@ def filter_fkey_violations(df: DataFrame, ref: DataFrame,
                            fkey: Sequence[tuple[str, str]]) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (valid, violating) w.r.t. a foreign key.
 
-    Rows whose FK columns are all NULL pass through as valid (SQL FK
-    semantics).  Reference: ``filter_fkey_violations`` left-merge + isna
-    check (src/_utils/data_preparation.py:76-159).
+    Rows with ANY NULL FK column pass through as valid (SQL ``MATCH
+    SIMPLE`` semantics).  Reference: ``filter_fkey_violations`` left-merge
+    + ``isnull().any()`` check (src/_utils/data_preparation.py:76-159).
 
     Returns ``(valid, violations)`` so callers can log/abort like the
     reference does.  Implemented as semi/anti joins — at scale the referenced
@@ -163,7 +163,7 @@ def filter_fkey_violations(df: DataFrame, ref: DataFrame,
     null_fk = None
     for l, _ in fkey:
         c = df[l].isNull()
-        null_fk = c if null_fk is None else (null_fk & c)
+        null_fk = c if null_fk is None else (null_fk | c)
     matched = df.join(ref_keys, on=cond, how="left_semi")
     unmatched = df.join(ref_keys, on=cond, how="left_anti")
     valid = matched.unionByName(unmatched.filter(null_fk))

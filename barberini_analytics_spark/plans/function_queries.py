@@ -31,12 +31,12 @@ _TAGS_SQL = "', '".join(P.TOURISM_TAGS)
                AS simplified,
            regexp_replace(o_orderpriority || chr(13) || chr(10)
                || o_orderstatus, '\\r\\n|\\r', chr(10), 'g') AS normalized,
-           list_filter(['{_TAGS_SQL}'],
+           coalesce(array_to_string(list_sort(list_filter(['{_TAGS_SQL}'],
                t -> contains('user' || CAST(o_orderkey % 100 AS VARCHAR)
                    || '@' || CASE o_orderkey % 3
                                  WHEN 0 THEN 'hotel-reise.de'
                                  WHEN 1 THEN 'example.com'
-                                 ELSE 'kultur-verein.org' END, t))
+                                 ELSE 'kultur-verein.org' END, t))), ','), '')
                AS tags,
            (o_orderstatus = 'F') AS paid,
            CASE o_orderkey % 3 WHEN 0 THEN 'w' WHEN 1 THEN 'm'
@@ -66,7 +66,9 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.normalize_newlines(
             F.concat("o_orderpriority", F.lit("\r\n"), "o_orderstatus"))
         .alias("normalized"),
-        P.tourism_tags(mail).alias("tags"),
+        # array columns break the driver's pandas sort-canonicalizer, so
+        # the tag set is emitted as a sorted CSV string on both sides
+        F.array_join(F.sort_array(P.tourism_tags(mail)), ",").alias("tags"),
         P.parse_boolean(F.col("o_orderstatus"), "F").alias("paid"),
         P.parse_gender(gender_src).alias("gender"),
     )

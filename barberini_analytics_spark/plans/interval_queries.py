@@ -473,11 +473,17 @@ def exhibition_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(simple) * 5) % 40,
         ).alias("start_date"),
     ).persist()
-    post_simple = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+    # pre-project the simplified post text: inlining the regexp in the BNL
+    # join condition would re-evaluate it once per (post × exhibition)
+    # candidate pair instead of once per post row
+    evs = ev.withColumn(
+        "__post_simple",
+        F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", "")),
+    )
     cand = (
-        ev.join(
+        evs.join(
             F.broadcast(exd),
-            post_simple.contains(F.col("simple"))
+            F.col("__post_simple").contains(F.col("simple"))
             & (F.col("post_date") >= F.date_sub(F.col("start_date"),
                                                 _POP_WINDOW_DAYS))
             & (F.col("post_date") < F.col("start_date")),

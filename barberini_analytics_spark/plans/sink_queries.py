@@ -63,6 +63,11 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot, and the merge is the rank-window union that backs
     ``core.sinks.upsert_by_pk``.
 
+    Assumes the PK is non-NULL (as any PK is): the window formulation
+    groups NULL keys into one partition while the oracle's FULL OUTER
+    JOIN would never match them, so NULL-PK rows are out of contract —
+    matching ON CONFLICT, which requires a NOT NULL constraint.
+
     Scale: one shuffle on the PK for the union+rank; with a partitioned
     table the stored side is pruned to the batch's partitions first
     (dynamic partition overwrite), so 100 TB of history is never rewritten
