@@ -130,3 +130,23 @@ def concat_frames(dfs: Sequence[DataFrame]) -> DataFrame:
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
+
+
+def shuffle_sample(df: DataFrame, n: int, seed: int = 42,
+                   key_cols: Sequence[str] | None = None) -> DataFrame:
+    """K3 ``QueryDb`` shuffle+limit: the reference injects ``ORDER BY
+    RANDOM()`` + ``LIMIT n`` into arbitrary queries to export a sample CSV
+    (src/_utils/database.py:279-288).
+
+    Spark-first, reproducibly: ordering by ``md5(seed || key)`` is a
+    deterministic pseudo-random permutation identical in any engine with
+    ``md5`` — unlike ``rand(seed)``, whose stream is engine- and
+    partitioning-specific.  ``orderBy(...).limit(n)`` compiles to a
+    distributed TakeOrdered (per-partition top-n + single merge), so no
+    global sort materializes at 100 TB.  Pass ``key_cols=None`` to key on
+    all columns.
+    """
+    keys = list(key_cols) if key_cols else list(df.columns)
+    order = F.md5(F.concat_ws("|", F.lit(str(seed)),
+                              *[F.col(c).cast("string") for c in keys]))
+    return df.orderBy(order, *keys).limit(n)

@@ -1,17 +1,24 @@
 from .registry import QUERIES, ORACLES, query
 
-# import for registration side effects
+# import for registration side effects.
+#
+# ORDER MATTERS: the correctness driver evaluates queries in registration
+# order and CORRECTNESS_r01 recorded exactly the first 50 — so modules
+# whose queries are all oracle-checked register first, and the modules
+# carrying rows-only queries (ml, media's pipeline) register last, with
+# their own oracled queries ordered first inside each module.
 from . import relational_queries  # noqa: E402,F401
+from . import sink_queries  # noqa: E402,F401
+from . import function_queries  # noqa: E402,F401
+from . import ingest_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import absa_queries  # noqa: E402,F401
 from . import domain_queries  # noqa: E402,F401
-from . import function_queries  # noqa: E402,F401
 from . import interval_queries  # noqa: E402,F401
-from . import ml_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import media_queries  # noqa: E402,F401
-from . import sink_queries  # noqa: E402,F401
+from . import ml_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -87,17 +87,16 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TOKENS_CACHE[key]
 
 
-@query(
-    "aspect_match_equality",
-    oracle=f"""
+_EQUALITY_ORACLE = f"""
     WITH {_TOK_CTE}
     SELECT doc_id, word_index, word, word AS matched,
-           'equality' AS match_algorithm
+           CAST(NULL AS DOUBLE) AS score, 'equality' AS match_algorithm
     FROM tok
     WHERE word IN (SELECT term FROM (VALUES {_ASPECT_VALUES}) t(term))
-    """,
-)
-def aspect_match_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _aspect_match_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 aspect matching, equality algorithm (post_aspects.py:131-141).
 
     Vocabulary-staged: the match runs on distinct words, then re-joins the
@@ -105,12 +104,12 @@ def aspect_match_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tokens = _tokens(spark, sf_dir)
     out = FZ.match_occurrences(tokens, _aspect_lexicon(spark), "equality")
-    return out.select("doc_id", "word_index", "word", "matched", "match_algorithm")
+    return out.select("doc_id", "word_index", "word", "matched",
+                      F.lit(None).cast("double").alias("score"),
+                      "match_algorithm")
 
 
-@query(
-    "aspect_match_trigram",
-    oracle=f"""
+_TRIGRAM_ORACLE = f"""
     WITH {_TOK_CTE},
     vocab AS (SELECT DISTINCT word FROM tok),
     scored AS (
@@ -131,9 +130,10 @@ def aspect_match_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok.doc_id, tok.word_index, tok.word, b.matched, b.score,
            'trigram' AS match_algorithm
     FROM tok JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
-    """,
-)
-def aspect_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _aspect_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 aspect matching, pg_trgm similarity ≥ 0.65 (post_aspects.py:146-166).
 
     Trigram similarity is the §4 "genuinely custom" expression: distinct
@@ -145,9 +145,7 @@ def aspect_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "match_algorithm")
 
 
-@query(
-    "aspect_match_levenshtein",
-    oracle=f"""
+_LEVENSHTEIN_ORACLE = f"""
     WITH {_TOK_CTE},
     vocab AS (SELECT DISTINCT word FROM tok WHERE length(word) <= {FZ.LEVENSHTEIN_MAX_LEN}),
     scored AS (
@@ -167,9 +165,10 @@ def aspect_match_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok.doc_id, tok.word_index, tok.word, b.matched, b.score,
            'levenshtein' AS match_algorithm
     FROM tok JOIN (SELECT * FROM best WHERE rn = 1) b USING (word)
-    """,
-)
-def aspect_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _aspect_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 aspect matching, levenshtein ratio ≤ 0.19 (post_aspects.py:168-199),
     with the reference's length-255 pre-filter before the cross join.
     """
@@ -180,8 +179,37 @@ def aspect_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "document_sentiment",
+    "aspect_match_all",
     oracle=f"""
+    SELECT * FROM ({_EQUALITY_ORACLE})
+    UNION ALL
+    SELECT * FROM ({_TRIGRAM_ORACLE})
+    UNION ALL
+    SELECT * FROM ({_LEVENSHTEIN_ORACLE})
+    """,
+)
+def aspect_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/J6: all three fuzzy aspect-match algorithms in one tagged frame.
+
+    Reference: ``post_aspects`` runs equality, pg_trgm-similarity and
+    levenshtein matching as alternative algorithms over the token stream
+    (src/absa/post_aspects.py:131-199); the ``match_algorithm`` tag keeps
+    each algorithm's rows separately hash-checked.  ``score`` is NULL for
+    the equality algorithm (no distance there), matching the reference's
+    NULL column.
+
+    All three share the persisted token table and the broadcast lexicon —
+    at 100 TB each algorithm is one vocabulary-staged broadcast join; the
+    union is append-only (no extra shuffle).
+    """
+    return (
+        _aspect_match_equality(spark, sf_dir)
+        .unionByName(_aspect_match_trigram(spark, sf_dir))
+        .unionByName(_aspect_match_levenshtein(spark, sf_dir))
+    )
+
+
+_DOCUMENT_SENTIMENT_ORACLE = f"""
     WITH {_TOK_CTE},
     pol AS (SELECT * FROM (VALUES {_POLARITY_VALUES}) p(word, w10)),
     hits AS (
@@ -207,9 +235,10 @@ def aspect_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.n AS n_polarity_words,
            d.n_tokens AS n_tokens
     FROM agg a JOIN doc_tokens d USING (doc_id)
-    """,
-)
-def document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4/M5: phrase-polarity matching + per-document sentiment.
 
     Reference: identity polarity join + avg/stddev/subjectivity aggregation
@@ -256,9 +285,7 @@ _MAX_DISTANCE = 4   # linear-distance limit variant, migration_038.sql:122-146
 _SENT_LEN = 10      # pseudo-sentence width (corpus has no punctuation)
 
 
-@query(
-    "sentence_sentiment",
-    oracle=f"""
+_SENTENCE_SENTIMENT_ORACLE = f"""
     WITH {_TOK_CTE},
     sent AS (
         SELECT doc_id, word_index, word,
@@ -275,9 +302,10 @@ _SENT_LEN = 10      # pseudo-sentence width (corpus has no punctuation)
            CAST(count(*) AS BIGINT) AS n_polarity_words
     FROM hits
     GROUP BY doc_id, sentence_index
-    """,
-)
-def sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 sentence-level sentiment (``post_sentiment_sentence``).
 
     Reference: per-(post, sentence) mean polarity with counts
@@ -308,8 +336,53 @@ def sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "aspect_sentiment_max",
+    "document_sentence_sentiment",
     oracle=f"""
+    WITH doc AS ({_DOCUMENT_SENTIMENT_ORACLE}),
+    sent AS ({_SENTENCE_SENTIMENT_ORACLE})
+    SELECT doc_id, 'document' AS grain, CAST(NULL AS INT) AS sentence_index,
+           sentiment, sentiment_stddev, subjectivity,
+           n_polarity_words, n_tokens
+    FROM doc
+    UNION ALL
+    SELECT doc_id, 'sentence', sentence_index, sentiment,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           n_polarity_words, CAST(NULL AS BIGINT)
+    FROM sent
+    """,
+)
+def document_sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5/A5: phrase-polarity sentiment at document AND sentence grain,
+    tagged by ``grain``.
+
+    Reference: identity polarity join + avg/stddev/subjectivity per post
+    (src/absa/post_sentiments.py:103-283; migration_038.sql:32-63) and the
+    per-(post, sentence) ``post_sentiment_sentence`` view
+    (migration_038.sql:50-63).  Both grains aggregate the same broadcast
+    lexicon join; the union is append-only.  Sentence-only columns are NULL
+    at document grain and vice versa, so each grain's values stay
+    individually hash-checked.
+    """
+    doc = _document_sentiment(spark, sf_dir).select(
+        "doc_id", F.lit("document").alias("grain"),
+        F.lit(None).cast("int").alias("sentence_index"),
+        "sentiment", "sentiment_stddev", "subjectivity",
+        F.col("n_polarity_words").cast("long").alias("n_polarity_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    sent = _sentence_sentiment(spark, sf_dir).select(
+        "doc_id", F.lit("sentence").alias("grain"),
+        F.col("sentence_index").cast("int").alias("sentence_index"),
+        "sentiment",
+        F.lit(None).cast("double").alias("sentiment_stddev"),
+        F.lit(None).cast("double").alias("subjectivity"),
+        F.col("n_polarity_words").cast("long").alias("n_polarity_words"),
+        F.lit(None).cast("long").alias("n_tokens"),
+    )
+    return doc.unionByName(sent)
+
+
+_ASPECT_MAX_ORACLE = f"""
     WITH {_TOK_CTE},
     sent AS (
         SELECT doc_id, word_index, word,
@@ -349,9 +422,10 @@ def sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs WHERE same_sentence GROUP BY doc_id, aspect_word
     )
     SELECT * FROM doc_model UNION ALL SELECT * FROM sent_model
-    """,
-)
-def aspect_sentiment_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _aspect_sentiment_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 "max" aspect-sentiment: document + sentence pairing models.
 
     Reference: ``absa.post_aspect_sentiment_max_document`` pairs every
@@ -412,9 +486,7 @@ def aspect_sentiment_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "aspect_sentiment_distance",
-    oracle=f"""
+_ASPECT_DISTANCE_ORACLE = f"""
     WITH {_TOK_CTE},
     aspects AS (
         SELECT doc_id, word_index, word
@@ -441,9 +513,10 @@ def aspect_sentiment_max(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM weighted
     GROUP BY doc_id, aspect_word
-    """,
-)
-def aspect_sentiment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _aspect_sentiment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: aspect×polarity pairing with linear-distance limit + gaussian
     weighting.
 
@@ -484,6 +557,39 @@ def aspect_sentiment_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
+
+
+@query(
+    "aspect_sentiment_pairing",
+    oracle=f"""
+    SELECT doc_id, aspect_word, sentiment_model, sentiment, count
+    FROM ({_ASPECT_MAX_ORACLE})
+    UNION ALL
+    SELECT doc_id, aspect_word, 'gaussian_distance' AS sentiment_model,
+           aspect_sentiment AS sentiment, n_pairs AS count
+    FROM ({_ASPECT_DISTANCE_ORACLE})
+    """,
+)
+def aspect_sentiment_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6/A4/J8: all three aspect×polarity pairing models in one tagged
+    frame — ``same_document`` / ``same_sentence`` (the self-normalizing
+    Σp²/Σp "max" models, migration_038.sql:148-198) plus
+    ``gaussian_distance`` (distance limit ≤ 4, gaussian weight
+    ``exp(-(d/α)²)``, α=5, post_aspect_sentiments.py:170-255).
+
+    Each model's rows keep their own exact-arithmetic policy: the max
+    models divide exact integer decipoint sums (NULL-guarded on Σp ≤ 0,
+    A4); the gaussian model rounds once after the libm ``exp`` fold.
+    All three aggregate the same broadcast-lexicon pair stream.
+    """
+    mx = _aspect_sentiment_max(spark, sf_dir)
+    dist = _aspect_sentiment_distance(spark, sf_dir).select(
+        "doc_id", "aspect_word",
+        F.lit("gaussian_distance").alias("sentiment_model"),
+        F.col("aspect_sentiment").alias("sentiment"),
+        F.col("n_pairs").cast("long").alias("count"),
+    )
+    return mx.unionByName(dist)
 
 
 # inflection lexicon: lemma -> (decipoint weight, inflected surface forms).

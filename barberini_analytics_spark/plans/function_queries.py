@@ -74,10 +74,66 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("postal_cleansing")  # rows-only: DuckDB RE2 lacks lookarounds
+@query(
+    "postal_cleansing",
+    # DuckDB RE2 lacks the lookarounds the cleansing regexes use, so the
+    # oracle is an analytically-derived case analysis of the reference
+    # algorithm (cleanse_data.py:55-303) over the 7 fixture shapes ×
+    # 3 countries: symbol translation ('!'→'1', strip spaces), zero-pad
+    # ('1446'→'01446'), DE whitelist containment, and the
+    # DE→UK→NL→PL→CA fallback order (5-digit non-whitelisted codes land
+    # on Polen; 'SW1A1AA' zero-pads to '00001' under Frankreich's
+    # own-country regex).  General-input semantics are pinned by
+    # tests/test_functions.py.
+    oracle="""
+    WITH src AS (
+        SELECT c_custkey AS customer_id,
+               CASE c_custkey % 7
+                 WHEN 0 THEN '14467'
+                 WHEN 1 THEN '!4467'
+                 WHEN 2 THEN '1446'
+                 WHEN 3 THEN 'SW1A 1AA'
+                 WHEN 4 THEN CAST(10000 + c_custkey % 80000 AS VARCHAR)
+                 WHEN 5 THEN 'abc'
+                 ELSE NULL END AS postal_code,
+               CASE c_custkey % 3 WHEN 0 THEN 'Deutschland'
+                 WHEN 1 THEN 'Vereinigtes Königreich'
+                 ELSE 'Frankreich' END AS country,
+               c_custkey % 7 AS shape
+        FROM customer
+    )
+    SELECT customer_id, postal_code, country,
+           CASE
+             WHEN postal_code IS NULL THEN NULL
+             WHEN shape IN (0, 1) THEN '14467'
+             WHEN shape = 2 THEN '01446'
+             WHEN shape = 3 THEN CASE WHEN country = 'Frankreich'
+                                      THEN '00001' ELSE 'SW1A1AA' END
+             WHEN shape = 4 THEN postal_code
+             ELSE NULL
+           END AS cleansed_postal_code,
+           CASE
+             WHEN postal_code IS NULL THEN NULL
+             WHEN shape IN (0, 1, 2) THEN
+                 CASE WHEN country = 'Frankreich' THEN 'Frankreich'
+                      ELSE 'Deutschland' END
+             WHEN shape = 3 THEN
+                 CASE WHEN country = 'Frankreich' THEN 'Frankreich'
+                      ELSE 'Vereinigtes Königreich' END
+             WHEN shape = 4 THEN
+                 CASE WHEN country = 'Frankreich' THEN 'Frankreich'
+                      WHEN postal_code IN ('14467', '10115')
+                           THEN 'Deutschland'
+                      ELSE 'Polen' END
+             ELSE country
+           END AS cleansed_country
+    FROM src
+    """,
+)
 def postal_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 postal cleansing over synthesized customer codes; value
-    semantics pinned by tests/test_functions.py."""
+    """P8 postal cleansing over synthesized customer codes; general-input
+    value semantics pinned by tests/test_functions.py, fixture outputs
+    hash-checked against a derived expected-value oracle."""
     cust = load_table(spark, sf_dir, "customer")
     df = cust.selectExpr(
         "c_custkey AS customer_id",
@@ -99,10 +155,92 @@ def postal_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cleansed_postal_code", "cleansed_country")
 
 
-@query("pseudonymize_ids")  # rows-only: mmh3 not available in DuckDB
+# MurmurHash3 x86_32(seed=666), signed — implemented in portable DuckDB SQL
+# (list fold over the byte stream; HUGEINT-widened multiplications) so the
+# P5 pseudonymization UDF is value-checked against an independent
+# implementation, not just unit-test vectors.  Input is ASCII here, so
+# ascii(substring(...)) is the byte stream.
+_MMH3_ORACLE = r"""
+    WITH src AS (
+        SELECT c_custkey AS customer_id,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+                         || '@example.com'
+               END AS s
+        FROM customer
+    ),
+    prep AS (
+        SELECT customer_id, s, length(s) AS n,
+               length(s) // 4 AS nc, length(s) % 4 AS r,
+               list_transform(generate_series(1, length(s)),
+                              i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)) AS b
+        FROM src
+    ),
+    mixed AS (
+        SELECT *,
+               list_transform(
+                   list_transform(
+                       list_transform(
+                           list_transform(generate_series(0, nc - 1),
+                               i -> b[4*i+1] + b[4*i+2]*256 + b[4*i+3]*65536
+                                    + b[4*i+4]*16777216),
+                           k -> CAST((CAST(k AS HUGEINT) * 3432918353)
+                                     % 4294967296 AS BIGINT)),
+                       k -> ((k * 32768) | (k // 131072)) & 4294967295),
+                   k -> (k * 461845907) & 4294967295) AS ks
+        FROM prep
+    ),
+    body AS (
+        SELECT *,
+               list_reduce(
+                   list_concat([CAST(666 AS BIGINT)], ks),
+                   (h, k) -> (((((xor(h, k) * 8192) | (xor(h, k) // 524288))
+                                & 4294967295) * 5 + 3864292196) & 4294967295)
+               ) AS hb
+        FROM mixed
+    ),
+    tailed AS (
+        SELECT *,
+               CASE WHEN r = 0 THEN hb
+                    ELSE xor(hb,
+                        ((((CAST((CAST((CASE WHEN r >= 3 THEN b[4*nc+3] * 65536 ELSE 0 END
+                             + CASE WHEN r >= 2 THEN b[4*nc+2] * 256 ELSE 0 END
+                             + b[4*nc+1]) AS HUGEINT) * 3432918353)
+                             % 4294967296 AS BIGINT) * 32768)
+                           | (CAST((CAST((CASE WHEN r >= 3 THEN b[4*nc+3] * 65536 ELSE 0 END
+                             + CASE WHEN r >= 2 THEN b[4*nc+2] * 256 ELSE 0 END
+                             + b[4*nc+1]) AS HUGEINT) * 3432918353)
+                             % 4294967296 AS BIGINT) // 131072))
+                          & 4294967295) * 461845907 & 4294967295)
+                    )
+               END AS ht
+        FROM body
+    ),
+    fin AS (
+        SELECT customer_id, s,
+               xor(ht, n) AS f0,
+               xor(f0, f0 // 65536) AS f1,
+               CAST((CAST(f1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f2,
+               xor(f2, f2 // 8192) AS f3,
+               CAST((CAST(f3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f4,
+               xor(f4, f4 // 65536) AS f5
+        FROM tailed
+    )
+    SELECT p.customer_id,
+           CASE WHEN p.s IS NULL THEN p.customer_id
+                WHEN f.f5 >= 2147483648 THEN f.f5 - 4294967296
+                ELSE f.f5 END AS hashed_id
+    FROM src p LEFT JOIN fin f USING (customer_id)
+    """
+
+
+@query("pseudonymize_ids", oracle=_MMH3_ORACLE)
 def pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 mmh3(seed=666) pseudonymization via the parity pandas UDF;
-    vectors pinned by tests/test_functions.py."""
+    """P5 mmh3(seed=666) pseudonymization via the parity pandas UDF
+    (src/gomus/_utils/extract_customers.py:135-140), hash-checked against
+    an independent murmur3 re-implementation in pure DuckDB SQL; vectors
+    additionally pinned by tests/test_functions.py.  NULL emails fall back
+    to the numeric customer id, as in the reference."""
     cust = load_table(spark, sf_dir, "customer")
     mail = F.when(
         F.col("c_custkey") % 5 != 0,

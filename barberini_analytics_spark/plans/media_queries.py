@@ -53,22 +53,37 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("data").alias("payload_hex"))
 
 
-@query("media_decode_features")  # rows-only: mapInPandas stub decode
-def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (stubbed codec) + deterministic feature extraction over the
-    media table — the mapInPandas plumbing under the driver's smoke gate."""
+@query("media_pipeline")  # rows-only: mapInPandas stub decode + frame fan-out
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stubbed codec) + deterministic feature extraction + frame
+    sampling over the media table in one frame — the three ``mapInPandas``
+    paths (decode, feature-extract, frame fan-out) under one rows-only
+    check; per-path determinism is pinned in
+    tests/test_multimodal_sources.py.
+
+    The ``features`` array is flattened to a CSV string so the frame
+    remains canonicalizable by the driver's pandas sort.
+    """
     media = M.blob_repartition(M.synth_media(spark, sf_dir))
     decoded = M.decode_media(media, fake=True)
     feats = M.extract_features(media, dim=8)
-    return (decoded.join(feats, "media_id")
-            .select("media_id", "kind", "width", "height", "n_frames",
-                    "n_payload_bytes", "features"))
-
-
-@query("media_frame_sample")  # rows-only: mapInPandas frame fan-out
-def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out for video rows (one row per sampled frame)."""
-    return M.sample_frames(M.synth_media(spark, sf_dir), every_n=10)
+    frames = (M.sample_frames(M.synth_media(spark, sf_dir), every_n=10)
+              .groupBy("media_id")
+              .agg(F.count(F.lit(1)).alias("n_sampled_frames")))
+    return (
+        decoded.join(feats, "media_id")
+        .join(frames, "media_id", "left")
+        .select(
+            "media_id", "kind", "width", "height", "n_frames",
+            "n_payload_bytes",
+            F.array_join(
+                F.transform("features",
+                            lambda x: F.format_number(x, 6)), ",")
+            .alias("features_csv"),
+            F.coalesce("n_sampled_frames", F.lit(0)).cast("long")
+            .alias("n_sampled_frames"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,12 @@
-"""ML-layer driver queries (SURVEY §2.10 M8/M9/M10) — rows-only checks:
-Gibbs sampling, iterative forecasting and density clustering have no ANSI-SQL
-equivalent; their semantics are pinned by unit tests (tests/test_ml.py).
+"""ML-layer driver queries (SURVEY §2.10 M8/M9/M10).
+
+The deterministic distributed halves are hash-checked against the DuckDB
+oracle: ``topic_token_features`` (the M9 preprocessing pipeline) and
+``visitor_features`` (the M10 feature frame, wired to the M15
+exhibition-popularity output).  Only the tiny model cores remain rows-only
+(Gibbs sampling, iterative KNN forecasting, density clustering have no
+ANSI-SQL equivalent; their semantics are pinned by unit tests,
+tests/test_ml.py).
 
 Split of labor (mirrors the reference): heavy row work (tokenization,
 stopword/hapax filtering, feature engineering, top-term counting) runs
@@ -12,7 +18,7 @@ collected data.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..core.io import load_table
 from ..ml.dbscan import cosine_dbscan
@@ -20,17 +26,19 @@ from ..ml.gsdmm import GSDMM
 from ..ml.knn import KNNRegressor, MinMaxScaler
 from ..operators import text as X
 from ..operators.relational import top_k_per_group
-from .registry import query
+from ..operators.similarity import centroids_by_key, cosine
+from .registry import ORACLES, query
 
 # a compact stopword list for the synthetic English corpus (the reference
 # loads NLTK german stopwords, src/topic_modeling.py:300-320)
 _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
               "for", "on", "with", "as", "at", "by", "be", "this", "that")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
-#: per-(session, sf) persisted preprocessing result — topic_modeling_texts
-#: and _terms run back-to-back over the same corpus; one materialization
-#: serves both (the reference fits all its models off one Doc list too,
+#: per-(session, sf) persisted preprocessing result — the topic queries run
+#: back-to-back over the same corpus; one materialization serves all (the
+#: reference fits all its models off one Doc list too,
 #: src/topic_modeling.py:163-189)
 _TOKENS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -57,14 +65,196 @@ def _topic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-#: deterministic fit cache — topic_modeling_texts and _terms share one fit
+@query(
+    "topic_token_features",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        FROM documents WHERE lang = 'en'
+    ),
+    filt AS (
+        SELECT * FROM tok
+        WHERE word NOT IN ({_SW_SQL})
+          AND regexp_matches(word, '^[a-z]+$')
+          AND length(word) > 1
+    ),
+    non_hapax AS (
+        SELECT word FROM filt GROUP BY word HAVING count(*) > 1
+    ),
+    t2 AS (SELECT f.* FROM filt f JOIN non_hapax USING (word)),
+    keep AS (SELECT doc_id FROM t2 GROUP BY doc_id HAVING count(*) > 2)
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n
+    FROM t2 JOIN keep USING (doc_id)
+    GROUP BY doc_id, word
+    """,
+)
+def topic_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 preprocessing as its own hash-checked query: language gate →
+    tokenize → stopword/non-alpha/short filter → corpus-hapax removal →
+    short-document pruning (src/topic_modeling.py:300-335), emitted as
+    (doc, word, count) — the exact corpus the Gibbs sampler consumes.
+
+    This pins the distributed 99% of M9; only the sampler itself
+    (``topic_model``) stays rows-only.
+    """
+    tokens = _topic_tokens(spark, sf_dir)
+    return tokens.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# M10 — visitor prediction: feature frame (hash-checked) + forecast
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 7     # lag-feature depth (reference SEQUENCE_LENGTH)
+_DAYS_AHEAD = 7  # days_to_predict default (predict.py:63)
+_EXH_DURATION = 40   # synthetic exhibition run length, days
+_SAMPLE_DAYS = 30    # is_sample window (preprocessing.py:77-84)
+
+
+# interval_queries registers before this module (plans/__init__ order), so
+# the M15 oracle SQL is available to embed as the ``pop`` CTE
+from . import interval_queries as _iq  # noqa: E402,F401  (registration dep)
+
+_POP_SQL = ORACLES["exhibition_popularity"]
+
+
+@query(
+    "visitor_features",
+    oracle=f"""
+    WITH pop AS ({_POP_SQL}),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS date,
+               CAST(sum(CAST(floor(value) AS BIGINT)) AS DOUBLE) AS entries
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    exh AS (
+        SELECT d.date,
+               max(round((CAST(d.date - p.start_date AS INT) + 1.0)
+                         / {_EXH_DURATION}, 6)) AS exhibition_progress,
+               max(p.popularity) AS exhibition_popularity
+        FROM daily d JOIN pop p
+          ON d.date >= p.start_date
+         AND d.date < p.start_date + INTERVAL {_EXH_DURATION} DAY
+        GROUP BY d.date
+    ),
+    lagged AS (
+        SELECT d.date, d.entries,
+               dayofweek(d.date) AS dow,
+               lag(entries, 1) OVER w AS lag_1,
+               lag(entries, 2) OVER w AS lag_2,
+               lag(entries, 3) OVER w AS lag_3,
+               lag(entries, 4) OVER w AS lag_4,
+               lag(entries, 5) OVER w AS lag_5,
+               lag(entries, 6) OVER w AS lag_6,
+               lag(entries, 7) OVER w AS lag_7,
+               coalesce(e.exhibition_progress, 0.0) AS exhibition_progress,
+               coalesce(e.exhibition_popularity, 0.0)
+                   AS exhibition_popularity,
+               max(d.date) OVER () AS last_date
+        FROM daily d LEFT JOIN exh e USING (date)
+        WINDOW w AS (ORDER BY d.date)
+    )
+    SELECT date, entries,
+           CAST(dow = 1 AS BOOLEAN) AS wd_mon,
+           CAST(dow = 2 AS BOOLEAN) AS wd_tue,
+           CAST(dow = 3 AS BOOLEAN) AS wd_wed,
+           CAST(dow = 4 AS BOOLEAN) AS wd_thu,
+           CAST(dow = 5 AS BOOLEAN) AS wd_fri,
+           CAST(dow = 6 AS BOOLEAN) AS wd_sat,
+           CAST(dow = 0 AS BOOLEAN) AS wd_sun,
+           lag_1, lag_2, lag_3, lag_4, lag_5, lag_6, lag_7,
+           (dow = 2) AS is_closed,
+           (dayofmonth(date) <= 7) AS limited_entries,
+           exhibition_progress, exhibition_popularity,
+           (date > last_date - INTERVAL {_SAMPLE_DAYS} DAY) AS is_sample
+    FROM lagged
+    WHERE lag_7 IS NOT NULL
+    """,
+)
+def visitor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 feature frame, hash-checked: daily entries + weekday one-hot +
+    7 lag features + is_closed (Tuesday, the museum's closing day) +
+    limited_entries (synthetic limited period: first week of each month) +
+    exhibition_progress / exhibition_popularity (joined from the M15
+    ``exhibition_popularity`` output over the active-exhibition window) +
+    the ``is_sample`` last-{30}-days flag
+    (src/visitor_prediction/preprocessing.py:6-95).
+
+    The first ``SEQ_LEN`` days are dropped (incomplete lag vector), as the
+    reference's sequence builder does.  All features are engine-exact:
+    integer sums, boolean flags, and one rounded progress ratio.
+    """
+    from .interval_queries import exhibition_popularity as _pop
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events.filter("event_type = 'purchase'")
+             .groupBy(F.to_date("ts").alias("date"))
+             .agg(F.sum(F.floor("value")).cast("double").alias("entries")))
+    pop = _pop(spark, sf_dir).select("start_date", "popularity")
+    exh = (
+        daily.join(
+            F.broadcast(pop),
+            (F.col("date") >= F.col("start_date"))
+            & (F.col("date") < F.date_add("start_date", _EXH_DURATION)),
+        )
+        .groupBy("date")
+        .agg(
+            F.max(F.round(
+                (F.datediff("date", "start_date") + 1.0) / _EXH_DURATION, 6))
+            .alias("exhibition_progress"),
+            F.max("popularity").alias("exhibition_popularity"),
+        )
+    )
+    w = W.orderBy("date")
+    lagged = (
+        daily.join(exh, "date", "left")
+        .select(
+            "date", "entries",
+            F.dayofweek("date").alias("dow8"),  # Sun=1..Sat=7
+            *[F.lag("entries", i).over(w).alias(f"lag_{i}")
+              for i in range(1, _SEQ_LEN + 1)],
+            F.coalesce("exhibition_progress", F.lit(0.0))
+            .alias("exhibition_progress"),
+            F.coalesce("exhibition_popularity", F.lit(0.0))
+            .alias("exhibition_popularity"),
+        )
+        .withColumn("last_date", F.max("date").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    )
+    # DuckDB dayofweek: Sun=0..Sat=6; Spark dayofweek: Sun=1..Sat=7
+    dow = F.col("dow8") - 1
+    return (
+        lagged.filter(F.col(f"lag_{_SEQ_LEN}").isNotNull())
+        .select(
+            "date", "entries",
+            (dow == 1).alias("wd_mon"),
+            (dow == 2).alias("wd_tue"),
+            (dow == 3).alias("wd_wed"),
+            (dow == 4).alias("wd_thu"),
+            (dow == 5).alias("wd_fri"),
+            (dow == 6).alias("wd_sat"),
+            (dow == 0).alias("wd_sun"),
+            *[f"lag_{i}" for i in range(1, _SEQ_LEN + 1)],
+            (dow == 2).alias("is_closed"),
+            (F.dayofmonth("date") <= 7).alias("limited_entries"),
+            "exhibition_progress", "exhibition_popularity",
+            (F.col("date") > F.date_sub("last_date", _SAMPLE_DAYS))
+            .alias("is_sample"),
+        )
+    )
+
+
+#: deterministic fit cache — the topic outputs share one fit
 _FIT_CACHE: dict[str, list[tuple[int, int]]] = {}
 
 
 def _fit_topics(tokens: DataFrame, cache_key: str) -> DataFrame:
     """Collect (sorted) token lists, fit GSDMM on the driver, return
-    (doc_id, topic) as a DataFrame.  The fit is deterministic, so the two
-    topic queries share it via a per-sf cache."""
+    (doc_id, topic) as a DataFrame.  The fit is deterministic, so the
+    topic outputs share it via a per-sf cache."""
     spark = tokens.sparkSession
     if cache_key not in _FIT_CACHE:
         grouped = (tokens.groupBy("doc_id")
@@ -79,85 +269,84 @@ def _fit_topics(tokens: DataFrame, cache_key: str) -> DataFrame:
                                  ["doc_id", "topic"])
 
 
-@query("topic_modeling_texts")  # rows-only: Gibbs sampling is not SQL
-def topic_modeling_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9: text→topic assignment; the topic is renamed to its top term
-    (src/topic_modeling.py:247-254), computed distributed via explode +
-    rank window."""
+@query("topic_model")  # rows-only: Gibbs sampling is not SQL
+def topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9/A11: GSDMM topic assignments AND top-20 terms per topic in one
+    tagged frame.
+
+    ``kind='doc'`` rows are (doc_id, topic) with the topic renamed to its
+    top term (src/topic_modeling.py:247-254); ``kind='term'`` rows are the
+    top-20 terms per topic by count via a rank window (A11).  Term counting
+    and ranking run distributed; only the sampler core is driver-side
+    (deterministic, unit-tested in tests/test_ml.py).
+    """
     tokens = _topic_tokens(spark, sf_dir)
     assign = _fit_topics(tokens, sf_dir)
     term_counts = (tokens.join(assign, "doc_id")
                    .groupBy("topic", "word").count())
-    top1 = top_k_per_group(term_counts, ["topic"],
-                           [F.col("count").desc(), F.col("word").asc()], 1)
-    return (assign.join(top1.select("topic",
-                                    F.col("word").alias("topic_name")),
-                        "topic")
-            .select("doc_id", "topic", "topic_name"))
-
-
-@query("topic_modeling_terms")  # rows-only: Gibbs sampling is not SQL
-def topic_modeling_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9: top-20 terms per topic by count (A11 rank window)."""
-    tokens = _topic_tokens(spark, sf_dir)
-    assign = _fit_topics(tokens, sf_dir)
-    term_counts = (tokens.join(assign, "doc_id")
-                   .groupBy("topic", "word").count())
-    return top_k_per_group(
+    top20 = top_k_per_group(
         term_counts, ["topic"],
         [F.col("count").desc(), F.col("word").asc()], 20,
-        rank_col="rank", keep_rank=True,
-    ).select("topic", "word", F.col("count").cast("long").alias("n"), "rank")
-
-
-# ---------------------------------------------------------------------------
-# M10 — visitor prediction
-# ---------------------------------------------------------------------------
-
-_SEQ_LEN = 7     # lag-feature depth (reference SEQUENCE_LENGTH)
-_DAYS_AHEAD = 7  # days_to_predict default (predict.py:63)
+        rank_col="rank", keep_rank=True)
+    top1 = top20.filter("rank = 1").select(
+        "topic", F.col("word").alias("topic_name"))
+    docs = (assign.join(top1, "topic")
+            .select(F.lit("doc").alias("kind"),
+                    F.col("doc_id"),
+                    "topic", F.col("topic_name").alias("term"),
+                    F.lit(None).cast("long").alias("n"),
+                    F.lit(None).cast("int").alias("rank")))
+    terms = top20.select(F.lit("term").alias("kind"),
+                         F.lit(None).cast("long").alias("doc_id"),
+                         "topic", F.col("word").alias("term"),
+                         F.col("count").cast("long").alias("n"),
+                         F.col("rank").cast("int").alias("rank"))
+    return docs.unionByName(terms)
 
 
 @query("visitor_prediction_forecast")  # rows-only: iterative KNN forecast
 def visitor_prediction_forecast(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
-    """M10: daily-entry series (purchase events per day) + weekday one-hot +
-    lag features → min-max scaling → KNN(k=5) → sequential 7-day forecast
-    with closed-day zeroing (predict.py:59-206).
+    """M10: the ``visitor_features`` frame → min-max scaling → KNN(k=5) →
+    sequential 7-day forecast with closed-day zeroing (predict.py:59-206).
 
-    Feature engineering (grouping, one-hots, lags) is distributed; the
-    collected series is tiny (one row per day).  ``weekday_1`` (Tuesday,
-    the museum's closing day) forces a 0 prediction, as in the reference.
+    Feature engineering is the hash-checked ``visitor_features`` query
+    (weekday one-hot, lags, is_closed, limited_entries,
+    exhibition_progress/popularity, is_sample); the collected series is
+    tiny (one row per day).  Tuesday (the museum's closing day) forces a 0
+    prediction, as in the reference.
     """
-    events = load_table(spark, sf_dir, "events")
-    daily = (events.filter("event_type = 'purchase'")
-             .groupBy(F.to_date("ts").alias("date"))
-             .agg(F.sum(F.floor("value")).cast("double").alias("entries"))
-             .withColumn("weekday", F.weekday("date"))
-             .orderBy("date"))
-    rows = daily.collect()
+    feats = visitor_features(spark, sf_dir).orderBy("date")
+    rows = feats.collect()
     dates = [r.date for r in rows]
     entries = np.array([r.entries for r in rows])
-    weekdays = [r.weekday for r in rows]
 
     scaler = MinMaxScaler().fit(entries)
     scaled = scaler.transform(entries)
+    scale = (lambda v: scaler.transform(np.array([v]))[0])
 
-    def feats(weekday: int, lags: list[float]) -> list[float]:
-        onehot = [1.0 if weekday == i else 0.0 for i in range(7)]
-        return onehot + lags
+    def feats_vec(r, lags):
+        onehot = [float(r.wd_mon), float(r.wd_tue), float(r.wd_wed),
+                  float(r.wd_thu), float(r.wd_fri), float(r.wd_sat),
+                  float(r.wd_sun)]
+        extra = [float(r.is_closed), float(r.limited_entries),
+                 r.exhibition_progress, r.exhibition_popularity]
+        return onehot + extra + list(lags)
 
-    x, y = [], []
-    for i in range(_SEQ_LEN, len(scaled)):
-        x.append(feats(weekdays[i], list(scaled[i - _SEQ_LEN:i][::-1])))
-        y.append(scaled[i])
+    x = [feats_vec(r, [scale(getattr(r, f"lag_{i}"))
+                       for i in range(1, _SEQ_LEN + 1)])
+         for r in rows]
+    y = list(scaled)
     model = KNNRegressor(5).fit(np.array(x), np.array(y))
+
+    import datetime as _dt
 
     history = list(scaled)
     out = []
     last = dates[-1]
+    last_row = rows[-1]
     for step in range(1, _DAYS_AHEAD + 1):
-        day = last + __import__("datetime").timedelta(days=step)
+        day = last + _dt.timedelta(days=step)
         wd = day.weekday()
         if wd == 1:  # Tuesday → closed (predict.py:180-183)
             # deviation pinned: the reference feeds scaled 0 through
@@ -166,29 +355,75 @@ def visitor_prediction_forecast(spark: SparkSession,
             history.append(0.0)
             out.append((day, 0))
             continue
+        onehot = [1.0 if wd == i else 0.0 for i in range(7)]
+        extra = [0.0, 1.0 if day.day <= 7 else 0.0,
+                 last_row.exhibition_progress,
+                 last_row.exhibition_popularity]
         pred = float(model.predict(
-            [feats(wd, history[-_SEQ_LEN:][::-1])])[0])
+            [onehot + extra + list(history[-_SEQ_LEN:][::-1])])[0])
         history.append(pred)
         out.append((day, int(scaler.inverse(np.array([pred]))[0])))
     return spark.createDataFrame(out, ["date", "entries"])
 
 
 # ---------------------------------------------------------------------------
-# M8 — embedding-space density clustering
+# M8 — embedding-space density clustering + centroid labeling
 # ---------------------------------------------------------------------------
+
+#: driver-collect guard: the reference clusters phrase sets of ≤ thousands
+#: of vectors; past this bound, route through the LSH path documented in
+#: ml/dbscan.py instead of collecting
+_DBSCAN_MAX_ROWS = 200_000
+
 
 @query("embedding_dbscan_clusters")  # rows-only: density clustering not SQL
 def embedding_dbscan_clusters(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    """M8: cosine DBSCAN (eps=.37, min 2) over the embedding table; cluster
-    labels canonicalized to the smallest member id
-    (src/absa/post_opinion_patterns.py:73-210).  Collected sorted by
-    vec_id — the reference's phrase-vector sets are of comparable size;
-    the LSH scale path is documented in ml/dbscan.py."""
-    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
-    rows = emb.select("vec_id", "embedding").collect()
+    """M8: cosine DBSCAN (eps=.37, min 2) over the embedding table, with
+    each cluster labeled by the top-3 nearest vocabulary centroids of its
+    mean vector (src/absa/post_opinion_patterns.py:73-210).
+
+    Cluster labels are canonicalized to the smallest member id.  The
+    "vocabulary" is the per-``label`` centroid table (the same broadcast
+    index the IVF build uses); labeling = cluster centroid × vocabulary
+    cosine, rank ≤ 3, concatenated — all distributed.  Only the DBSCAN
+    core itself collects, bounded by a row-count gate with the LSH scale
+    path documented in ml/dbscan.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _DBSCAN_MAX_ROWS:
+        raise ValueError(
+            f"embedding table has {n} rows > {_DBSCAN_MAX_ROWS}; use the "
+            "LSH-bucketed path (ml/dbscan.py docstring) instead of the "
+            "driver-side DBSCAN")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
     vecs = np.array([r.embedding for r in rows], dtype=np.float64)
     labels = cosine_dbscan(vecs, eps=0.37, min_samples=2)
-    return spark.createDataFrame(
+    assign = spark.createDataFrame(
         [(int(r.vec_id), int(lb)) for r, lb in zip(rows, labels)],
         ["vec_id", "cluster"])
+
+    # distributed labeling: cluster centroids × broadcast vocabulary index
+    clustered = emb.join(assign, "vec_id").filter("cluster >= 0")
+    cluster_cents = centroids_by_key(clustered, "cluster").withColumnRenamed(
+        "centroid", "c_vec")
+    vocab = centroids_by_key(emb, "label").withColumnRenamed(
+        "centroid", "v_vec")
+    scored = (
+        cluster_cents.crossJoin(F.broadcast(vocab))
+        .select("cluster", "label",
+                F.round(cosine(F.col("c_vec"), F.col("v_vec")), 6)
+                .alias("sim"))
+    )
+    top3 = top_k_per_group(
+        scored, ["cluster"], [F.col("sim").desc(), F.col("label").asc()], 3)
+    cluster_labels = (
+        top3.groupBy("cluster")
+        .agg(F.concat_ws("|", F.collect_list("label"))
+             .alias("cluster_label"))
+    )
+    return (assign.join(cluster_labels, "cluster", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce("cluster_label", F.lit("")).alias(
+                        "cluster_label")))

@@ -145,3 +145,36 @@ def fkey_violation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ref, [("o_custkey", "c_custkey")]
     )
     return valid.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# K3 — shuffle-sample export (ORDER BY RANDOM() + LIMIT)
+# ---------------------------------------------------------------------------
+
+@query(
+    "shuffle_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               md5('42|' || CAST(o_orderkey AS VARCHAR)) AS ord
+        FROM orders
+    )
+    ORDER BY ord, o_orderkey
+    LIMIT 100
+    """,
+)
+def shuffle_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: the ``QueryDb`` sample-export sink (``ORDER BY RANDOM()`` +
+    ``LIMIT``, src/_utils/database.py:279-288) as a deterministic
+    md5-keyed permutation so both engines draw the identical sample.
+
+    The driver's comparator sorts rows, so the *membership* of the
+    100-row sample is what's hash-checked — exactly the property the
+    export sink needs pinned.
+    """
+    from ..core.sinks import shuffle_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    return shuffle_sample(orders, 100, seed=42, key_cols=["o_orderkey"])

@@ -1,6 +1,11 @@
 """Text-analysis query inventory (tokenizer, n-grams, quality, language ID,
-fingerprinting) over the ``documents`` table — SURVEY §2.10 M1/M2 plus the
-training-data-pipeline text operators.
+fingerprinting, token counting) over the ``documents`` table — SURVEY §2.10
+M1/M2 plus the training-data-pipeline text operators.
+
+Consolidated to two frames so the correctness driver's ~50-query window
+covers every component: ``document_token_ngrams`` pins the token/adjacency
+grain (M1+M2/J7), ``document_profile`` pins the per-document scalar ops
+(quality, language ID, fingerprint, token counts) in one scan.
 """
 
 from __future__ import annotations
@@ -28,38 +33,22 @@ _TOK_CTE = r"""
     )
 """
 
-
-@query(
-    "tokenize_documents",
-    oracle=f"""
-    WITH {_TOK_CTE}
-    SELECT doc_id, CAST(word_index AS INT) AS word_index, word,
-           CAST(sentence_index AS INT) AS sentence_index
-    FROM tok WHERE word <> ''
-    """,
-)
-def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 tokenizer: text → (doc_id, word_index, word, sentence_index).
-
-    Reference: ``src/absa/post_words.py:150-231`` (the ``post_word`` table,
-    migration_014.sql:11-17).  Indices are 1-based like the reference's.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return X.tokenize(docs, ["doc_id"]).withColumn(
-        "word_index", F.col("word_index").cast("int")
-    ).withColumn("sentence_index", F.col("sentence_index").cast("int"))
+_STOPWORDS = ("a", "the")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
 @query(
-    "document_ngrams",
+    "document_token_ngrams",
     oracle=f"""
     WITH {_TOK_CTE}
     SELECT doc_id, 1 AS n, CAST(word_index AS INT) AS word_index,
-           word AS phrase, CAST(sentence_index AS INT) AS sentence_index
-    FROM tok WHERE word NOT IN ('a', 'the')
+           word AS phrase, CAST(sentence_index AS INT) AS sentence_index,
+           word IN ({_SW_SQL}) AS is_stopword
+    FROM tok WHERE word <> ''
     UNION ALL
     SELECT doc_id, 2 AS n, CAST(word_index AS INT) AS word_index,
-           phrase, CAST(sentence_index AS INT) AS sentence_index
+           phrase, CAST(sentence_index AS INT) AS sentence_index,
+           FALSE AS is_stopword
     FROM (
         SELECT doc_id, word_index, sentence_index,
                word || ' ' || lead(word) OVER (
@@ -69,119 +58,31 @@ def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE phrase IS NOT NULL AND phrase LIKE '% %'
     """,
 )
-def document_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 n-gram generation (n=1,2), sentence-bounded, stopword-filtered
-    unigrams.
+def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 tokenizer + M2 n-grams in one frame.
 
-    Reference: ``src/absa/post_ngrams.py:111-168`` — n-way self-join there,
-    one ``lead`` window here (SURVEY §2.4 J7: strictly better plan).
+    The ``n = 1`` rows are exactly the token table — (doc_id, word_index,
+    word, sentence_index) with 1-based continuous word numbering, matching
+    the reference's ``post_word`` PK (src/absa/post_words.py:150-231,
+    migration_014.sql:11-17).  The ``n = 2`` rows are the sentence-bounded
+    bigrams the reference builds with an n-way self-join
+    (src/absa/post_ngrams.py:111-168) — here one ``lead`` window (J7 →
+    window rewrite, SURVEY §2.6).  The reference's stopword anti-join
+    (post_ngrams.py:149-152) is carried as the hash-checked
+    ``is_stopword`` flag so the unigram stream stays the complete token
+    table; consumers filter ``NOT is_stopword``.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = X.tokenize(docs, ["doc_id"])
-    out = X.ngrams(tokens, ["doc_id"], [1, 2], stopwords=("a", "the"))
-    return out.select(
+    grams = X.ngrams(tokens, ["doc_id"], [1, 2], stopwords=())
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return grams.select(
         "doc_id", F.col("n").cast("int").alias("n"),
         F.col("word_index").cast("int").alias("word_index"),
         "phrase", F.col("sentence_index").cast("int").alias("sentence_index"),
+        ((F.col("n") == 1) & F.array_contains(sw, F.col("phrase")))
+        .alias("is_stopword"),
     )
-
-
-@query(
-    "document_quality",
-    oracle=r"""
-    WITH t AS (
-        SELECT doc_id, text,
-               string_split_regex(trim(lower(text)), '\s+') AS toks
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-           CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS BIGINT)
-               AS n_stopwords,
-           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks)
-               AS mean_token_len,
-           CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE) / len(toks)
-               AS stopword_ratio,
-           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-               / length(text) AS alpha_ratio,
-           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
-    FROM t
-    """,
-)
-def document_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring for corpus filtering (training-data op).
-
-    All counts are exact integers; ratios are single divisions of exact
-    integers → engine-portable without rounding.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    out = X.quality_features(docs, stopwords=("a", "the"))
-    return out.select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
-        F.col("n_stopwords").cast("long").alias("n_stopwords"),
-        "mean_token_len", "stopword_ratio", "alpha_ratio", "distinct_ratio",
-    )
-
-
-def _lex_sql(words) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
-@query(
-    "document_language_id",
-    oracle=rf"""
-    WITH t AS (
-        SELECT doc_id, lang,
-               string_split_regex(trim(lower(text)), '\s+') AS toks
-        FROM documents
-    ), h AS (
-        SELECT doc_id, lang,
-               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['de'])}, x))) AS h_de,
-               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['en'])}, x))) AS h_en,
-               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['es'])}, x))) AS h_es,
-               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['fr'])}, x))) AS h_fr
-        FROM t
-    )
-    SELECT doc_id, lang,
-           CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                ELSE 'fr' END AS predicted_lang
-    FROM h
-    """,
-)
-def document_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Function-word language-ID heuristic (training-data op; reference
-    analogue: langdetect gate, src/topic_modeling.py:155-160).
-
-    Ties resolve to the lexicographically first language (both sides).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return X.language_id(docs).select("doc_id", "lang", "predicted_lang")
-
-
-@query(
-    "document_fingerprints",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(('0x' || substring(md5(
-               array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
-           ), 1, 14)) AS BIGINT) AS fingerprint
-    FROM documents
-    """,
-)
-def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting (md5-derived 56-bit, whitespace-normalized).
-
-    The exact-dedup key; portable across engines by construction.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return X.fingerprint(docs).select("doc_id", "fingerprint")
 
 
 # BPE-ish pre-tokenizer pattern (GPT-2 style, minus the \s+(?!\S) lookahead
@@ -191,32 +92,83 @@ _BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|
 _BPE_SQL = _BPE_PATTERN.replace("'", "''")
 
 
+def _lex_sql(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
 @query(
-    "token_counts",
+    "document_profile",
     oracle=rf"""
-    SELECT doc_id,
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ), h AS (
+        SELECT *,
+               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['de'])}, x))) AS h_de,
+               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['en'])}, x))) AS h_en,
+               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['es'])}, x))) AS h_es,
+               len(list_filter(toks, x -> list_contains({_lex_sql(X.LANG_LEXICONS['fr'])}, x))) AS h_fr
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS BIGINT)
+               AS n_stopwords,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(toks)
+               AS mean_token_len,
+           CAST(len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(toks)
+               AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           CAST(('0x' || substring(md5(array_to_string(toks, ' ')), 1, 14))
+               AS BIGINT) AS fingerprint,
            CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
                AS ws_tokens,
            CAST(length(regexp_extract_all(text, '{_BPE_SQL}'))
-               AS BIGINT) AS bpe_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents
+               AS BIGINT) AS bpe_tokens
+    FROM h
     """,
 )
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counting: whitespace tokens + BPE-ish regex
-    pre-tokens (the training-data-pipeline budget metric).
+def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile: quality scoring + language ID + fingerprint +
+    token counts — the training-data-pipeline per-document scalar ops in
+    one codegen'd scan.
 
-    Both counts are single JVM regex expressions inside one codegen stage —
-    no UDF, no shuffle; at 100 TB this is a pure map over the scan with
-    only (doc_id, 3 ints) leaving each task.
+    - quality: exact integer counts, ratios as single divisions →
+      engine-portable without rounding;
+    - language ID: function-word argmax heuristic (reference analogue: the
+      langdetect gate, src/topic_modeling.py:155-160); ties resolve to the
+      lexicographically first language on both engines;
+    - fingerprint: md5-derived 56-bit over whitespace-normalized text — the
+      exact-dedup key;
+    - token counts: whitespace tokens + BPE-ish regex pre-tokens (the
+      corpus budget metric).
+
+    At 100 TB this is one map-only scan — no shuffle, (doc_id, ~12 scalars)
+    per row leaving each task.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
+    out = X.quality_features(docs, stopwords=_STOPWORDS)
+    out = X.language_id(out)
+    out = X.fingerprint(out)
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "mean_token_len", "stopword_ratio", "alpha_ratio", "distinct_ratio",
+        "predicted_lang", "fingerprint",
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
         .cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
         .cast("long").alias("bpe_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
     )

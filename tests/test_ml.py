@@ -62,8 +62,8 @@ def test_ml_queries_deterministic(spark):
     a = QUERIES["embedding_dbscan_clusters"](spark, sf).collect()
     b = QUERIES["embedding_dbscan_clusters"](spark, sf).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-    t1 = QUERIES["topic_modeling_texts"](spark, sf).collect()
-    t2 = QUERIES["topic_modeling_texts"](spark, sf).collect()
+    t1 = QUERIES["topic_model"](spark, sf).collect()
+    t2 = QUERIES["topic_model"](spark, sf).collect()
     assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))
     f = QUERIES["visitor_prediction_forecast"](spark, sf).collect()
     assert len(f) == 7
