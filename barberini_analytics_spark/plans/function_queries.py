@@ -160,15 +160,12 @@ def postal_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P5 pseudonymization UDF is value-checked against an independent
 # implementation, not just unit-test vectors.  Input is ASCII here, so
 # ascii(substring(...)) is the byte stream.
-_MMH3_ORACLE = r"""
-    WITH src AS (
-        SELECT c_custkey AS customer_id,
-               CASE WHEN c_custkey % 5 <> 0
-                    THEN lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
-                         || '@example.com'
-               END AS s
-        FROM customer
-    ),
+#
+# MMH3_SQL_CHAIN is reusable: prepend a ``src(customer_id, s)`` CTE, append
+# a final SELECT joining ``fin`` (columns customer_id, s, f5 — the unsigned
+# 32-bit digest; signed = CASE WHEN f5 >= 2^31 THEN f5 - 2^32 ELSE f5 END).
+# The gomus booking-detail ingest oracle reuses it for the email hash.
+MMH3_SQL_CHAIN = r"""
     prep AS (
         SELECT customer_id, s, length(s) AS n,
                length(s) // 4 AS nc, length(s) % 4 AS r,
@@ -226,6 +223,18 @@ _MMH3_ORACLE = r"""
                xor(f4, f4 // 65536) AS f5
         FROM tailed
     )
+    """
+
+_MMH3_ORACLE = r"""
+    WITH src AS (
+        SELECT c_custkey AS customer_id,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+                         || '@example.com'
+               END AS s
+        FROM customer
+    ),
+""" + MMH3_SQL_CHAIN + r"""
     SELECT p.customer_id,
            CASE WHEN p.s IS NULL THEN p.customer_id
                 WHEN f.f5 >= 2147483648 THEN f.f5 - 4294967296

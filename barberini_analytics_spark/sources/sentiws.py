@@ -18,11 +18,9 @@ _FLOAT = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
 _LINE = rf"^(\p{{L}}+)\|([A-Z]+)\t({_FLOAT})(?:\t(.*))?$"
 
 
-def parse_sentiws(spark: SparkSession, path: str,
-                  polarity: str | None = None) -> DataFrame:
-    """Parse one SentiWS file into
+def parse_sentiws_lines(lines: DataFrame) -> DataFrame:
+    """Parse a one-column (``value``) DataFrame of SentiWS-format lines into
     ``(word, pos_tag, weight, inflections array<string>)``."""
-    lines = spark.read.text(path)
     df = lines.select(
         F.regexp_extract("value", _LINE, 1).alias("word"),
         F.regexp_extract("value", _LINE, 2).alias("pos_tag"),
@@ -34,6 +32,14 @@ def parse_sentiws(spark: SparkSession, path: str,
         F.when(F.col("__infl") == "", F.array().cast("array<string>"))
         .otherwise(F.split(F.regexp_replace("__infl", r"\s*,\s*", ","), ","))
     ).drop("__infl")
+    return df
+
+
+def parse_sentiws(spark: SparkSession, path: str,
+                  polarity: str | None = None) -> DataFrame:
+    """Parse one SentiWS file into
+    ``(word, pos_tag, weight, inflections array<string>)``."""
+    df = parse_sentiws_lines(spark.read.text(path))
     if polarity is not None:
         df = df.withColumn("dataset_polarity", F.lit(polarity))
     return df
