@@ -517,3 +517,545 @@ def sepl_phrase_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dataset",
         F.size(F.split("phrase", r"\s+")).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 + S3 + S4 — Facebook Graph API: posts, insights, comments
+# ---------------------------------------------------------------------------
+
+_FB_POSTS_SCHEMA = (
+    "STRUCT<data: ARRAY<STRUCT<id: STRING, created_time: STRING, "
+    "message: STRING>>>"
+)
+
+# the insights `value` is heterogeneous (map for reactions/activity/clicks,
+# scalar for negative-feedback/impressions), so the payload is parsed twice
+# with PERMISSIVE from_json: the mismatched field nulls out per-element and
+# the two passes are re-aligned with arrays_zip (same document, same order).
+_FB_INS_MAP_SCHEMA = (
+    "STRUCT<data: ARRAY<STRUCT<name: STRING, "
+    "values: ARRAY<STRUCT<value: MAP<STRING, BIGINT>>>>>>"
+)
+_FB_INS_INT_SCHEMA = (
+    "STRUCT<data: ARRAY<STRUCT<name: STRING, "
+    "values: ARRAY<STRUCT<value: BIGINT>>>>>"
+)
+
+_FB_COMMENTS_SCHEMA = (
+    "STRUCT<data: ARRAY<STRUCT<id: STRING, created_time: STRING, "
+    "comment_count: INT, message: STRING, `from`: STRUCT<name: STRING>, "
+    "comments: STRUCT<data: ARRAY<STRUCT<id: STRING, created_time: STRING, "
+    "message: STRING, `from`: STRUCT<name: STRING>>>>>>>"
+)
+
+_MUSEUM = "Museum Barberini"
+_PAGE_ID = "1234567890"
+
+
+def _fb_metric_entry(key: str, value):
+    return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+
+@query(
+    "fb_graph_flatten",
+    oracle=f"""
+    WITH posts AS (
+        SELECT '{_PAGE_ID}' AS page_id,
+               CAST(o_orderkey AS VARCHAR) AS post_id,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL 12 HOUR AS post_date,
+               'Post ' || CAST(o_orderkey AS VARCHAR) || ' '
+                   || lower(o_orderpriority) AS post_text,
+               o_orderkey AS ok, o_orderstatus AS st
+        FROM orders
+    ),
+    ins AS (
+        SELECT CAST(ok AS VARCHAR) AS post_id,
+               CAST(ok % 100 AS INT) AS react_like,
+               CAST(ok % 50 AS INT) AS react_love,
+               CAST(ok % 20 AS INT) AS react_wow,
+               CAST(CASE WHEN ok % 2 = 0 THEN ok % 30 ELSE 0 END AS INT)
+                   AS react_haha,
+               CAST(CASE WHEN ok % 2 = 0 THEN ok % 10 ELSE 0 END AS INT)
+                   AS react_sorry,
+               CAST(CASE WHEN ok % 2 = 0 THEN ok % 5 ELSE 0 END AS INT)
+                   AS react_anger,
+               CAST(ok % 90 AS INT) AS likes,
+               CAST(ok % 40 AS INT) AS shares,
+               CAST(ok % 60 AS INT) AS comments,
+               CAST(CASE WHEN ok % 3 <> 0 THEN ok % 25 END AS INT)
+                   AS video_clicks,
+               CAST(CASE WHEN ok % 3 <> 0 THEN ok % 15 END AS INT)
+                   AS link_clicks,
+               CAST(CASE WHEN ok % 3 <> 0 THEN ok % 35 END AS INT)
+                   AS other_clicks,
+               CAST(CASE WHEN ok % 7 <> 0 THEN ok % 4 END AS INT)
+                   AS negative_feedback,
+               CAST(CASE WHEN st = 'O' THEN ok % 1000 END AS INT)
+                   AS paid_impressions,
+               CAST(ok % 2000 AS INT) AS post_impressions,
+               CAST(ok % 1500 AS INT) AS post_impressions_unique
+        FROM posts
+    ),
+    toplevel AS (
+        -- duplicate (l_orderkey, l_linenumber) pairs model the reference's
+        -- #227 duplicate comment fetches: every field derives from cid, so
+        -- the duplicates are byte-identical and the dedup is DISTINCT
+        SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS post_id,
+               l_orderkey * 10 + l_linenumber AS cid
+        FROM lineitem
+    ),
+    cm AS (
+        SELECT post_id, CAST(cid AS VARCHAR) AS comment_id,
+               CAST(DATE '2024-01-01' + CAST(cid % 365 AS INT) AS TIMESTAMP)
+                   + INTERVAL 8 HOUR AS comment_date,
+               'Comment ' || CAST(cid AS VARCHAR) AS comment_text,
+               (cid % 10 = 0) AS is_from_museum,
+               CAST(NULL AS VARCHAR) AS response_to
+        FROM toplevel
+        UNION ALL
+        SELECT post_id, CAST(cid * 10 + 9 AS VARCHAR),
+               CAST(DATE '2024-01-01' + CAST((cid + 1) % 365 AS INT)
+                    AS TIMESTAMP) + INTERVAL 9 HOUR,
+               'Reply ' || CAST(cid AS VARCHAR),
+               (cid % 7 = 0), CAST(cid AS VARCHAR)
+        FROM toplevel WHERE cid % 3 = 0 AND cid % 15 <> 0
+    )
+    SELECT p.page_id, p.post_id, p.post_date, p.post_text,
+           i.react_like, i.react_love, i.react_wow, i.react_haha,
+           i.react_sorry, i.react_anger, i.likes, i.shares, i.comments,
+           i.video_clicks, i.link_clicks, i.other_clicks,
+           i.negative_feedback, i.paid_impressions, i.post_impressions,
+           i.post_impressions_unique,
+           c.comment_id, c.comment_date, c.comment_text, c.is_from_museum,
+           c.response_to
+    FROM posts p
+    JOIN ins i USING (post_id)
+    LEFT JOIN cm c USING (post_id)
+    """,
+)
+def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + S3 + S4: the Facebook Graph API ingest chain as one flatten.
+
+    - S2 posts scan: paginated ``{"data": [...]}`` pages; the composite
+      ``id`` splits into ``(page_id, post_id)`` (src/facebook.py:117-124).
+    - S3 insights: wide metric extraction from the per-post insights
+      response — map-valued metrics (reactions/activity/clicks, with
+      ``.get(key, 0)`` defaulting) and scalar metrics, where an absent
+      metric leaves NULL but an absent key inside a present metric is 0
+      (src/facebook.py:225-305's try/IndexError blocks).
+    - S4 comments: toplevel comments plus one reply level; replies carry
+      ``response_to`` = parent comment id; ``comment_count > 0`` with a
+      missing ``comments`` field is the reference's KeyError skip
+      (src/facebook.py:327-477); dedup on (comment_id, post_id).
+
+    The heterogeneous insights ``value`` is parsed with two PERMISSIVE
+    ``from_json`` passes re-aligned by ``arrays_zip`` — no UDF.  Output is
+    comment-grained with post + metric columns (J2's posts↔rich left
+    join); posts without comments survive with NULL comment fields.
+
+    Scale: one raw row per API response; every flatten is
+    ``from_json``+``explode`` in the scan stage.  The final joins are
+    equi-joins on post_id (AQE picks broadcast for the dim side).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ok = F.col("o_orderkey")
+
+    # --- S2: posts pages ------------------------------------------------
+    post_obj = F.to_json(F.struct(
+        F.concat(F.lit(_PAGE_ID + "_"), ok.cast("string")).alias("id"),
+        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"),
+                 F.lit("T12:00:00")).alias("created_time"),
+        F.concat(F.lit("Post "), ok.cast("string"), F.lit(" "),
+                 F.lower("o_orderpriority")).alias("message"),
+    ))
+    pages = orders.groupBy((ok % 4).alias("pg")).agg(
+        F.concat(F.lit('{"data": ['), F.concat_ws(",", F.collect_list(post_obj)),
+                 F.lit("]}")).alias("body"))
+    posts = (
+        pages.select(F.explode(F.from_json("body", _FB_POSTS_SCHEMA)["data"])
+                     .alias("p"))
+        .select(
+            F.split("p.id", "_").getItem(0).alias("page_id"),
+            F.split("p.id", "_").getItem(1).alias("post_id"),
+            F.to_timestamp("p.created_time").alias("post_date"),
+            F.col("p.message").alias("post_text"),
+        ))
+
+    # --- S3: per-post insights response ---------------------------------
+    def mp(name: str, entries) -> F.Column:
+        value = F.map_from_entries(
+            F.filter(F.array(*entries), lambda s: s["value"].isNotNull()))
+        return F.to_json(F.struct(
+            F.lit(name).alias("name"),
+            F.array(F.struct(value.alias("value"))).alias("values")))
+
+    def sc(name: str, cond, value) -> F.Column:
+        return F.when(cond, F.to_json(F.struct(
+            F.lit(name).alias("name"),
+            F.array(F.struct(value.cast("long").alias("value")))
+            .alias("values"))))
+
+    even = ok % 2 == 0
+    ins_body = orders.select(
+        ok.cast("string").alias("post_id"),
+        F.concat(F.lit('{"data": ['), F.concat_ws(
+            ",",
+            mp("post_reactions_by_type_total", [
+                _fb_metric_entry("like", ok % 100),
+                _fb_metric_entry("love", ok % 50),
+                _fb_metric_entry("wow", ok % 20),
+                _fb_metric_entry("haha", F.when(even, ok % 30)),
+                _fb_metric_entry("sorry", F.when(even, ok % 10)),
+                _fb_metric_entry("anger", F.when(even, ok % 5)),
+            ]),
+            mp("post_activity_by_action_type", [
+                _fb_metric_entry("like", ok % 90),
+                _fb_metric_entry("share", ok % 40),
+                _fb_metric_entry("comment", ok % 60),
+            ]),
+            F.when(ok % 3 != 0, mp("post_clicks_by_type", [
+                _fb_metric_entry("video play", ok % 25),
+                _fb_metric_entry("link clicks", ok % 15),
+                _fb_metric_entry("other clicks", ok % 35),
+            ])),
+            sc("post_negative_feedback", ok % 7 != 0, ok % 4),
+            sc("post_impressions_paid", F.col("o_orderstatus") == "O",
+               ok % 1000),
+            sc("post_impressions", F.lit(True), ok % 2000),
+            sc("post_impressions_unique", F.lit(True), ok % 1500),
+        ), F.lit("]}")).alias("body"))
+
+    two_pass = ins_body.select(
+        "post_id",
+        F.from_json("body", _FB_INS_MAP_SCHEMA)["data"].alias("md"),
+        F.from_json("body", _FB_INS_INT_SCHEMA)["data"].alias("sd"))
+    m = (
+        two_pass.select("post_id",
+                        F.explode(F.arrays_zip("md", "sd")).alias("e"))
+        .select("post_id",
+                F.col("e.md.name").alias("name"),
+                F.col("e.md.values").getItem(0)["value"].alias("mv"),
+                F.col("e.sd.values").getItem(0)["value"].alias("sv"))
+    )
+
+    def pick_map(name: str) -> F.Column:
+        return F.first(F.when(F.col("name") == name, F.col("mv")),
+                       ignorenulls=True)
+
+    def pick_int(name: str) -> F.Column:
+        return F.first(F.when(F.col("name") == name, F.col("sv")),
+                       ignorenulls=True)
+
+    wide_maps = m.groupBy("post_id").agg(
+        pick_map("post_reactions_by_type_total").alias("rmap"),
+        pick_map("post_activity_by_action_type").alias("amap"),
+        pick_map("post_clicks_by_type").alias("cmap"),
+        pick_int("post_negative_feedback").alias("neg"),
+        pick_int("post_impressions_paid").alias("paid"),
+        pick_int("post_impressions").alias("impr"),
+        pick_int("post_impressions_unique").alias("impru"),
+    )
+
+    def from_map(map_col: str, key: str) -> F.Column:
+        # present metric + absent key -> 0; absent metric -> NULL
+        return F.when(F.col(map_col).isNotNull(),
+                      F.coalesce(F.col(map_col)[key], F.lit(0))).cast("int")
+
+    ins = wide_maps.select(
+        "post_id",
+        from_map("rmap", "like").alias("react_like"),
+        from_map("rmap", "love").alias("react_love"),
+        from_map("rmap", "wow").alias("react_wow"),
+        from_map("rmap", "haha").alias("react_haha"),
+        from_map("rmap", "sorry").alias("react_sorry"),
+        from_map("rmap", "anger").alias("react_anger"),
+        from_map("amap", "like").alias("likes"),
+        from_map("amap", "share").alias("shares"),
+        from_map("amap", "comment").alias("comments"),
+        from_map("cmap", "video play").alias("video_clicks"),
+        from_map("cmap", "link clicks").alias("link_clicks"),
+        from_map("cmap", "other clicks").alias("other_clicks"),
+        F.col("neg").cast("int").alias("negative_feedback"),
+        F.col("paid").cast("int").alias("paid_impressions"),
+        F.col("impr").cast("int").alias("post_impressions"),
+        F.col("impru").cast("int").alias("post_impressions_unique"),
+    )
+
+    # --- S4: comments + one reply level ---------------------------------
+    # every comment field derives from cid so that the duplicate
+    # (l_orderkey, l_linenumber) pairs in the synthetic table model the
+    # reference's #227 duplicate comment fetches (byte-identical rows the
+    # (comment_id, post_id) dedup removes)
+    cid = li.l_orderkey * 10 + F.col("l_linenumber")
+    has_reply = cid % 3 == 0
+    epoch = F.lit("2024-01-01").cast("date")
+    reply = F.struct(F.array(F.struct(
+        F.concat(li.l_orderkey.cast("string"), F.lit("_"),
+                 (cid * 10 + 9).cast("string")).alias("id"),
+        F.concat(F.date_format(F.date_add(epoch, ((cid + 1) % 365)
+                                          .cast("int")), "yyyy-MM-dd"),
+                 F.lit("T09:00:00")).alias("created_time"),
+        F.concat(F.lit("Reply "), cid.cast("string")).alias("message"),
+        F.struct(
+            F.when(cid % 7 == 0, _MUSEUM)
+            .otherwise(F.concat(F.lit("User "), (cid % 7).cast("string")))
+            .alias("name")).alias("from"),
+    )).alias("data"))
+    comment_obj = F.to_json(F.struct(
+        F.concat(li.l_orderkey.cast("string"), F.lit("_"),
+                 cid.cast("string")).alias("id"),
+        F.concat(F.date_format(F.date_add(epoch, (cid % 365).cast("int")),
+                               "yyyy-MM-dd"),
+                 F.lit("T08:00:00")).alias("created_time"),
+        F.when(has_reply, 1).otherwise(0).alias("comment_count"),
+        F.concat(F.lit("Comment "), cid.cast("string")).alias("message"),
+        F.struct(
+            F.when(cid % 10 == 0, _MUSEUM)
+            .otherwise(F.concat(F.lit("User "), (cid % 10).cast("string")))
+            .alias("name")).alias("from"),
+        # KeyError case: count > 0 but no `comments` field (cid % 15 == 0)
+        F.when(has_reply & (cid % 15 != 0), reply).alias("comments"),
+    ))
+    cpages = li.groupBy("l_orderkey").agg(
+        F.concat(F.lit('{"data": ['),
+                 F.concat_ws(",", F.collect_list(comment_obj)),
+                 F.lit("]}")).alias("body"))
+    top = cpages.select(
+        F.explode(F.from_json("body", _FB_COMMENTS_SCHEMA)["data"])
+        .alias("c"))
+    toplevel = top.select(
+        F.split("c.id", "_").getItem(0).alias("post_id"),
+        F.split("c.id", "_").getItem(1).alias("comment_id"),
+        F.to_timestamp("c.created_time").alias("comment_date"),
+        F.col("c.message").alias("comment_text"),
+        (F.col("c.from.name") == _MUSEUM).alias("is_from_museum"),
+        F.lit(None).cast("string").alias("response_to"),
+    )
+    replies = (
+        top.filter((F.col("c.comment_count") > 0)
+                   & F.col("c.comments").isNotNull())
+        .select(F.split("c.id", "_").getItem(1).alias("parent_id"),
+                F.explode("c.comments.data").alias("r"))
+        .select(
+            F.split("r.id", "_").getItem(0).alias("post_id"),
+            F.split("r.id", "_").getItem(1).alias("comment_id"),
+            F.to_timestamp("r.created_time").alias("comment_date"),
+            F.col("r.message").alias("comment_text"),
+            (F.col("r.from.name") == _MUSEUM).alias("is_from_museum"),
+            F.col("parent_id").alias("response_to"),
+        ))
+    cm = toplevel.unionByName(replies).dropDuplicates(
+        ["comment_id", "post_id"])
+
+    return (
+        posts.join(ins, "post_id")
+        .join(cm, "post_id", "left")
+        .select(
+            "page_id", "post_id", "post_date", "post_text",
+            "react_like", "react_love", "react_wow", "react_haha",
+            "react_sorry", "react_anger", "likes", "shares", "comments",
+            "video_clicks", "link_clicks", "other_clicks",
+            "negative_feedback", "paid_impressions", "post_impressions",
+            "post_impressions_unique",
+            "comment_id", "comment_date", "comment_text", "is_from_museum",
+            "response_to",
+        ))
+
+
+# ---------------------------------------------------------------------------
+# S13 + S14 — gomus admin-page scrape: booking details + order articles
+# ---------------------------------------------------------------------------
+
+from .function_queries import MMH3_SQL_CHAIN  # noqa: E402  (shared oracle)
+
+_GOMUS_ORACLE = r"""
+    WITH raw AS (
+        SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS lk,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN lower(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g'))
+                         || '@example.com'
+               END AS email
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    src AS (
+        SELECT o_orderkey AS customer_id, email AS s FROM raw
+    ),
+""" + MMH3_SQL_CHAIN + r"""
+    , booking AS (
+        SELECT r.o_orderkey AS order_id,
+               CAST(r.o_orderdate AS DATE) AS order_date,
+               CASE r.lk WHEN 0 THEN 'Deutsch' WHEN 1 THEN 'Englisch'
+                    WHEN 2 THEN 'Französisch' ELSE '' END AS language,
+               CASE WHEN r.email IS NULL THEN 0
+                    WHEN f.f5 >= 2147483648 THEN f.f5 - 4294967296
+                    ELSE f.f5 END AS customer_id
+        FROM raw r LEFT JOIN fin f ON f.customer_id = r.o_orderkey
+    ),
+    article AS (
+        SELECT l_orderkey AS order_id,
+               CAST(l_partkey AS INT) AS article_id,
+               CASE CAST(l_linenumber % 3 AS INT) WHEN 0 THEN 'Ticket'
+                    WHEN 1 THEN 'Führung' ELSE 'Event' END AS article_type,
+               'T' || CAST(l_partkey % 20 AS VARCHAR) AS ticket,
+               CASE WHEN l_linenumber % 5 <> 0 THEN CAST(l_shipdate AS DATE)
+                    ELSE DATE '1900-01-01' END AS date,
+               CAST(l_quantity AS INT) AS quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) % 100000 / 100.0
+                   AS price,
+               (l_returnflag = 'R') AS is_cancelled
+        FROM lineitem
+        WHERE l_linenumber % 7 <> 0          -- no id div -> skipped
+          AND l_quantity > 2                 -- empty td[3] -> skipped
+          AND CAST(l_quantity AS BIGINT) % 10 <> 9   -- empty ticket -> skipped
+    )
+    SELECT b.order_id, b.order_date, b.language, b.customer_id,
+           a.article_id, a.article_type, a.ticket, a.date, a.quantity,
+           a.price, a.is_cancelled
+    FROM booking b JOIN article a USING (order_id)
+    """
+
+
+@query("gomus_scrape_flatten", oracle=_GOMUS_ORACLE)
+def gomus_scrape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 + S14: the gomus admin-page scrape chain — booking detail parse
+    (order date, language, customer email → mmh3(seed=666) id or 0,
+    src/gomus/_utils/scrape_gomus.py:59-256) and the order-contains
+    article explode (one ``<tr>`` per article with the reference's three
+    defective-row workarounds, scrape_gomus.py:259-382).
+
+    One synthetic HTML document per order (orders×customer for the detail
+    header, lineitems as article rows).  The parse is all JVM regexp:
+    doc-level ``regexp_extract`` for the booking fields, then
+    ``regexp_extract_all`` + ``explode`` for the article rows —
+    - rows without the id ``<div>`` are skipped (orders like 671144),
+    - rows with an empty ``td[3]`` or empty ``<strong>`` ticket are
+      skipped (orders like 478531),
+    - a missing ``… Uhr`` infobox date falls back to 1.1.1900
+      (orders like 679577),
+    - German ``12,34 €`` prices and ``d.M.yyyy`` dates are decoded,
+    - ``Storno`` mentions anywhere in the row set ``is_cancelled``.
+
+    The email hash rides the shared murmur3 DuckDB oracle chain
+    (function_queries.MMH3_SQL_CHAIN), so S13's ``hash_id`` parity is
+    value-checked, with the invalid-email → 0 fallback.
+
+    Scale: one raw row per scraped page; booking fields are per-document
+    projections, article fan-out is ``explode`` in the scan stage; the
+    only Python is the documented mmh3-parity pandas UDF.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..functions import hashing as H
+
+    lk = F.col("o_orderkey") % 4
+    lang = (F.when(lk == 0, "Deutsch").when(lk == 1, "Englisch")
+            .when(lk == 2, "Französisch").otherwise(""))
+    email = F.when(
+        F.col("c_custkey") % 5 != 0,
+        F.concat(F.lower(F.regexp_replace("c_name", "[^a-zA-Z0-9]", "")),
+                 F.lit("@example.com")))
+    header = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("o_orderkey"),
+        F.concat(
+            F.lit('<div class="breadcrumb"><span>'),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</span></div><dl><dt>Datum</dt><dd>"),
+            F.concat_ws(
+                ".",
+                F.dayofmonth("o_orderdate").cast("string"),
+                F.month("o_orderdate").cast("string"),
+                F.year("o_orderdate").cast("string")),
+            F.lit(" 10:30</dd></dl><dl><dt>Sprache</dt><dd>"),
+            lang, F.lit(" </dd></dl>"),
+            F.lit('<div class="customer"><small>'),
+            F.coalesce(email, F.lit("keine Mail")),
+            F.lit("</small></div>"),
+        ).alias("head"))
+
+    # --- one <tr> per article, with the three defective-row shapes -------
+    qty_bad = F.col("l_quantity") <= 2
+    ticket_empty = F.col("l_quantity").cast("bigint") % 10 == 9
+    id_div = F.when(F.col("l_linenumber") % 7 == 0, F.lit("<td></td>")) \
+        .otherwise(F.concat(F.lit("<td><div> "),
+                            F.col("l_partkey").cast("string"),
+                            F.lit(" </div>")))
+    atype = (F.when(F.col("l_linenumber") % 3 == 0, "Ticket")
+             .when(F.col("l_linenumber") % 3 == 1, "Führung")
+             .otherwise("Event"))
+    raw_date = F.when(
+        F.col("l_linenumber") % 5 != 0,
+        F.concat(F.concat_ws(
+            ".",
+            F.dayofmonth("l_shipdate").cast("string"),
+            F.month("l_shipdate").cast("string"),
+            F.year("l_shipdate").cast("string")), F.lit(" 14:30 Uhr"))
+    ).otherwise(F.lit("kein Datum"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") % 100000
+    price_txt = F.translate(
+        F.format_string("%.2f", cents / F.lit(100.0)), ".", ",")
+    td3 = F.when(qty_bad, F.lit("<td></td>")) \
+        .when(ticket_empty, F.lit("<td><strong></strong></td>")) \
+        .otherwise(F.concat(F.lit("<td><strong>T"),
+                            (F.col("l_partkey") % 20).cast("string"),
+                            F.lit("</strong></td>")))
+    tr = F.concat(
+        F.lit("<tr>"), id_div,
+        F.lit('<i title="'), atype, F.lit('"></i></td>'),
+        F.lit("<td><div>Info "), raw_date, F.lit("</div></td>"),
+        td3,
+        F.lit("<td>"), F.col("l_quantity").cast("int").cast("string"),
+        F.lit("</td><td>"), price_txt, F.lit(" €</td>"),
+        F.when(F.col("l_returnflag") == "R",
+               F.lit("<td>Stornogebühr</td>")).otherwise(F.lit("")),
+        F.lit("</tr>"))
+    tables = li.groupBy("l_orderkey").agg(
+        F.concat(F.lit("<table><tbody>"),
+                 F.concat_ws("", F.collect_list(tr)),
+                 F.lit("</tbody></table>")).alias("tbl"))
+
+    docs = header.join(tables, header.o_orderkey == tables.l_orderkey) \
+        .select(F.concat("head", "tbl").alias("doc"))
+
+    # --- parse: booking fields (doc level), then article explode ---------
+    mail_raw = F.regexp_extract("doc", r"<small>([^<]*)</small>", 1)
+    mail_valid = F.when(mail_raw.rlike(r"^\S+@\S+\.\S+$"), mail_raw)
+    booked = docs.select(
+        "doc",
+        F.regexp_extract("doc", r"<span>(\d+)</span>", 1).cast("bigint")
+        .alias("order_id"),
+        F.to_date(
+            F.regexp_extract("doc", r"<dt>Datum</dt><dd>([\d.]+)", 1),
+            "d.M.yyyy").alias("order_date"),
+        F.trim(F.regexp_extract(
+            "doc", r"<dt>Sprache</dt><dd>([^<]*)</dd>", 1)).alias("language"),
+        F.coalesce(H.hash_id(mail_valid, F.lit(None)), F.lit(0))
+        .alias("customer_id"),
+    )
+    rows = booked.select(
+        "order_id", "order_date", "language", "customer_id",
+        F.explode(F.expr(r"regexp_extract_all(doc, '<tr>(.*?)</tr>', 1)"))
+        .alias("tr"))
+    # the reference's skip workarounds: no id div / empty td[3] / '' ticket
+    arts = rows.filter(
+        (F.regexp_extract("tr", r"^<td><div>([^<]*)</div>", 1) != "")
+        & F.col("tr").rlike("<strong>[^<]")
+    )
+    return arts.select(
+        "order_id", "order_date", "language", "customer_id",
+        F.trim(F.regexp_extract("tr", r"^<td><div>([^<]*)</div>", 1))
+        .cast("int").alias("article_id"),
+        F.regexp_extract("tr", r'<i title="([^"]*)"', 1).alias("article_type"),
+        F.regexp_extract("tr", r"<strong>([^<]*)</strong>", 1).alias("ticket"),
+        F.coalesce(
+            F.expr(r"try_to_date(regexp_extract(tr, "
+                   r"'(\\d+\\.\\d+\\.\\d+)[^<]*Uhr', 1), 'd.M.yyyy')"),
+            F.to_date(F.lit("1.1.1900"), "d.M.yyyy")).alias("date"),
+        F.regexp_extract("tr", r"</td><td>(\d+)</td><td>", 1).cast("int")
+        .alias("quantity"),
+        F.regexp_replace(
+            F.regexp_extract("tr", r"<td>([\d.,]+) €</td>", 1), ",", ".")
+        .cast("double").alias("price"),
+        F.col("tr").rlike("(S|s)torn(o|ier)").alias("is_cancelled"),
+    )
