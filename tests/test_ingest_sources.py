@@ -1,0 +1,88 @@
+"""Unit tests for the library-level ingest sources (S5/S8/S11/S16) that
+have no registry slot (the correctness driver caps at 50 entries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from barberini_analytics_spark.sources.excel_report import (
+    decode_excel_serial, parse_sheet)
+from barberini_analytics_spark.sources.gomus_quota import parse_quota_pages
+from barberini_analytics_spark.sources.instagram import (
+    exclude_reels, extract_ig_posts)
+from barberini_analytics_spark.sources.twitter import (
+    extract_tweet_performance, extract_tweets)
+
+
+def test_extract_ig_posts_types_and_caption_default(spark):
+    raw = spark.createDataFrame(
+        [("1", "2024-03-05T10:00:00", "IMAGE", "7", "2",
+          "https://ig/p/1/"),
+         ("2", "2024-03-06T11:00:00", "VIDEO", "9", "0",
+          "https://ig/reel/2/")],
+        ["id", "timestamp", "media_type", "like_count", "comments_count",
+         "permalink"])  # no caption column -> column_defaults path
+    out = extract_ig_posts(raw)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "caption", "timestamp", "media_type", "like_count",
+        "comments_count", "permalink"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["1"]["caption"] is None
+    assert rows["1"]["like_count"] == 7
+    assert rows["1"]["timestamp"] == dt.datetime(2024, 3, 5, 10, 0)
+    # P3 reel exclusion
+    assert [r["id"] for r in exclude_reels(out).collect()] == ["1"]
+
+
+def test_extract_tweets_renames_and_dedups(spark):
+    raw = spark.createDataFrame(
+        [(10, 100, "hello", None, "2024-01-01 08:00:00", 5, 1, 0),
+         (10, 100, "hello", None, "2024-01-01 08:00:00", 5, 1, 0),
+         (11, 101, "world", 100, "2024-01-02 09:00:00", 2, 0, 1)],
+        ["user_id", "tweet_id", "text", "parent_tweet_id", "timestamp",
+         "likes", "retweets", "replies"])
+    tweets = extract_tweets(raw)
+    assert tweets.columns == [
+        "user_id", "tweet_id", "text", "response_to", "post_date"]
+    assert tweets.count() == 2          # full-duplicate dropped
+    perf = extract_tweet_performance(raw, "2024-06-01 12:00:00")
+    assert perf.columns == [
+        "tweet_id", "likes", "retweets", "replies", "timestamp"]
+    assert perf.select("timestamp").distinct().first()[0] == \
+        dt.datetime(2024, 6, 1, 12, 0)
+
+
+def test_parse_sheet_and_excel_serial(spark):
+    workbook = spark.createDataFrame(
+        [(0, 0, "overview junk"),
+         (1, 0, "order_id,order_date,total"),
+         (1, 1, "7,45108,19.99"),
+         (1, 2, "8,45109,5.00"),
+         (2, 0, "other sheet")],
+        ["sheet_index", "row_index", "line"])
+    df = parse_sheet(workbook, sheet_index=1,
+                     schema="order_id INT, order_date INT, total DOUBLE")
+    assert df.count() == 2
+    dated = decode_excel_serial(df, "order_date")
+    rows = {r["order_id"]: r for r in dated.collect()}
+    # 45108 days from the 1899-12-30 Excel epoch
+    assert rows[7]["order_date"] == dt.date(2023, 7, 1)
+    assert rows[8]["order_date"] == dt.date(2023, 7, 2)
+    assert abs(rows[7]["total"] - 19.99) < 1e-9
+
+
+def test_parse_quota_pages(spark):
+    page = ("<ol><li></li><li><span>42</span></li></ol>"
+            "<div><h3> Tageskontingent </h3></div>"
+            "<small><dl><dt>u</dt><dd>5.3.2024</dd>"
+            "<dd>28.12.2023</dd></dl></small>")
+    broken = "<div><h3>NoDates</h3></div>"
+    out = parse_quota_pages(
+        spark.createDataFrame([(page,), (broken,)], ["html"]))
+    rows = sorted(out.collect(), key=lambda r: (r["name"] or ""))
+    assert rows[1]["quota_id"] == 42
+    assert rows[1]["name"] == "Tageskontingent"
+    assert rows[1]["creation_date"] == dt.date(2023, 12, 28)
+    assert rows[1]["update_date"] == dt.date(2024, 3, 5)
+    assert rows[0]["quota_id"] is None
+    assert rows[0]["creation_date"] is None
