@@ -132,6 +132,17 @@ _GPLAY_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread a payload table across the full core count before a
+    CPU-heavy parse projection.  The payload aggregations shuffle few
+    bytes, so AQE's size-based coalescing collapses them to 1-3
+    partitions — correct for IO, serial for the DOM/JSON/regex parse that
+    follows.  One cheap extra exchange buys full parse parallelism; at
+    cluster scale this is the standard rebalance-before-CPU-stage move."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def _xp(tail: str, alias: str):
     """xpath over the namespaced feed body; local-name() sidesteps the
     xmlns:im prefix (Spark's xpath has no namespace context)."""
@@ -213,14 +224,19 @@ def app_review_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     country = (F.when(F.col("doc_id") % 3 == 0, "DE")
                .when(F.col("doc_id") % 3 == 1, "US").otherwise("GB"))
-    feeds = apple_src.groupBy(country.alias("country_code")).agg(
+    # one feed document per (country, page) — the reference walks
+    # `<link rel="next">` pages; pages parse in parallel, and each of the 8
+    # xpath DOM parses touches a bounded-size document
+    feeds = apple_src.groupBy(
+        country.alias("country_code"),
+        (F.col("doc_id") / 400).cast("bigint").alias("page")).agg(
         F.concat(
             F.lit('<feed xmlns="http://www.w3.org/2005/Atom" '
                   'xmlns:im="http://itunes.apple.com/rss/">'),
             F.concat_ws("", F.collect_list(entry)),
             F.lit('<link rel="next" href=""/></feed>'),
         ).alias("body"))
-    zipped = feeds.select(
+    zipped = _spread(feeds).select(
         "country_code",
         F.arrays_zip(
             _xp('*[local-name()="id"]/text()', "rid"),
@@ -260,7 +276,9 @@ def app_review_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     actual = F.when((F.col("doc_id") / 2).cast("bigint") % 2 == 0, "de") \
         .otherwise("en")
-    payloads = gsrc.groupBy(actual.alias("src_lang")).agg(
+    payloads = gsrc.groupBy(
+        actual.alias("src_lang"),
+        (F.col("doc_id") / 1000).cast("bigint").alias("page")).agg(
         F.concat(F.lit('{"results": ['),
                  F.concat_ws(",", F.collect_list(review_json)),
                  F.lit("]}")).alias("body"))
@@ -269,7 +287,7 @@ def app_review_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_map = spark.createDataFrame(
         [("de", "de"), ("en", "en"), ("xx", "en")], ["lang", "src_lang"])
     fetched = lang_map.join(payloads, "src_lang").select("lang", "body")
-    parsed = fetched.select(
+    parsed = _spread(fetched).select(
         F.explode(F.from_json("body", _GPLAY_SCHEMA)["results"]).alias("r"))
     gplay = (
         parsed.select("r.id", "r.date", "r.score", "r.text", "r.thumbsUp",
@@ -552,10 +570,6 @@ _MUSEUM = "Museum Barberini"
 _PAGE_ID = "1234567890"
 
 
-def _fb_metric_entry(key: str, value):
-    return F.struct(F.lit(key).alias("key"), value.alias("value"))
-
-
 @query(
     "fb_graph_flatten",
     oracle=f"""
@@ -662,18 +676,22 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = F.col("o_orderkey")
 
     # --- S2: posts pages ------------------------------------------------
-    post_obj = F.to_json(F.struct(
-        F.concat(F.lit(_PAGE_ID + "_"), ok.cast("string")).alias("id"),
-        F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"),
-                 F.lit("T12:00:00")).alias("created_time"),
-        F.concat(F.lit("Post "), ok.cast("string"), F.lit(" "),
-                 F.lower("o_orderpriority")).alias("message"),
-    ))
-    pages = orders.groupBy((ok % 4).alias("pg")).agg(
+    # payloads are hand-concatenated JSON (all values are JSON-safe by
+    # construction): one flat format_string keeps the codegen tree small —
+    # the nested to_json/map_from_entries equivalent compiled to ~4x the
+    # generated code and dominated the first-run time
+    post_obj = F.format_string(
+        '{"id":"%s_%d","created_time":"%sT12:00:00",'
+        '"message":"Post %d %s"}',
+        F.lit(_PAGE_ID), ok, F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ok, F.lower("o_orderpriority"))
+    # one page per ~100 posts — the API's limit=100 pagination; thousands
+    # of page rows parse in parallel instead of 4 giant documents
+    pages = orders.groupBy((ok / 100).cast("bigint").alias("pg")).agg(
         F.concat(F.lit('{"data": ['), F.concat_ws(",", F.collect_list(post_obj)),
                  F.lit("]}")).alias("body"))
     posts = (
-        pages.select(F.explode(F.from_json("body", _FB_POSTS_SCHEMA)["data"])
+        _spread(pages).select(F.explode(F.from_json("body", _FB_POSTS_SCHEMA)["data"])
                      .alias("p"))
         .select(
             F.split("p.id", "_").getItem(0).alias("page_id"),
@@ -683,78 +701,62 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
 
     # --- S3: per-post insights response ---------------------------------
-    def mp(name: str, entries) -> F.Column:
-        value = F.map_from_entries(
-            F.filter(F.array(*entries), lambda s: s["value"].isNotNull()))
-        return F.to_json(F.struct(
-            F.lit(name).alias("name"),
-            F.array(F.struct(value.alias("value"))).alias("values")))
-
-    def sc(name: str, cond, value) -> F.Column:
-        return F.when(cond, F.to_json(F.struct(
-            F.lit(name).alias("name"),
-            F.array(F.struct(value.cast("long").alias("value")))
-            .alias("values"))))
+    def metric(name: str, value_fmt: str, *args) -> F.Column:
+        return F.format_string(
+            '{"name":"%s","values":[{"value":' + value_fmt + "}]}",
+            F.lit(name), *args)
 
     even = ok % 2 == 0
+    reactions = F.when(even, metric(
+        "post_reactions_by_type_total",
+        '{"like":%d,"love":%d,"wow":%d,"haha":%d,"sorry":%d,"anger":%d}',
+        ok % 100, ok % 50, ok % 20, ok % 30, ok % 10, ok % 5,
+    )).otherwise(metric(
+        "post_reactions_by_type_total",
+        '{"like":%d,"love":%d,"wow":%d}', ok % 100, ok % 50, ok % 20))
+    activity = metric(
+        "post_activity_by_action_type",
+        '{"like":%d,"share":%d,"comment":%d}', ok % 90, ok % 40, ok % 60)
+    clicks = F.when(ok % 3 != 0, metric(
+        "post_clicks_by_type",
+        '{"video play":%d,"link clicks":%d,"other clicks":%d}',
+        ok % 25, ok % 15, ok % 35))
     ins_body = orders.select(
         ok.cast("string").alias("post_id"),
         F.concat(F.lit('{"data": ['), F.concat_ws(
             ",",
-            mp("post_reactions_by_type_total", [
-                _fb_metric_entry("like", ok % 100),
-                _fb_metric_entry("love", ok % 50),
-                _fb_metric_entry("wow", ok % 20),
-                _fb_metric_entry("haha", F.when(even, ok % 30)),
-                _fb_metric_entry("sorry", F.when(even, ok % 10)),
-                _fb_metric_entry("anger", F.when(even, ok % 5)),
-            ]),
-            mp("post_activity_by_action_type", [
-                _fb_metric_entry("like", ok % 90),
-                _fb_metric_entry("share", ok % 40),
-                _fb_metric_entry("comment", ok % 60),
-            ]),
-            F.when(ok % 3 != 0, mp("post_clicks_by_type", [
-                _fb_metric_entry("video play", ok % 25),
-                _fb_metric_entry("link clicks", ok % 15),
-                _fb_metric_entry("other clicks", ok % 35),
-            ])),
-            sc("post_negative_feedback", ok % 7 != 0, ok % 4),
-            sc("post_impressions_paid", F.col("o_orderstatus") == "O",
-               ok % 1000),
-            sc("post_impressions", F.lit(True), ok % 2000),
-            sc("post_impressions_unique", F.lit(True), ok % 1500),
+            reactions, activity, clicks,
+            F.when(ok % 7 != 0,
+                   metric("post_negative_feedback", "%d", ok % 4)),
+            F.when(F.col("o_orderstatus") == "O",
+                   metric("post_impressions_paid", "%d", ok % 1000)),
+            metric("post_impressions", "%d", ok % 2000),
+            metric("post_impressions_unique", "%d", ok % 1500),
         ), F.lit("]}")).alias("body"))
 
-    two_pass = ins_body.select(
+    # the wide extraction is shuffle-free: the `data` array is searched with
+    # codegen'd array `filter` per metric name (the reference's
+    # `[d for d in data if d['name'] == …][0]` list comprehension) — no
+    # explode, no re-aggregation; whole-stage codegen CSE evaluates each
+    # from_json once per row
+    two_pass = _spread(ins_body).select(
         "post_id",
         F.from_json("body", _FB_INS_MAP_SCHEMA)["data"].alias("md"),
         F.from_json("body", _FB_INS_INT_SCHEMA)["data"].alias("sd"))
-    m = (
-        two_pass.select("post_id",
-                        F.explode(F.arrays_zip("md", "sd")).alias("e"))
-        .select("post_id",
-                F.col("e.md.name").alias("name"),
-                F.col("e.md.values").getItem(0)["value"].alias("mv"),
-                F.col("e.sd.values").getItem(0)["value"].alias("sv"))
-    )
 
-    def pick_map(name: str) -> F.Column:
-        return F.first(F.when(F.col("name") == name, F.col("mv")),
-                       ignorenulls=True)
+    def pick(arr: str, name: str) -> F.Column:
+        hit = F.get(F.filter(F.col(arr), lambda x: x["name"] == name), 0)
+        return hit["values"].getItem(0)["value"]
 
-    def pick_int(name: str) -> F.Column:
-        return F.first(F.when(F.col("name") == name, F.col("sv")),
-                       ignorenulls=True)
-
-    wide_maps = m.groupBy("post_id").agg(
-        pick_map("post_reactions_by_type_total").alias("rmap"),
-        pick_map("post_activity_by_action_type").alias("amap"),
-        pick_map("post_clicks_by_type").alias("cmap"),
-        pick_int("post_negative_feedback").alias("neg"),
-        pick_int("post_impressions_paid").alias("paid"),
-        pick_int("post_impressions").alias("impr"),
-        pick_int("post_impressions_unique").alias("impru"),
+    wide_maps = two_pass.select(
+        "post_id",
+        pick("md", "post_reactions_by_type_total").alias("rmap"),
+        pick("md", "post_activity_by_action_type").alias("amap"),
+        pick("md", "post_clicks_by_type").alias("cmap"),
+        pick("sd", "post_negative_feedback").alias("neg"),
+        pick("sd", "post_impressions_paid").alias("paid"),
+        pick("sd", "post_impressions").alias("impr"),
+        pick("sd", "post_impressions_unique").alias("impru"),
     )
 
     def from_map(map_col: str, key: str) -> F.Column:
@@ -790,38 +792,31 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid = li.l_orderkey * 10 + F.col("l_linenumber")
     has_reply = cid % 3 == 0
     epoch = F.lit("2024-01-01").cast("date")
-    reply = F.struct(F.array(F.struct(
-        F.concat(li.l_orderkey.cast("string"), F.lit("_"),
-                 (cid * 10 + 9).cast("string")).alias("id"),
-        F.concat(F.date_format(F.date_add(epoch, ((cid + 1) % 365)
-                                          .cast("int")), "yyyy-MM-dd"),
-                 F.lit("T09:00:00")).alias("created_time"),
-        F.concat(F.lit("Reply "), cid.cast("string")).alias("message"),
-        F.struct(
-            F.when(cid % 7 == 0, _MUSEUM)
-            .otherwise(F.concat(F.lit("User "), (cid % 7).cast("string")))
-            .alias("name")).alias("from"),
-    )).alias("data"))
-    comment_obj = F.to_json(F.struct(
-        F.concat(li.l_orderkey.cast("string"), F.lit("_"),
-                 cid.cast("string")).alias("id"),
-        F.concat(F.date_format(F.date_add(epoch, (cid % 365).cast("int")),
-                               "yyyy-MM-dd"),
-                 F.lit("T08:00:00")).alias("created_time"),
-        F.when(has_reply, 1).otherwise(0).alias("comment_count"),
-        F.concat(F.lit("Comment "), cid.cast("string")).alias("message"),
-        F.struct(
-            F.when(cid % 10 == 0, _MUSEUM)
-            .otherwise(F.concat(F.lit("User "), (cid % 10).cast("string")))
-            .alias("name")).alias("from"),
-        # KeyError case: count > 0 but no `comments` field (cid % 15 == 0)
-        F.when(has_reply & (cid % 15 != 0), reply).alias("comments"),
-    ))
+    cname = F.when(cid % 10 == 0, _MUSEUM) \
+        .otherwise(F.format_string("User %d", cid % 10))
+    rname = F.when(cid % 7 == 0, _MUSEUM) \
+        .otherwise(F.format_string("User %d", cid % 7))
+    base = F.format_string(
+        '{"id":"%d_%d","created_time":"%sT08:00:00","comment_count":%d,'
+        '"message":"Comment %d","from":{"name":"%s"}',
+        li.l_orderkey, cid,
+        F.date_format(F.date_add(epoch, (cid % 365).cast("int")),
+                      "yyyy-MM-dd"),
+        F.when(has_reply, 1).otherwise(0), cid, cname)
+    # KeyError case: count > 0 but no `comments` field (cid % 15 == 0)
+    reply_part = F.when(has_reply & (cid % 15 != 0), F.format_string(
+        ',"comments":{"data":[{"id":"%d_%d","created_time":"%sT09:00:00",'
+        '"message":"Reply %d","from":{"name":"%s"}}]}',
+        li.l_orderkey, cid * 10 + 9,
+        F.date_format(F.date_add(epoch, ((cid + 1) % 365).cast("int")),
+                      "yyyy-MM-dd"),
+        cid, rname)).otherwise(F.lit(""))
+    comment_obj = F.concat(base, reply_part, F.lit("}"))
     cpages = li.groupBy("l_orderkey").agg(
         F.concat(F.lit('{"data": ['),
                  F.concat_ws(",", F.collect_list(comment_obj)),
                  F.lit("]}")).alias("body"))
-    top = cpages.select(
+    top = _spread(cpages).select(
         F.explode(F.from_json("body", _FB_COMMENTS_SCHEMA)["data"])
         .alias("c"))
     toplevel = top.select(
@@ -1015,8 +1010,9 @@ def gomus_scrape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat_ws("", F.collect_list(tr)),
                  F.lit("</tbody></table>")).alias("tbl"))
 
-    docs = header.join(tables, header.o_orderkey == tables.l_orderkey) \
-        .select(F.concat("head", "tbl").alias("doc"))
+    docs = _spread(
+        header.join(tables, header.o_orderkey == tables.l_orderkey)
+        .select(F.concat("head", "tbl").alias("doc")))
 
     # --- parse: booking fields (doc level), then article explode ---------
     mail_raw = F.regexp_extract("doc", r"<small>([^<]*)</small>", 1)
