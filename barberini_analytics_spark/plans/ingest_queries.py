@@ -143,12 +143,15 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def _xp(tail: str, alias: str):
-    """xpath over the namespaced feed body; local-name() sidesteps the
-    xmlns:im prefix (Spark's xpath has no namespace context)."""
-    return F.expr(
-        "xpath(body, '//*[local-name()=\"entry\"]/" + tail + "')"
-    ).alias(alias)
+# one from_xml parse per feed — namespaced element names are plain struct
+# fields (`im:rating`), the content @type attribute arrives as `_type`
+_APPLE_SCHEMA = (
+    "STRUCT<entry: ARRAY<STRUCT<id: STRING, title: STRING, "
+    "content: ARRAY<STRUCT<_VALUE: STRING, _type: STRING>>, "
+    "`im:rating`: STRING, `im:version`: STRING, "
+    "`im:voteCount`: STRING, `im:voteSum`: STRING, "
+    "updated: STRING>>>"
+)
 
 
 @query(
@@ -182,8 +185,8 @@ def app_review_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged review union (the K5 concat shape both stores feed into).
 
     Apple: per-country XML feeds are built from ``documents`` (entities
-    escaped), then parsed back with ``xpath`` array extraction — the
-    ``content[@type="text"]`` predicate mirrors
+    escaped), then parsed back with a single ``from_xml`` per feed — the
+    ``content`` array filter on ``@type = "text"`` mirrors
     ``find_first_conditional_tag`` (src/apple_appstore.py:131-167: one
     entry dict per item, ``im:``-namespaced numeric fields).
 
@@ -236,29 +239,23 @@ def app_review_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("", F.collect_list(entry)),
             F.lit('<link rel="next" href=""/></feed>'),
         ).alias("body"))
-    zipped = _spread(feeds).select(
+    entries = _spread(feeds).select(
         "country_code",
-        F.arrays_zip(
-            _xp('*[local-name()="id"]/text()', "rid"),
-            _xp('*[local-name()="content"][@type="text"]/text()', "text"),
-            _xp('*[local-name()="rating"]/text()', "rating"),
-            _xp('*[local-name()="version"]/text()', "app_version"),
-            _xp('*[local-name()="voteCount"]/text()', "vote_count"),
-            _xp('*[local-name()="voteSum"]/text()', "vote_sum"),
-            _xp('*[local-name()="title"]/text()', "title"),
-            _xp('*[local-name()="updated"]/text()', "updated"),
-        ).alias("zz"))
-    apple = zipped.select("country_code", F.explode("zz").alias("e")).select(
+        F.explode(F.from_xml("body", _APPLE_SCHEMA)["entry"]).alias("e"))
+    apple = entries.select(
         F.lit("appstore").alias("source"),
-        F.col("e.rid").alias("review_id"),
+        F.col("e.id").alias("review_id"),
         F.lit("app1").alias("app_id"),
         "country_code",
         F.col("e.title").alias("title"),
-        F.col("e.text").alias("text"),
-        F.col("e.rating").cast("int").alias("rating"),
-        F.col("e.app_version").alias("app_version"),
-        F.col("e.vote_count").cast("int").alias("vote_count"),
-        F.col("e.vote_sum").cast("int").alias("vote_sum"),
+        # find_first_conditional_tag: the content element with @type="text"
+        F.get(F.filter(F.col("e.content"),
+                       lambda c: c["_type"] == "text"), 0)["_VALUE"]
+        .alias("text"),
+        F.col("e.`im:rating`").cast("int").alias("rating"),
+        F.col("e.`im:version`").alias("app_version"),
+        F.col("e.`im:voteCount`").cast("int").alias("vote_count"),
+        F.col("e.`im:voteSum`").cast("int").alias("vote_sum"),
         F.lit(None).cast("int").alias("likes"),
         F.to_date(F.col("e.updated")).alias("review_date"),
     )
