@@ -220,3 +220,37 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """
     normalized = F.concat_ws(" ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     return df.withColumn(out_col, hash56(normalized))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline hygiene stage)
+# ---------------------------------------------------------------------------
+
+#: pattern -> replacement token, applied in order.  The shapes follow the
+#: public CCNet/Dolma-style pipeline conventions: redact rather than drop,
+#: so token offsets stay roughly stable for downstream dedup.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # emails before phones: user.name+tag@host.tld
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 (bounded octets would cost a bigger regex; training-data
+    # pipelines accept the over-match)
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # international-ish phone numbers: optional +CC, separators, >= 7 digits
+    (r"(?<!\w)\+?\d[\d ()./-]{5,}\d(?!\w)", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs with typed tokens.
+
+    Pure ``regexp_replace`` chain — JVM-side, codegen, order-pinned (the
+    email pattern must run before the phone pattern so local parts with
+    digits are not half-eaten).  At 100 TB this is a map-only stage with
+    zero shuffle; patterns are compiled once per task.
+    """
+    out = out_col or text_col
+    col = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return df.withColumn(out, col)

@@ -86,3 +86,20 @@ def test_parse_quota_pages(spark):
     assert rows[1]["update_date"] == dt.date(2024, 3, 5)
     assert rows[0]["quota_id"] is None
     assert rows[0]["creation_date"] is None
+
+
+def test_scrub_pii(spark):
+    from barberini_analytics_spark.operators.text import scrub_pii
+
+    raw = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.org or call +49 (30) 123-4567"),
+         (2, "server 10.0.42.7 answered"),
+         (3, "clean text stays clean"),
+         (4, "id 1234567 is a plain long number")],
+        ["id", "text"])
+    rows = {r["id"]: r["scrubbed"]
+            for r in scrub_pii(raw, out_col="scrubbed").collect()}
+    assert rows[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert rows[2] == "server <IP> answered"
+    assert rows[3] == "clean text stays clean"
+    assert rows[4] == "id <PHONE> is a plain long number"

@@ -1,0 +1,68 @@
+"""Plan-shape regression guards.
+
+Pins the physical-plan properties the 100 TB posture depends on: column
+pruning reaching the parquet scan, filter pushdown, and shuffle budgets.
+A future edit that silently widens a scan or adds an exchange fails here
+long before it shows up as a bench regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from barberini_analytics_spark.plans import QUERIES
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+# (query, max exchanges, column that must NOT be read, table hint)
+PRUNING_CASES = [
+    # exact dedup never needs lang/source/n_chars — only id + text
+    ("exact_dedup_documents", 1, "n_chars"),
+    # profile is a pure map: no shuffle at all, no doc metadata beyond need
+    ("document_profile", 0, "n_chars"),
+    # pricing summary reads 7 lineitem columns, never the ship metadata
+    ("pricing_summary", 1, "l_comment"),
+]
+
+
+@pytest.mark.parametrize("name,max_exchanges,forbidden", PRUNING_CASES)
+def test_scan_pruned_and_shuffle_budget(spark, name, max_exchanges,
+                                        forbidden):
+    plan = _plan(spark, name)
+    assert plan.count("Exchange") <= max_exchanges, (
+        f"{name}: shuffle budget exceeded\n{plan[:2000]}")
+    for schema in _read_schemas(plan):
+        assert forbidden not in schema, (
+            f"{name}: scan reads pruned-out column {forbidden}: {schema}")
+
+
+def test_documents_filter_pushed_to_scan(spark):
+    """app_review_ingest's n_chars > 0 must reach the parquet reader."""
+    plan = _plan(spark, "app_review_ingest")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(n_chars,0\)",
+                     plan), plan[:2000]
+
+
+def test_ingest_parses_have_no_python_udf(spark):
+    """The ingest flattens are all-JVM except the documented mmh3 parity
+    UDF (gomus email hash)."""
+    for name in ["app_review_ingest", "fb_graph_flatten",
+                 "ig_audience_breakdown", "exhibitions_timeframes",
+                 "sepl_phrase_polarity"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" \
+            not in plan, f"{name} fell off the JVM path"
+    gomus = _plan(spark, "gomus_scrape_flatten")
+    assert gomus.count("ArrowEvalPython") <= 1  # the mmh3 parity UDF only
