@@ -20,7 +20,7 @@ hash functions in results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .text import hash56
 

@@ -31,6 +31,11 @@ def main() -> None:
     spark = get_spark("barberini-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warm-up so the alphabetically-first query doesn't absorb
+    # executor spin-up time into its measurement
+    spark.range(1_000_000).selectExpr("sum(id)").write \
+        .format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(QUERIES):
