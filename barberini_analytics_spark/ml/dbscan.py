@@ -57,3 +57,95 @@ def cosine_dbscan(vectors: np.ndarray, eps: float = 0.37,
         members = np.nonzero(labels == c)[0]
         labels[members] = members.min()
     return labels
+
+
+def dbscan_distributed(vectors, id_col: str = "vec_id",
+                       vec_col: str = "embedding", dim: int = 64,
+                       eps: float = 0.37, min_samples: int = 2,
+                       bands: int = 8, bits: int = 4, max_iter: int = 25):
+    """Distributed cosine DBSCAN — the documented LSH scale path.
+
+    Candidate ε-neighbors come from SRP-LSH banding
+    (``operators.similarity.srp_candidate_pairs``), verified with the
+    exact cosine; core points are nodes with ≥ ``min_samples - 1``
+    ε-neighbors (the ε-ball includes self); clusters are connected
+    components of the core-core ε-graph, computed by iterative min-label
+    propagation (labels start as node ids, converge to the smallest core
+    id per component in O(graph diameter) rounds, each one shuffle);
+    border points attach to the smallest neighboring core label; the rest
+    are noise (-1).
+
+    Returns ``(id_col, label)``.  Exact vs the driver-side
+    ``cosine_dbscan`` on core-point partitions whenever the banding
+    recall is complete — more ``bands`` raise recall, and the LSH misses
+    only pairs whose similarity is near the threshold.
+
+    Scale: every step is a keyed shuffle bounded by bucket collisions —
+    no driver collect; ``localCheckpoint`` truncates the loop lineage.
+    At 100 TB, this (not the NumPy core above) is the plan.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import cosine, srp_candidate_pairs
+
+    ids = vectors.select(F.col(id_col).alias("id")).distinct()
+    pairs = srp_candidate_pairs(vectors, id_col, vec_col, dim, bands, bits)
+    near = (
+        pairs.withColumn("cos", cosine(F.col("e1"), F.col("e2")))
+        .filter(F.col("cos") >= 1.0 - eps)
+        .select("id1", "id2")
+    )
+    edges = near.union(
+        near.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
+    ).localCheckpoint(eager=True)
+
+    degree = edges.groupBy("id1").count()
+    core = (
+        ids.join(degree, ids.id == degree.id1, "left")
+        .select("id", (F.coalesce("count", F.lit(0)) + 1 >= min_samples)
+                .alias("is_core"))
+    ).localCheckpoint(eager=True)
+
+    core_ids = core.filter("is_core").select("id")
+    core_edges = (
+        edges.join(core_ids.withColumnRenamed("id", "id1"), "id1")
+        .join(core_ids.withColumnRenamed("id", "id2"), "id2")
+        .select("id1", "id2")
+    ).localCheckpoint(eager=True)
+
+    # min-label propagation to a fixpoint (connected components)
+    labels = core_ids.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            core_edges.join(labels, core_edges.id1 == labels.id)
+            .groupBy("id2").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label"))
+                    .alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.label <> o.label").limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    # border points: non-core with a core ε-neighbor -> smallest such label
+    border = (
+        edges.join(core.filter("NOT is_core").select("id"),
+                   edges.id1 == F.col("id"))
+        .join(labels.withColumnRenamed("id", "cid")
+              .withColumnRenamed("label", "clabel"),
+              F.col("id2") == F.col("cid"))
+        .groupBy(F.col("id")).agg(F.min("clabel").alias("label"))
+    )
+
+    return (
+        ids.join(labels.unionByName(border), "id", "left")
+        .select(F.col("id").alias(id_col),
+                F.coalesce("label", F.lit(NOISE)).alias("label"))
+    )

@@ -130,3 +130,53 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
         [F.col("cosine").desc(), F.col("cell").asc()],
         k=1,
     ).select(id_col, F.col("cell").alias("assigned_cell"), F.col("cosine").alias("cell_cosine"))
+
+
+def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        bands: int = 4, bits: int = 6) -> DataFrame:
+    """Signed-random-projection LSH candidate pairs (AND-OR banding).
+
+    Deterministic pseudo-hyperplanes (same integer-coefficient family as
+    ``plans/dedup_queries.embedding_cosine_near_dup``, so behavior is
+    pinned by that query's DuckDB oracle).  Returns distinct
+    ``(id1, id2, e1, e2)`` with ``id1 < id2``; a pair is a candidate when
+    any of the ``bands`` bucket keys (each ``bits`` sign bits) matches.
+
+    Scale shape: one narrow projection per row, then a self-join keyed on
+    (band, bucket) — candidate volume is O(sum of bucket sizes squared),
+    never O(n²).  ``bands``/``bits`` are the recall/cost dials: more
+    bands raise recall, more bits shrink buckets.
+    """
+    projs = [
+        F.expr(
+            f"aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE), "
+            f"(a, i) -> a + CAST(element_at({vec_col}, i) AS DOUBLE) "
+            f"* (((i*31 + {p + 1}*17) % 7) - 3))"
+        )
+        for p in range(bands * bits)
+    ]
+    sign_bits = [F.when(pr >= 0, 1).otherwise(0) for pr in projs]
+    band_structs = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(sign_bits[b * bits + j] * (1 << j)
+                for j in range(bits)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]))
+    banded = (
+        vectors.select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__vec"),
+                       band_structs.alias("bb"))
+        .select("__id", "__vec", "bb.band", "bb.bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"),
+                F.col("a.__vec").alias("e1"), F.col("b.__vec").alias("e2"))
+        .dropDuplicates(["id1", "id2"])
+    )

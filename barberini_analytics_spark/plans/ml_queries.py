@@ -386,23 +386,28 @@ def embedding_dbscan_clusters(spark: SparkSession,
     Cluster labels are canonicalized to the smallest member id.  The
     "vocabulary" is the per-``label`` centroid table (the same broadcast
     index the IVF build uses); labeling = cluster centroid × vocabulary
-    cosine, rank ≤ 3, concatenated — all distributed.  Only the DBSCAN
-    core itself collects, bounded by a row-count gate with the LSH scale
-    path documented in ml/dbscan.py.
+    cosine, rank ≤ 3, concatenated — all distributed.  Small inputs
+    cluster exactly on the driver; past the row gate the LSH-bucketed
+    ``ml.dbscan.dbscan_distributed`` takes over (no collect, same
+    core-point partitions — pinned by tests/test_ml.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     if n > _DBSCAN_MAX_ROWS:
-        raise ValueError(
-            f"embedding table has {n} rows > {_DBSCAN_MAX_ROWS}; use the "
-            "LSH-bucketed path (ml/dbscan.py docstring) instead of the "
-            "driver-side DBSCAN")
-    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
-    labels = cosine_dbscan(vecs, eps=0.37, min_samples=2)
-    assign = spark.createDataFrame(
-        [(int(r.vec_id), int(lb)) for r, lb in zip(rows, labels)],
-        ["vec_id", "cluster"])
+        # LSH scale path: no collect, same core-point partitions
+        # (tests/test_ml.py pins the equivalence at small scale)
+        from ..ml.dbscan import dbscan_distributed
+
+        assign = dbscan_distributed(
+            emb, eps=0.37, min_samples=2).withColumnRenamed(
+                "label", "cluster")
+    else:
+        rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+        labels = cosine_dbscan(vecs, eps=0.37, min_samples=2)
+        assign = spark.createDataFrame(
+            [(int(r.vec_id), int(lb)) for r, lb in zip(rows, labels)],
+            ["vec_id", "cluster"])
 
     # distributed labeling: cluster centroids × broadcast vocabulary index
     clustered = emb.join(assign, "vec_id").filter("cluster >= 0")

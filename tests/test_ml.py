@@ -69,3 +69,53 @@ def test_ml_queries_deterministic(spark):
     assert len(f) == 7
     # Tuesday forecasts are forced to zero
     assert all(r.entries == 0 for r in f if r.date.weekday() == 1)
+
+
+def test_distributed_dbscan_matches_driver_on_cores(spark):
+    """The LSH scale path produces the same core-point partitions as the
+    exact driver DBSCAN (sf0.001 embeddings), and each border point's
+    cluster contains an ε-near core neighbor."""
+    import numpy as np
+
+    from barberini_analytics_spark.core.io import load_table
+    from barberini_analytics_spark.ml.dbscan import (
+        cosine_dbscan, dbscan_distributed)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    eps, min_samples = 0.37, 2
+
+    exact = cosine_dbscan(vecs, eps=eps, min_samples=min_samples)
+
+    dist = {r["vec_id"]: r["label"]
+            for r in dbscan_distributed(
+                emb, eps=eps, min_samples=min_samples,
+                bands=16, bits=3).collect()}
+
+    # exact core mask (driver side)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms
+    nbrs = (1.0 - unit @ unit.T) <= eps
+    core = nbrs.sum(axis=1) >= min_samples
+
+    def partitions(labels_by_idx):
+        clusters = {}
+        for i, vid in enumerate(ids):
+            if core[i]:
+                clusters.setdefault(labels_by_idx(i), set()).add(vid)
+        return {frozenset(v) for v in clusters.values()}
+
+    assert partitions(lambda i: exact[i]) == \
+        partitions(lambda i: dist[ids[i]])
+
+    # border validity: a labelled non-core point has an ε-near core
+    # neighbor carrying the same cluster
+    for i, vid in enumerate(ids):
+        if core[i] or dist[vid] == -1:
+            continue
+        ok = any(core[j] and nbrs[i][j] and dist[ids[j]] == dist[vid]
+                 for j in range(len(ids)))
+        assert ok, f"border {vid} attached to a cluster with no near core"
