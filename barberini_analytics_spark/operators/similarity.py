@@ -180,3 +180,62 @@ def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
                 F.col("a.__vec").alias("e1"), F.col("b.__vec").alias("e2"))
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def ivf_search(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+               k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding", key_col: str = "label",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k via inverted-file probing (the ANN scale path).
+
+    Build side: every corpus vector is assigned to its nearest centroid
+    cell (``ivf_assign`` — broadcast centroids, one scan).  Query side:
+    each query scores the centroid table, keeps its ``nprobe`` closest
+    cells, and is joined to the corpus on the cell key — so each query
+    reads ~``nprobe / n_cells`` of the corpus instead of all of it.  The
+    exact cosine then ranks the probed candidates.
+
+    ``nprobe`` is the recall dial (nprobe = n_cells degrades to exact
+    search); tests pin recall@k against ``brute_force_topk``.
+    """
+    from .relational import top_k_per_group
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, key_col) \
+        .join(corpus, id_col)
+    c = centroids.select(F.col(key_col).alias("cell"), "centroid")
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    probe_scores = q.crossJoin(F.broadcast(c)).select(
+        query_id_col, "__qvec", "cell",
+        F.round(cosine(F.col("__qvec"), F.col("centroid")), 6).alias("csim"))
+    probed = top_k_per_group(
+        probe_scores, [query_id_col],
+        [F.col("csim").desc(), F.col("cell").asc()], k=nprobe,
+    ).select(query_id_col, "__qvec", F.col("cell").alias("assigned_cell"))
+    cand = probed.join(assigned, "assigned_cell").select(
+        query_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"))
+    return top_k_per_group(
+        cand, [query_id_col],
+        [F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k, rank_col="rank", keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def kmeans_refine(vectors: DataFrame, init_centroids: DataFrame,
+                  iters: int = 3, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  key_col: str = "label") -> DataFrame:
+    """Lloyd iterations to turn arbitrary seed cells into geometric IVF
+    cells: assign every vector to its nearest centroid (broadcast, one
+    scan), recompute per-cell means (map-side-combining vector aggregate),
+    repeat.  Each round is scan + one small shuffle; centroid tables stay
+    broadcast-sized throughout — the standard distributed k-means plan.
+    """
+    cents = init_centroids
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col, key_col) \
+            .join(vectors, id_col)
+        cents = centroids_by_key(assigned, "assigned_cell", vec_col) \
+            .withColumnRenamed("assigned_cell", key_col) \
+            .localCheckpoint(eager=True)
+    return cents

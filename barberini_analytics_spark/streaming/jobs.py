@@ -116,3 +116,18 @@ def run_available_now(df: DataFrame, query_name: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+def dedup_stream(events: DataFrame, keys: Sequence[str] = ("event_id",),
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup within the watermark horizon.
+
+    The streaming face of the P4/exact-dedup operator: the first row per
+    key passes, replays arriving inside the watermark are dropped,
+    and state older than the horizon is evicted — so state size is
+    bounded by (arrival rate × watermark), not by stream history.  This
+    is the standard ingestion guard in a training-data pipeline (the
+    batch layer's content-hash dedup handles the long-range duplicates).
+    """
+    return events.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(list(keys))

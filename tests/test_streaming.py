@@ -87,3 +87,17 @@ def test_stateful_condense_keeps_state_across_batches(spark, tmp_path):
         SJ.condense_stream(stream, ["k"], ["v"], ts_col="t"),
         "state_test").toPandas()
     assert sorted(out["t"].tolist()) == [1, 3]
+
+
+def test_dedup_stream_drops_replays(spark, batch_events):
+    # feed the event stream twice (a replayed source) through the
+    # streaming dedup; batch-side distinct-on-key is the oracle
+    stream = SJ.stream_events(spark, SF)
+    replay = stream.unionByName(stream)
+    got = SJ.run_available_now(
+        SJ.dedup_stream(replay, ["event_id"]), "dedup_out",
+        output_mode="append",
+    )
+    n_unique = batch_events.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
