@@ -254,3 +254,51 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
     for pat, token in PII_PATTERNS:
         col = F.regexp_replace(col, pat, token)
     return df.withColumn(out, col)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals.
+
+    - ``top_unigram_frac``: share of tokens taken by the most frequent
+      token,
+    - ``top_bigram_frac``: share of adjacent bigrams taken by the most
+      frequent bigram,
+    - ``dup_trigram_frac``: fraction of trigram occurrences that are
+      repeats (1 - distinct/total).
+
+    Computed entirely with array higher-order functions inside the scan —
+    map-only, no explode, no shuffle.  The per-row cost is
+    O(distinct × length); documents are tokenizer-bounded, so this stays
+    cheap.  (For book-length texts, switch to the explode + groupBy
+    formulation — same signals, one shuffle.)
+    """
+    df = with_tokens(df, text_col)
+
+    def max_count_frac(arr_sql: str) -> F.Column:
+        return F.expr(
+            f"CASE WHEN size({arr_sql}) > 0 THEN "
+            f"CAST(array_max(transform(array_distinct({arr_sql}), "
+            f"t -> size(filter({arr_sql}, x -> x = t)))) AS DOUBLE) "
+            f"/ size({arr_sql}) END"
+        )
+
+    bigrams = (
+        "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+        "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+    )
+    trigrams = (
+        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+        "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
+        "' ', element_at(tokens, i + 2)))"
+    )
+    return (
+        df.withColumn("top_unigram_frac", max_count_frac("tokens"))
+        .withColumn("top_bigram_frac", max_count_frac(f"({bigrams})"))
+        .withColumn(
+            "dup_trigram_frac",
+            F.expr(
+                f"CASE WHEN size({trigrams}) > 0 THEN "
+                f"1.0 - CAST(size(array_distinct({trigrams})) AS DOUBLE) "
+                f"/ size({trigrams}) END"),
+        )
+    )

@@ -103,3 +103,20 @@ def test_scrub_pii(spark):
     assert rows[2] == "server <IP> answered"
     assert rows[3] == "clean text stays clean"
     assert rows[4] == "id <PHONE> is a plain long number"
+
+
+def test_repetition_signals(spark):
+    from barberini_analytics_spark.operators.text import repetition_signals
+
+    raw = spark.createDataFrame(
+        [(1, "spam spam spam spam"),               # one token dominates
+         (2, "a b c d e f g h"),                   # no repetition
+         (3, "x y x y x y x y")],                  # repeated bigram cycle
+        ["id", "text"])
+    rows = {r["id"]: r for r in repetition_signals(raw).collect()}
+    assert rows[1]["top_unigram_frac"] == 1.0
+    assert rows[1]["dup_trigram_frac"] == 0.5       # 2 occurrences, 1 distinct
+    assert abs(rows[2]["top_unigram_frac"] - 1 / 8) < 1e-9
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    # "x y" appears 4 of 7 bigrams
+    assert abs(rows[3]["top_bigram_frac"] - 4 / 7) < 1e-9
