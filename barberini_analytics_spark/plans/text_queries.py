@@ -133,8 +133,27 @@ def _lex_sql(words) -> str:
            CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
                AS ws_tokens,
            CAST(length(regexp_extract_all(text, '{_BPE_SQL}'))
-               AS BIGINT) AS bpe_tokens
-    FROM h
+               AS BIGINT) AS bpe_tokens,
+           CAST(list_max(list_transform(list_distinct(toks),
+                    t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+               / len(toks) AS top_unigram_frac,
+           CASE WHEN len(toks) > 1 THEN
+               CAST(list_max(list_transform(
+                        list_distinct(bi),
+                        t -> len(list_filter(bi, x -> x = t)))) AS DOUBLE)
+                   / len(bi) END AS top_bigram_frac,
+           CASE WHEN len(toks) > 2 THEN
+               1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+               END AS dup_trigram_frac
+    FROM (
+        SELECT *,
+               list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+               list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                   AS tri
+        FROM h
+    )
     """,
 )
 def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +178,7 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.quality_features(docs, stopwords=_STOPWORDS)
     out = X.language_id(out)
     out = X.fingerprint(out)
+    out = X.repetition_signals(out)
     return out.select(
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -171,4 +191,5 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
         .cast("long").alias("bpe_tokens"),
+        "top_unigram_frac", "top_bigram_frac", "dup_trigram_frac",
     )
