@@ -296,3 +296,68 @@ def anti_processed(incoming: DataFrame, processed: DataFrame,
     return incoming.join(
         processed.select(*keys).dropDuplicates(list(keys)),
         list(keys), "left_anti")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward",
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """Distributed as-of join: attach to each left row the latest right row
+    with ``right_ts <= left_ts`` per key (``direction='backward'``; or the
+    earliest with ``>=`` for ``'forward'``).
+
+    Spark-first formulation: instead of a per-row range join (which
+    Catalyst would execute as a broadcast nested loop over candidate
+    windows), the two inputs are unioned on (keys, ts) and the right-side
+    payload is propagated with one ``last(..., ignorenulls=True)`` running
+    window — a single shuffle on the join keys, linear in rows, the same
+    plan a 1000-executor cluster wants.  Right rows at exactly the left
+    timestamp match (pandas ``merge_asof`` semantics).
+
+    ``tolerance_seconds`` nulls the payload when the matched row is
+    further than the tolerance from the left timestamp.  Right-side
+    payload columns keep their names (callers rename on collision).
+    """
+    keys = list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_ts]
+    ts = F.col("__ts")
+    reverse = direction == "forward"
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    l_tagged = left.select(
+        *keys, F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tagged = right.select(
+        *keys, F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r_ts"),
+        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    # right rows sort before left at equal ts so same-instant rows match
+    order = [ts.desc(), F.col("__is_left").asc()] if reverse \
+        else [ts.asc(), F.col("__is_left").asc()]
+    w = (W.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    matched = u.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in payload],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
+    ).filter(F.col("__is_left") == 1)
+
+    within = F.lit(True) if tolerance_seconds is None else (
+        F.abs(F.col("__m_ts").cast("long") - ts.cast("long"))
+        <= tolerance_seconds)
+    keep = F.col("__m_ts").isNotNull() & within
+    return matched.select(
+        F.col("__row.*"),
+        *[F.when(keep, F.col(f"__m_{c}")).alias(c) for c in payload],
+        F.when(keep, F.col("__m_ts")).alias(f"matched_{right_ts}"),
+    )

@@ -167,3 +167,50 @@ def test_ivf_search_recall_vs_bruteforce(spark):
     full = ivf_search(emb, cents, queries, k=k, nprobe=n_cells)
     f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from barberini_analytics_spark.operators.relational import asof_join
+
+    quotes = pd.DataFrame({
+        "sym": ["a"] * 4 + ["b"] * 3,
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:10",
+            "2024-01-01 10:30",
+            "2024-01-01 10:02", "2024-01-01 10:20", "2024-01-01 10:21"]),
+        "px": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0],
+    })
+    trades = pd.DataFrame({
+        "sym": ["a", "a", "a", "b", "b", "c"],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:03", "2024-01-01 10:05", "2024-01-01 09:00",
+            "2024-01-01 10:20", "2024-01-01 11:00", "2024-01-01 10:00"]),
+        "qty": [5, 6, 7, 8, 9, 10],
+    })
+    expect = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="sym", direction="backward")
+
+    got = asof_join(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        on=["sym"]).toPandas()
+
+    merged = expect.merge(
+        got.rename(columns={"px": "px_spark"}),
+        on=["sym", "ts", "qty"], how="outer")
+    assert len(merged) == len(expect) == len(got)
+    for _, r in merged.iterrows():
+        if pd.isna(r["px"]):
+            assert pd.isna(r["px_spark"]), r
+        else:
+            assert r["px"] == r["px_spark"], r
+
+    # tolerance: the 11:00 'b' trade is 39 min after the last quote
+    tol = asof_join(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        on=["sym"], tolerance_seconds=600).toPandas()
+    late = tol[(tol.sym == "b")
+               & (tol.ts == pd.Timestamp("2024-01-01 11:00"))]
+    assert late["px"].isna().all()
