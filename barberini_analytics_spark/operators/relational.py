@@ -361,3 +361,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         *[F.when(keep, F.col(f"__m_{c}")).alias(c) for c in payload],
         F.when(keep, F.col("__m_ts")).alias(f"matched_{right_ts}"),
     )
+
+
+def sample_per_key(df: DataFrame, keys: Sequence[str], n: int,
+                   seed: int = 42, order_col: str | None = None) -> DataFrame:
+    """Deterministic per-key cap: keep at most ``n`` rows per key group —
+    the training-data move that bounds any one domain/source's share of a
+    corpus.
+
+    Rows are ranked inside each key by ``xxhash64(all columns, seed)`` (or
+    an explicit ``order_col``), so the sample is pseudorandom yet stable
+    across runs, engines, and partitionings — unlike ``ORDER BY rand()``,
+    reruns pick the same rows.  One shuffle on the keys; with AQE skew
+    splitting a hot key does not stall the stage.
+    """
+    order = F.col(order_col) if order_col else \
+        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    w = W.partitionBy(*keys).orderBy(order)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n).drop("__rk"))

@@ -214,3 +214,20 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     late = tol[(tol.sym == "b")
                & (tol.ts == pd.Timestamp("2024-01-01 11:00"))]
     assert late["px"].isna().all()
+
+
+def test_sample_per_key_deterministic_cap(spark):
+    df = spark.createDataFrame(
+        [(k, i) for k in ("a", "b") for i in range(20)] + [("c", 0)],
+        ["src", "i"])
+    got1 = R.sample_per_key(df, ["src"], 5).collect()
+    got2 = R.sample_per_key(df, ["src"], 5).collect()
+    by_key = {}
+    for r in got1:
+        by_key.setdefault(r.src, set()).add(r.i)
+    assert len(by_key["a"]) == 5 and len(by_key["b"]) == 5
+    assert by_key["c"] == {0}                      # under-cap keys intact
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))  # stable
+    # a different seed draws a different sample
+    other = R.sample_per_key(df, ["src"], 5, seed=7).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, got1))
