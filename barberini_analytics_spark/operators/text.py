@@ -274,31 +274,37 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     df = with_tokens(df, text_col)
 
-    def max_count_frac(arr_sql: str) -> F.Column:
+    def max_count_frac(arr_col: str) -> F.Column:
         return F.expr(
-            f"CASE WHEN size({arr_sql}) > 0 THEN "
-            f"CAST(array_max(transform(array_distinct({arr_sql}), "
-            f"t -> size(filter({arr_sql}, x -> x = t)))) AS DOUBLE) "
-            f"/ size({arr_sql}) END"
+            f"CASE WHEN size({arr_col}) > 0 THEN "
+            f"CAST(array_max(transform(array_distinct({arr_col}), "
+            f"t -> size(filter({arr_col}, x -> x = t)))) AS DOUBLE) "
+            f"/ size({arr_col}) END"
         )
 
-    bigrams = (
-        "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
-        "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
-    )
-    trigrams = (
-        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
-        "i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), "
-        "' ', element_at(tokens, i + 2)))"
-    )
+    # materialize the n-gram arrays as columns first: the frac expressions
+    # reference them several times, and Catalyst does not collapse the
+    # projections (non-cheap expressions used more than once), so each
+    # array is built once per row instead of once per reference
+    staged = df.withColumns({
+        "__bi": F.expr(
+            "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+            "i -> concat(element_at(tokens, i), ' ', "
+            "element_at(tokens, i + 1)))"),
+        "__tri": F.expr(
+            "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+            "i -> concat(element_at(tokens, i), ' ', "
+            "element_at(tokens, i + 1), ' ', element_at(tokens, i + 2)))"),
+    })
     return (
-        df.withColumn("top_unigram_frac", max_count_frac("tokens"))
-        .withColumn("top_bigram_frac", max_count_frac(f"({bigrams})"))
+        staged.withColumn("top_unigram_frac", max_count_frac("tokens"))
+        .withColumn("top_bigram_frac", max_count_frac("__bi"))
         .withColumn(
             "dup_trigram_frac",
             F.expr(
-                f"CASE WHEN size({trigrams}) > 0 THEN "
-                f"1.0 - CAST(size(array_distinct({trigrams})) AS DOUBLE) "
-                f"/ size({trigrams}) END"),
+                "CASE WHEN size(__tri) > 0 THEN "
+                "1.0 - CAST(size(array_distinct(__tri)) AS DOUBLE) "
+                "/ size(__tri) END"),
         )
+        .drop("__bi", "__tri")
     )

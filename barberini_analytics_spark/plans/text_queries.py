@@ -171,10 +171,16 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     - token counts: whitespace tokens + BPE-ish regex pre-tokens (the
       corpus budget metric).
 
-    At 100 TB this is one map-only scan — no shuffle, (doc_id, ~12 scalars)
-    per row leaving each task.
+    At 100 TB this is one map-only scan — no shuffle, (doc_id, ~15 scalars)
+    per row leaving each task.  The local single-row-group parquet file is
+    unsplittable, so the scan is explicitly re-spread here — per-row HOF
+    work is this query's entire cost; on a real lake the scan parallelizes
+    by row group and the repartition becomes unnecessary (but stays
+    harmless: one tiny exchange).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from .ingest_queries import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     out = X.quality_features(docs, stopwords=_STOPWORDS)
     out = X.language_id(out)
     out = X.fingerprint(out)

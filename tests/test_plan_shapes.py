@@ -30,8 +30,9 @@ def _read_schemas(plan: str) -> list[str]:
 PRUNING_CASES = [
     # exact dedup never needs lang/source/n_chars — only id + text
     ("exact_dedup_documents", 1, "n_chars"),
-    # profile is a pure map: no shuffle at all, no doc metadata beyond need
-    ("document_profile", 0, "n_chars"),
+    # profile is a pure map plus one explicit scan re-spread (the local
+    # parquet is a single unsplittable row group)
+    ("document_profile", 1, "n_chars"),
     # pricing summary reads 7 lineitem columns, never the ship metadata
     ("pricing_summary", 1, "l_comment"),
 ]
