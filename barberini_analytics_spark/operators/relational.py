@@ -380,3 +380,31 @@ def sample_per_key(df: DataFrame, keys: Sequence[str], n: int,
     w = W.partitionBy(*keys).orderBy(order)
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= n).drop("__rk"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          keys: Sequence[str],
+                          left_bounds: tuple[str, str] = ("start", "end"),
+                          right_bounds: tuple[str, str] = ("start", "end"),
+                          suffix: str = "_r") -> DataFrame:
+    """Per-key interval overlap join: pairs of rows whose [start, end]
+    ranges intersect (inclusive bounds).
+
+    Joined on the equi keys first — the range predicate is applied
+    *inside* the hash join, so the plan is a keyed shuffle join, not a
+    broadcast nested loop over the cross product.  For long-spanning
+    intervals at 100 TB, bucketize coarse time-grains into the key
+    (interval → grain explode) so each range only meets candidates in its
+    grain — the standard range-bucketing refinement; this operator is the
+    exact inner step either way.
+    """
+    lb, le = left_bounds
+    rb, re_ = right_bounds
+    r = right
+    for c in right.columns:
+        if c in keys:
+            continue
+        r = r.withColumnRenamed(c, f"{c}{suffix}")
+    cond = (F.col(f"{rb}{suffix}") <= F.col(le)) \
+        & (F.col(f"{re_}{suffix}") >= F.col(lb))
+    return left.join(r, list(keys)).filter(cond)

@@ -131,3 +131,17 @@ def dedup_stream(events: DataFrame, keys: Sequence[str] = ("event_id",),
     """
     return events.withWatermark("ts", watermark) \
         .dropDuplicatesWithinWatermark(list(keys))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  on: Sequence[str] = ("user_id",)) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    columns to a stream.
+
+    The static side is re-read per micro-batch (Spark's stream-static
+    contract), planned as a broadcast hash join when under the broadcast
+    threshold — stateless, no watermark, no streaming shuffle.  This is
+    the streaming face of J2/J3 (posts↔rich, tweet↔author left joins):
+    dimension updates between micro-batches are picked up automatically.
+    """
+    return events.join(F.broadcast(dim), list(on), "left")

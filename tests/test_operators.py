@@ -231,3 +231,25 @@ def test_sample_per_key_deterministic_cap(spark):
     # a different seed draws a different sample
     other = R.sample_per_key(df, ["src"], 5, seed=7).collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, got1))
+
+
+def test_interval_overlap_join(spark):
+    import datetime as dt
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [("k", d(2024, 1, 1), d(2024, 1, 10), "a"),
+         ("k", d(2024, 2, 1), d(2024, 2, 5), "b"),
+         ("z", d(2024, 1, 1), d(2024, 1, 10), "c")],
+        ["key", "start", "end", "tag"])
+    right = spark.createDataFrame(
+        [("k", d(2024, 1, 10), d(2024, 1, 20), "x"),   # touches 'a' at the bound
+         ("k", d(2024, 1, 11), d(2024, 1, 31), "y"),   # gap: no overlap
+         ("k", d(2024, 2, 4), d(2024, 2, 28), "w"),    # overlaps 'b'
+         ("q", d(2024, 1, 1), d(2024, 1, 10), "v")],   # other key
+        ["key", "start", "end", "tag"])
+    got = sorted(
+        (r["tag"], r["tag_r"])
+        for r in R.interval_overlap_join(
+            left, right, ["key"]).collect())
+    assert got == [("a", "x"), ("b", "w")]

@@ -101,3 +101,14 @@ def test_dedup_stream_drops_replays(spark, batch_events):
     n_unique = batch_events.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_enrich_stream_static_broadcast(spark, batch_events):
+    users = batch_events.select("user_id").distinct() \
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    stream = SJ.stream_events(spark, SF)
+    got = SJ.run_available_now(
+        SJ.enrich_stream(stream, users), "enriched", output_mode="append")
+    assert got.count() == batch_events.count()
+    assert got.filter(F.col("segment")
+                      != (F.col("user_id") % 3).cast("int")).count() == 0
