@@ -17,6 +17,8 @@ determinism" hard part).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
 
 
 class GSDMM:
