@@ -31,17 +31,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects. Read nanos as LONG (runtime-settable legacy
-        # conf) and convert to a micro-precision timestamp; the generator's
-        # values are micro-aligned so the division is lossless.
+        # The generator has shipped events.ts under two encodings:
+        # TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read nanos
+        # as LONG via the legacy conf and divide) and TIMESTAMP_MICROS with
+        # isAdjustedToUTC=0 (reads as TIMESTAMP_NTZ). Normalize both to a
+        # session-tz TIMESTAMP (session tz is pinned to UTC, so the NTZ cast
+        # is wall-clock identity).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division: a double roundtrip would lose low bits of the
-        # ~1.7e18 nanosecond values and shift timestamps by ±1 microsecond
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division: a double roundtrip would lose low bits of the
+            # ~1.7e18 nanosecond values and shift timestamps by ±1 microsecond
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

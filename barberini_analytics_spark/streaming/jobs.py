@@ -37,6 +37,8 @@ from ..core.io import table_path
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one-file-per-batch keeps
     the availableNow drain deterministic)."""
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the file source needs a directory: stream the sf dir filtered to the
@@ -45,7 +47,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxFilesPerTrigger", 1)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # normalize ts the same way core.io.load_table does (two generator
+    # encodings in the wild: nanos-as-long and TIMESTAMP_NTZ micros)
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif not isinstance(ts_type, T.TimestampType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_engagement(events: DataFrame, window: str = "1 hour",
