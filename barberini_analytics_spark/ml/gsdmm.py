@@ -12,6 +12,13 @@ the same split the reference uses.
 Determinism: a fixed-seed ``numpy.random.Generator`` plus sorted input
 order makes cluster assignments reproducible run-to-run (SURVEY §7 "GSDMM
 determinism" hard part).
+
+Past the driver gate, ``fit_topics_sharded`` keeps the same sampler but
+distributes it: docs hash into shards sized under the gate and each shard
+fits its own model inside ``applyInPandas`` — the reference's
+one-model-per-year sharding (src/topic_modeling.py:140-180) generalized
+to a size-bounded deterministic hash shard.  No driver collect at any
+corpus size.
 """
 
 from __future__ import annotations
@@ -90,3 +97,58 @@ class GSDMM:
 
         self.labels_ = labels
         return labels
+
+
+def fit_topics_sharded(
+    tokens: DataFrame,
+    n_docs: int,
+    n_clusters: int = 10,
+    alpha: float = 0.1,
+    beta: float = 0.1,
+    n_iters: int = 30,
+    seed: int = 42,
+    max_docs_per_shard: int = 200_000,
+) -> DataFrame:
+    """Distributed GSDMM over a ``(doc_id, word)`` frame: one independent
+    model per deterministic hash shard, fit inside ``applyInPandas``.
+
+    The reference never fits one model over everything either — it shards
+    one model per year (src/topic_modeling.py:140-180).  Here the shard key
+    is ``xxhash64(doc_id) mod ceil(n_docs / max_docs_per_shard)`` so each
+    shard's collected token lists stay bounded regardless of corpus size,
+    and the global topic id is ``shard * K + local_topic``.  Every step —
+    grouping, shard fit, output — runs on executors; the driver never sees
+    a token.
+
+    Determinism: shard membership is a pure hash of ``doc_id``; each shard
+    sorts by ``doc_id`` and seeds ``seed + shard``, so assignments are
+    reproducible independent of partitioning.
+    """
+    n_shards = max(1, -(-n_docs // max_docs_per_shard))
+    docs = (
+        tokens.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("word")).alias("words"))
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).cast("int"),
+        )
+    )
+
+    K = n_clusters
+
+    def _fit_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        labels = GSDMM(
+            n_clusters=K, alpha=alpha, beta=beta, n_iters=n_iters,
+            seed=seed + shard,
+        ).fit_predict([list(w) for w in pdf["words"]])
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "topic": shard * K + labels,
+            }
+        )
+
+    return docs.groupBy("shard").applyInPandas(
+        _fit_shard, "doc_id long, topic long")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..core.io import load_table
 from ..ml.dbscan import cosine_dbscan
-from ..ml.gsdmm import GSDMM
+from ..ml.gsdmm import GSDMM, fit_topics_sharded
 from ..ml.knn import KNNRegressor, MinMaxScaler
 from ..operators import text as X
 from ..operators.relational import top_k_per_group
@@ -247,26 +247,49 @@ def visitor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: driver-collect guard, same pattern as the DBSCAN path below: the
+#: reference corpora are thousands of short posts; past this bound the
+#: sharded applyInPandas fit takes over and the driver never sees a token
+_GSDMM_MAX_DOCS = 200_000
+
 #: deterministic fit cache — the topic outputs share one fit
-_FIT_CACHE: dict[str, list[tuple[int, int]]] = {}
+_FIT_CACHE: dict[str, DataFrame] = {}
 
 
-def _fit_topics(tokens: DataFrame, cache_key: str) -> DataFrame:
-    """Collect (sorted) token lists, fit GSDMM on the driver, return
-    (doc_id, topic) as a DataFrame.  The fit is deterministic, so the
-    topic outputs share it via a per-sf cache."""
+def _fit_topics(tokens: DataFrame, cache_key: str,
+                max_docs: int = _GSDMM_MAX_DOCS) -> DataFrame:
+    """(doc_id, topic) assignments for the tokenized corpus.
+
+    Small corpora (≤ ``max_docs``, probed with a gate+1 LIMIT so the probe
+    never scans past the bound) collect sorted token lists and fit GSDMM on
+    the driver — the reference's shape.  Larger corpora route through
+    ``fit_topics_sharded``: one model per deterministic hash shard inside
+    ``applyInPandas``, no driver collect (src/topic_modeling.py:140-180
+    shards per year the same way).  The fit is deterministic either way,
+    so the topic outputs share it via a per-sf cache.
+    """
     spark = tokens.sparkSession
     if cache_key not in _FIT_CACHE:
-        grouped = (tokens.groupBy("doc_id")
-                   .agg(F.sort_array(F.collect_list("word")).alias("words"))
-                   .orderBy("doc_id").collect())
-        doc_ids = [r.doc_id for r in grouped]
-        labels = GSDMM(n_clusters=10, alpha=0.1, beta=0.1, n_iters=30,
-                       seed=42).fit_predict([r.words for r in grouped])
-        _FIT_CACHE[cache_key] = [
-            (int(d), int(z)) for d, z in zip(doc_ids, labels)]
-    return spark.createDataFrame(_FIT_CACHE[cache_key],
-                                 ["doc_id", "topic"])
+        doc_ids_df = tokens.select("doc_id").distinct()
+        probe = doc_ids_df.limit(max_docs + 1).count()
+        if probe > max_docs:
+            assign = fit_topics_sharded(
+                tokens, n_docs=doc_ids_df.count(),
+                n_clusters=10, alpha=0.1, beta=0.1, n_iters=30, seed=42,
+                max_docs_per_shard=max_docs)
+        else:
+            grouped = (tokens.groupBy("doc_id")
+                       .agg(F.sort_array(F.collect_list("word"))
+                            .alias("words"))
+                       .orderBy("doc_id").collect())
+            doc_ids = [r.doc_id for r in grouped]
+            labels = GSDMM(n_clusters=10, alpha=0.1, beta=0.1, n_iters=30,
+                           seed=42).fit_predict([r.words for r in grouped])
+            assign = spark.createDataFrame(
+                [(int(d), int(z)) for d, z in zip(doc_ids, labels)],
+                ["doc_id", "topic"])
+        _FIT_CACHE[cache_key] = assign.persist()
+    return _FIT_CACHE[cache_key]
 
 
 @query("topic_model")  # rows-only: Gibbs sampling is not SQL
@@ -392,7 +415,9 @@ def embedding_dbscan_clusters(spark: SparkSession,
     core-point partitions — pinned by tests/test_ml.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # gate+1 LIMIT probe: decides the path without ever counting past the
+    # bound (a full count() here would scan the whole table at 100 TB)
+    n = emb.select("vec_id").limit(_DBSCAN_MAX_ROWS + 1).count()
     if n > _DBSCAN_MAX_ROWS:
         # LSH scale path: no collect, same core-point partitions
         # (tests/test_ml.py pins the equivalence at small scale)

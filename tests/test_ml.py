@@ -119,3 +119,51 @@ def test_distributed_dbscan_matches_driver_on_cores(spark):
         ok = any(core[j] and nbrs[i][j] and dist[ids[j]] == dist[vid]
                  for j in range(len(ids)))
         assert ok, f"border {vid} attached to a cluster with no near core"
+
+
+def test_gsdmm_sharded_single_shard_matches_driver(spark):
+    """One shard ⇒ the applyInPandas fit is the driver fit: same sampler,
+    same seed, same sorted doc order, identical labels."""
+    from barberini_analytics_spark.ml.gsdmm import fit_topics_sharded
+
+    docs = ([(i, w) for i in range(10)
+             for w in ("apple", "banana", "fruit")]
+            + [(i, w) for i in range(10, 20)
+               for w in ("engine", "wheel", "car")])
+    tokens = spark.createDataFrame(docs, ["doc_id", "word"])
+
+    dist = {r.doc_id: r.topic
+            for r in fit_topics_sharded(
+                tokens, n_docs=20, n_clusters=5, n_iters=15, seed=7,
+                max_docs_per_shard=1000).collect()}
+
+    driver = GSDMM(n_clusters=5, n_iters=15, seed=7).fit_predict(
+        [sorted(("apple", "banana", "fruit"))] * 10
+        + [sorted(("engine", "wheel", "car"))] * 10)
+    assert dist == {i: int(z) for i, z in enumerate(driver)}
+
+
+def test_gsdmm_gate_routes_large_corpus_through_shards(spark):
+    """Past the doc gate, _fit_topics never collects: the sharded path
+    assigns every doc exactly once, topic ids stay inside their shard's
+    band, and the result is deterministic."""
+    from barberini_analytics_spark.plans.ml_queries import (
+        _FIT_CACHE, _fit_topics, _topic_tokens)
+
+    tokens = _topic_tokens(spark, "/root/testdata/sf0.001")
+    n_docs = tokens.select("doc_id").distinct().count()
+    assert n_docs > 10  # the override below must actually trip the gate
+
+    _FIT_CACHE.pop("gate-test", None)
+    sharded = _fit_topics(tokens, "gate-test", max_docs=10)
+    rows = sharded.collect()
+    _FIT_CACHE.pop("gate-test", None)
+    again = _fit_topics(tokens, "gate-test", max_docs=10).collect()
+    _FIT_CACHE.pop("gate-test", None)
+
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    n_shards = -(-n_docs // 10)
+    for r in rows:
+        assert 0 <= r.topic < n_shards * 10
