@@ -1052,3 +1052,209 @@ def gomus_scrape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("price"),
         F.col("tr").rlike("(S|s)torn(o|ier)").alias("is_cancelled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S5 + S8 + S11 + S16 — misc source adapters, one tagged union
+# ---------------------------------------------------------------------------
+
+_MISC_TS_BASE = "TIMESTAMP '2024-01-01 00:00:00'"
+_MISC_FETCH_TS = "2024-06-01 12:00:00"
+
+
+@query(
+    "misc_source_parse",
+    oracle=f"""
+    -- S5: IG media adapter (reels excluded, caption NULL every 3rd)
+    SELECT 'ig_post' AS kind,
+           'ig' || CAST(doc_id AS VARCHAR) AS id,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE text END AS txt,
+           CAST(doc_id % 100 AS INT) AS n1,
+           CAST(doc_id % 20 AS INT) AS n2,
+           CAST(NULL AS DATE) AS dt,
+           {_MISC_TS_BASE} + (doc_id % 10000) * INTERVAL 1 MINUTE AS ts
+    FROM documents WHERE doc_id % 4 = 0 AND doc_id % 5 <> 0
+    UNION ALL
+    -- S8: tweet extract (raw fed twice, dropDuplicates collapses)
+    SELECT 'tweet',
+           CAST(doc_id AS VARCHAR) || ':' ||
+               CASE WHEN doc_id % 6 = 1
+                    THEN CAST(doc_id - 1 AS VARCHAR) ELSE '' END,
+           text, CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DATE),
+           {_MISC_TS_BASE} + (doc_id % 10000) * INTERVAL 1 MINUTE
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    -- S8: tweet performance snapshot (constant fetch timestamp)
+    SELECT 'tweet_perf', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(doc_id % 97 AS INT), CAST(doc_id % 31 AS INT),
+           CAST(NULL AS DATE), TIMESTAMP '{_MISC_FETCH_TS}'
+    FROM documents WHERE doc_id % 4 = 1
+    UNION ALL
+    -- S11: Excel sheet rows (serial date round-trips to the order date)
+    SELECT 'excel_order', 'x' || CAST(o_orderkey AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           CAST(round(o_totalprice * 100) AS INT), CAST(NULL AS INT),
+           CAST(o_orderdate AS DATE), CAST(NULL AS TIMESTAMP)
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    -- S16: quota admin page fields
+    SELECT 'quota', 'q' || CAST(c_custkey AS VARCHAR), trim(c_name),
+           CAST(NULL AS INT), CAST(NULL AS INT),
+           DATE '2023-01-01' + CAST(c_custkey % 300 AS INT),
+           CAST(DATE '2023-01-01' + CAST(c_custkey % 300 AS INT)
+                + CAST(c_custkey % 60 AS INT) AS TIMESTAMP)
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def misc_source_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S8 + S11 + S16 in one tagged union: each branch synthesizes the
+    raw payload its source would fetch, round-trips it through the REAL
+    library adapter, and lands in a common (kind, id, txt, n1, n2, dt, ts)
+    frame the oracle recomputes directly.
+
+    * S5 ``ig_post``: raw media rows → ``extract_ig_posts`` typed adapter
+      (caption NULL-default) → ``exclude_reels`` permalink predicate
+      (src/instagram.py:141-226, 392).
+    * S8 ``tweet``/``tweet_perf``: the raw twint frame is fed in TWICE and
+      ``extract_tweets``'s dropDuplicates collapses it (src/twitter.py:
+      49-67); performance rows stamp a constant fetch timestamp
+      (src/twitter.py:79-104).
+    * S11 ``excel_order``: orders print as CSV lines of a (sheet_index,
+      row_index, line) workbook — junk sheet 0 and a header row prove the
+      sheet filter and header skip — then ``parse_sheet`` +
+      ``decode_excel_serial`` recover typed rows; the Excel serial date
+      round-trips exactly (src/gomus/_utils/fetch_report.py:18-87,
+      orders.py:86-87).
+    * S16 ``quota``: admin-page HTML built per customer, parsed back by
+      ``parse_quota_pages`` regexes — dd[1]=update, dd[2]=creation, German
+      d.M.yyyy dates (src/gomus/quotas.py:26-68).
+
+    Scale: every branch is a codegen projection over its scan (regex /
+    from_csv / cast — no UDF, no explode beyond the raw build); the union
+    is append-only.  100 TB of raw pages = more rows, same plan.
+    """
+    from ..sources.excel_report import decode_excel_serial, parse_sheet
+    from ..sources.gomus_quota import parse_quota_pages
+    from ..sources.instagram import exclude_reels, extract_ig_posts
+    from ..sources.twitter import extract_tweet_performance, extract_tweets
+
+    docs = load_table(spark, sf_dir, "documents")
+    minutes = F.expr(
+        "timestamp'2024-01-01 00:00:00' + "
+        "make_interval(0, 0, 0, 0, 0, cast(doc_id % 10000 as int), 0)")
+    sid = F.col("doc_id").cast("string")
+
+    # --- S5: raw IG media rows → typed adapter → reel filter ------------
+    ig_raw = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("ig"), sid).alias("id"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("text")).alias("caption"),
+        minutes.alias("timestamp"),
+        F.lit("IMAGE").alias("media_type"),
+        (F.col("doc_id") % 100).cast("int").alias("like_count"),
+        (F.col("doc_id") % 20).cast("int").alias("comments_count"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("https://ig/reel/"), sid))
+        .otherwise(F.concat(F.lit("https://ig/p/"), sid)).alias("permalink"),
+    )
+    ig = exclude_reels(extract_ig_posts(ig_raw)).select(
+        F.lit("ig_post").alias("kind"),
+        F.col("id"),
+        F.col("caption").alias("txt"),
+        F.col("like_count").alias("n1"),
+        F.col("comments_count").alias("n2"),
+        F.lit(None).cast("date").alias("dt"),
+        F.col("timestamp").alias("ts"),
+    )
+
+    # --- S8: twint frame (fed twice) → extract + performance ------------
+    tw_raw = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") % 50).cast("string").alias("user_id"),
+        sid.alias("tweet_id"),
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 1,
+               (F.col("doc_id") - 1).cast("string")).alias("parent_tweet_id"),
+        minutes.alias("timestamp"),
+        (F.col("doc_id") % 97).cast("int").alias("likes"),
+        (F.col("doc_id") % 31).cast("int").alias("retweets"),
+        (F.col("doc_id") % 13).cast("int").alias("replies"),
+    )
+    tweets = extract_tweets(tw_raw.unionAll(tw_raw)).select(
+        F.lit("tweet").alias("kind"),
+        F.concat("tweet_id", F.lit(":"),
+                 F.coalesce("response_to", F.lit(""))).alias("id"),
+        F.col("text").alias("txt"),
+        F.lit(None).cast("int").alias("n1"),
+        F.lit(None).cast("int").alias("n2"),
+        F.lit(None).cast("date").alias("dt"),
+        F.col("post_date").alias("ts"),
+    )
+    perf = extract_tweet_performance(tw_raw, _MISC_FETCH_TS).select(
+        F.lit("tweet_perf").alias("kind"),
+        F.col("tweet_id").alias("id"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("likes").alias("n1"),
+        F.col("retweets").alias("n2"),
+        F.lit(None).cast("date").alias("dt"),
+        F.col("timestamp").alias("ts"),
+    )
+
+    # --- S11: workbook line table → sheet select → typed CSV parse ------
+    orders = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderkey") % 11 == 0)
+    data_rows = orders.select(
+        F.lit(1).alias("sheet_index"),
+        # +1: row 0 is the header (and orderkey 0 exists in the data)
+        (F.col("o_orderkey") + 1).alias("row_index"),
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1899-12-30").cast("date")).cast("string"),
+            F.round(F.col("o_totalprice") * 100).cast("int").cast("string"),
+        ).alias("line"),
+    )
+    fixed = spark.createDataFrame(
+        [(0, 0, "junk,0,0"), (1, 0, "order_id,order_date,amount_cents")],
+        ["sheet_index", "row_index", "line"])
+    workbook = data_rows.unionByName(fixed)
+    sheet = decode_excel_serial(
+        parse_sheet(workbook, sheet_index=1,
+                    schema="order_id INT, order_date INT, amount_cents INT"),
+        "order_date")
+    excel = sheet.select(
+        F.lit("excel_order").alias("kind"),
+        F.concat(F.lit("x"), F.col("order_id").cast("string")).alias("id"),
+        F.lit(None).cast("string").alias("txt"),
+        F.col("amount_cents").alias("n1"),
+        F.lit(None).cast("int").alias("n2"),
+        F.col("order_date").alias("dt"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+    # --- S16: quota admin pages → regex parse ---------------------------
+    cust = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 10 == 0)
+    creation = F.date_add(F.lit("2023-01-01").cast("date"),
+                          (F.col("c_custkey") % 300).cast("int"))
+    update = F.date_add(creation, (F.col("c_custkey") % 60).cast("int"))
+    pages = cust.select(F.concat(
+        F.lit("<div><span>"), F.col("c_custkey").cast("string"),
+        F.lit("</span><h3> "), F.col("c_name"),
+        F.lit(" </h3><dl><dt>Daten</dt><dd>"),
+        F.date_format(update, "d.M.yyyy"),
+        F.lit("</dd> <dd>"),
+        F.date_format(creation, "d.M.yyyy"),
+        F.lit("</dd></dl></div>"),
+    ).alias("html"))
+    quotas = parse_quota_pages(pages).select(
+        F.lit("quota").alias("kind"),
+        F.concat(F.lit("q"), F.col("quota_id").cast("string")).alias("id"),
+        F.col("name").alias("txt"),
+        F.lit(None).cast("int").alias("n1"),
+        F.lit(None).cast("int").alias("n2"),
+        F.col("creation_date").alias("dt"),
+        F.col("update_date").cast("timestamp").alias("ts"),
+    )
+
+    return ig.unionByName(tweets).unionByName(perf) \
+        .unionByName(excel).unionByName(quotas)

@@ -203,54 +203,6 @@ def event_snapshot_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# top-k per group (rank window)
-# ---------------------------------------------------------------------------
-
-@query(
-    "top_parts_by_brand",
-    oracle="""
-    SELECT p_brand, p_partkey, revenue, rank
-    FROM (
-        SELECT p_brand, p_partkey, revenue,
-               CAST(row_number() OVER (
-                   PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
-               ) AS INT) AS rank
-        FROM (
-            SELECT p.p_brand, p.p_partkey,
-                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                        AS BIGINT) / 10000.0 AS revenue
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-            GROUP BY p.p_brand, p.p_partkey
-        )
-    )
-    WHERE rank <= 3
-    """,
-)
-def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group (SURVEY §2.7): top-3 revenue parts per brand.
-
-    Reference: top-20 terms per topic (src/topic_modeling.py:247-254).
-    Revenue is rounded *before* ranking so the tie order is engine-stable.
-    The part side is a dimension — Catalyst broadcasts it under the
-    configured threshold.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    revenue = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_partkey")
-        .agg((F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))) / 10000.0)
-             .alias("revenue"))
-    )
-    return R.top_k_per_group(
-        revenue, ["p_brand"],
-        [F.col("revenue").desc(), F.col("p_partkey").asc()],
-        k=3, keep_rank=True,
-    ).withColumn("rank", F.col("rank").cast("int"))
-
-
 # Dropped from the registry to stay inside the correctness driver's
 # ~50-query evaluation window (CORRECTNESS_r01 stopped at exactly 50
 # entries, cutting the last-registered modules) — the components these
@@ -266,6 +218,10 @@ def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       extended_dataset_ranking (HAVING)
 #   sessionize_events         (M11)        → keyword_intervals (same
 #       operator, relational.sessionize)
+#   top_parts_by_brand        (§2.7 top-k) → topic_model (top-20 terms,
+#       the reference's actual top-k use), extended_dataset_ranking (rank
+#       windows), cosine_topk_bruteforce; slot reassigned to
+#       misc_source_parse (S5/S8/S11/S16 driver evidence, round 4)
 # The operators themselves stay in the library with their unit tests.
 
 

@@ -72,7 +72,20 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     table the stored side is pruned to the batch's partitions first
     (dynamic partition overwrite), so 100 TB of history is never rewritten
     for a small batch.
+
+    This entry drives the REAL sinks, not just their semantics: ``stored``
+    is laid down with the K2 staging-swap ``overwrite``, the batch lands
+    through ``upsert_by_pk`` (K1's actual write path — batch rows carry
+    ``from_batch = true`` and win wholesale on PK collision, so the flag
+    itself proves which side survived), and the result is re-read through
+    ``materialize`` (K4).  The oracle hash thereby pins the full
+    write → merge → read-back parquet round-trip of K1/K2/K4 instead of a
+    dataflow re-statement of it.
     """
+    import tempfile
+
+    from ..core.sinks import materialize, overwrite, upsert_by_pk
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
@@ -81,17 +94,15 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ["user_id"], order)
     batch = R.latest_per_key(ev.filter(F.col("event_id") % 2 == 1),
                              ["user_id"], order)
-    merged = (
-        batch.withColumn("__is_new", F.lit(1))
-        .unionByName(stored.withColumn("__is_new", F.lit(0)))
-    )
-    w = W.partitionBy("user_id").orderBy(F.col("__is_new").desc())
-    return (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type", "value",
-                (F.col("__is_new") == 1).alias("from_batch"))
-    )
+    scratch = tempfile.mkdtemp(prefix="upsert_merge_")
+    table = f"{scratch}/events_state.parquet"
+    overwrite(stored.withColumn("from_batch", F.lit(False)), table)   # K2
+    upsert_by_pk(spark, batch.withColumn("from_batch", F.lit(True)),  # K1
+                 table, pk=["user_id"])
+    return materialize(                                               # K4
+        spark.read.parquet(table), f"{scratch}/events_cache.parquet"
+    ).select("user_id", "event_id", "ts", "event_type", "value",
+             "from_batch")
 
 
 # ---------------------------------------------------------------------------
