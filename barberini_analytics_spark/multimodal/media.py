@@ -116,7 +116,12 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
 
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """Deterministic feature vectors from payload bytes (the stand-in for
-    an embedding model): sha256-seeded floats in [0, 1), Arrow-batched."""
+    an embedding model): sha256-seeded floats in [0, 1), Arrow-batched.
+
+    The digest domain is the UPPERCASE HEX encoding of the payload, not
+    the raw bytes: hex is pure ASCII, so an ANSI-SQL engine can reproduce
+    the exact digest (DuckDB 1.0 hashes VARCHAR only) and the whole media
+    pipeline stays oracle-checkable end-to-end."""
     schema = StructType([
         StructField("media_id", LongType()),
         StructField("features", ArrayType(FloatType())),
@@ -126,7 +131,8 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in it:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                digest = hashlib.sha256(bytes(data)).digest()
+                digest = hashlib.sha256(
+                    bytes(data).hex().upper().encode("ascii")).digest()
                 vec = [struct.unpack(">I", digest[4 * i: 4 * i + 4])[0]
                        / 2 ** 32 for i in range(dim)]
                 out.append((mid, vec))

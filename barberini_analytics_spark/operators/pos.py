@@ -1,0 +1,169 @@
+"""Model-free POS tagging for the opinion-pattern chain (SURVEY §2.10 M7).
+
+The reference tags posts with spaCy ``de_core_news_lg``
+(src/absa/post_opinion_patterns.py:279-363) before searching the JSONC
+opinion patterns (ADJ+NOUN / NOUN+ADJ, data/absa/opinion_patterns.jsonc).
+That model is not in this runtime, so tagging is a deterministic cascade
+built from public knowledge of German morphology:
+
+1. a broadcast closed-class lexicon (articles, prepositions, pronouns,
+   conjunctions, auxiliaries, common adverbs and adjectives — public word
+   lists every German grammar ships);
+2. the capitalization rule (German nouns are capitalized — the single
+   strongest model-free signal in the language);
+3. derivational suffix rules (-ung/-heit/-keit → NOUN, -lich/-ig/-isch/
+   -bar/-end … → ADJ, with inflection endings expanded);
+4. a configurable default for the remainder.
+
+Everything compiles to ONE ``CASE`` expression emitted by
+:func:`pos_case_sql` — the identical SQL string runs as a Spark codegen
+projection (``F.expr``) and as the DuckDB oracle, so both engines share a
+single source of truth and the tag step adds no shuffle, no UDF, no
+Python.  The fidelity of the cascade (not just its determinism) is pinned
+by the hand-labeled fixture in ``tests/test_pos_fixture.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# ---------------------------------------------------------------------------
+# German tag cascade (public closed-class word lists + morphology)
+# ---------------------------------------------------------------------------
+
+#: tag → lowercase surface forms; evaluation order is the tuple order
+GERMAN_POS_LEXICON: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("DET", ("der", "die", "das", "den", "dem", "des", "ein", "eine",
+             "einen", "einem", "einer", "eines", "kein", "keine", "keinen",
+             "keinem", "keiner", "dieser", "diese", "dieses", "diesen",
+             "diesem", "jeder", "jede", "jedes", "alle", "allen", "viel",
+             "viele", "vielen", "wenig", "wenige", "weniger", "mehr",
+             "mehrere", "einige")),
+    ("ADP", ("in", "im", "an", "am", "auf", "mit", "von", "vom", "zu",
+             "zum", "zur", "für", "bei", "beim", "nach", "über", "unter",
+             "durch", "gegen", "ohne", "um", "aus", "hinter", "neben",
+             "zwischen", "seit", "trotz", "während", "wegen")),
+    ("PRON", ("ich", "du", "er", "sie", "es", "wir", "ihr", "mich", "dich",
+              "ihn", "uns", "euch", "mir", "dir", "ihm", "ihnen", "man",
+              "wer", "sich", "nichts", "etwas", "alles")),
+    ("CCONJ", ("und", "oder", "aber", "denn", "sondern", "doch")),
+    ("SCONJ", ("dass", "weil", "wenn", "obwohl", "als", "ob", "damit")),
+    ("AUX", ("ist", "sind", "war", "waren", "bin", "bist", "seid", "sein",
+             "hat", "haben", "habe", "hatte", "hatten", "wird", "werden",
+             "wurde", "wurden", "würde", "würden", "kann", "können",
+             "konnte", "konnten", "muss", "müssen", "musste", "sollte",
+             "möchte", "mag")),
+    ("ADV", ("sehr", "nicht", "auch", "nur", "noch", "schon", "immer",
+             "wieder", "hier", "dort", "heute", "gestern", "leider",
+             "wirklich", "absolut", "total", "ziemlich", "besonders",
+             "dann", "jetzt", "oft", "nie", "mal", "so", "ganz")),
+    # common (museum-review domain) adjectives incl. inflected forms that
+    # no suffix rule can recover
+    ("ADJ", ("schön", "schöne", "schöner", "schönes", "schönen", "gut",
+             "gute", "guter", "gutes", "guten", "toll", "tolle", "toller",
+             "tolles", "tollen", "super", "großartig", "großartige",
+             "großartigen", "wunderbar", "wunderbare", "wunderbaren",
+             "beeindruckend", "beeindruckende", "interessant",
+             "interessante", "interessanten", "langweilig", "langweilige",
+             "langweiliger", "schlecht", "schlechte", "schlechter",
+             "teuer", "teure", "teuren", "günstig", "günstige", "modern",
+             "moderne", "moderner", "alt", "alte", "alter", "neu", "neue",
+             "neuer", "klein", "kleine", "kleiner", "groß", "große",
+             "großer", "voll", "volle", "laut", "laute", "leise", "hell",
+             "helle", "dunkel", "dunkle", "lang", "lange", "kurz",
+             "kurze")),
+)
+
+#: suffix → tag, checked after the lexicon and capitalization rules;
+#: each entry expands with the German inflection endings -e/-er/-es/-en/-em
+GERMAN_SUFFIX_RULES: tuple[tuple[str, str], ...] = (
+    ("ung", "NOUN"), ("heit", "NOUN"), ("keit", "NOUN"),
+    ("schaft", "NOUN"), ("tät", "NOUN"), ("tion", "NOUN"),
+    ("chen", "NOUN"), ("nis", "NOUN"),
+    ("lich", "ADJ"), ("ig", "ADJ"), ("isch", "ADJ"), ("bar", "ADJ"),
+    ("sam", "ADJ"), ("haft", "ADJ"), ("los", "ADJ"), ("end", "ADJ"),
+    ("iv", "ADJ"),
+)
+
+_INFLECTIONS = ("", "e", "er", "es", "en", "em")
+
+_UPPER = tuple("ABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜ")
+
+
+def _quoted(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def pos_case_sql(word_col: str, lexicon=GERMAN_POS_LEXICON, *,
+                 capitalized_noun: bool = True,
+                 suffix_rules=GERMAN_SUFFIX_RULES,
+                 default: str = "X") -> str:
+    """One CASE expression implementing the lexicon → capitalization →
+    suffix → default cascade.  Valid (and identical) in Spark SQL and
+    DuckDB — the same string is both the query's tag projection and the
+    oracle's."""
+    whens = [
+        f"WHEN lower({word_col}) IN ({_quoted(words)}) THEN '{tag}'"
+        for tag, words in lexicon
+    ]
+    if capitalized_noun:
+        whens.append(
+            f"WHEN substring({word_col}, 1, 1) IN ({_quoted(_UPPER)}) "
+            "THEN 'NOUN'")
+    for suffix, tag in suffix_rules:
+        likes = " OR ".join(
+            f"lower({word_col}) LIKE '%{suffix}{infl}'"
+            for infl in _INFLECTIONS)
+        whens.append(f"WHEN {likes} THEN '{tag}'")
+    body = " ".join(whens)
+    return f"CASE {body} ELSE '{default}' END"
+
+
+def pos_tag(tokens: DataFrame, word_col: str = "word",
+            lexicon=GERMAN_POS_LEXICON, *, capitalized_noun: bool = True,
+            suffix_rules=GERMAN_SUFFIX_RULES, default: str = "X",
+            tag_col: str = "tag") -> DataFrame:
+    """Add ``tag_col`` to a token frame.  Pure codegen projection — the
+    cascade is one CASE expression over the scan, no join, no UDF, no
+    shuffle; at 100 TB the tagger is free compared to the tokenize."""
+    return tokens.withColumn(tag_col, F.expr(pos_case_sql(
+        word_col, lexicon, capitalized_noun=capitalized_noun,
+        suffix_rules=suffix_rules, default=default)))
+
+
+# ---------------------------------------------------------------------------
+# opinion-pattern extraction over a tagged token stream
+# ---------------------------------------------------------------------------
+
+def extract_opinion_pairs(tagged: DataFrame, doc_col: str = "doc_id",
+                          index_col: str = "word_index") -> DataFrame:
+    """ADJ+NOUN / NOUN+ADJ subsequence search as a ``lead()`` window —
+    the JSONC pattern set of data/absa/opinion_patterns.jsonc applied the
+    way src/absa/post_opinion_patterns.py:402-421 walks ``find_subseqs``,
+    with the aspect/sentiment segments extracted per pattern definition.
+
+    Adjacency comes from one sort within the document partition (J7 →
+    window rewrite) — no self-join, no cross join; the result carries
+    (doc, aspect_word, opinion_word, pattern).
+    """
+    w = W.partitionBy(doc_col).orderBy(index_col)
+    bi = tagged.select(
+        doc_col,
+        F.col("word").alias("w1"), F.col("tag").alias("t1"),
+        F.lead("word").over(w).alias("w2"),
+        F.lead("tag").over(w).alias("t2"),
+    )
+    adj_noun = (F.col("t1") == "ADJ") & (F.col("t2") == "NOUN")
+    noun_adj = (F.col("t1") == "NOUN") & (F.col("t2") == "ADJ")
+    return (
+        bi.filter(adj_noun | noun_adj)
+        .select(
+            doc_col,
+            F.when(adj_noun, F.col("w2")).otherwise(F.col("w1"))
+            .alias("aspect_word"),
+            F.when(adj_noun, F.col("w1")).otherwise(F.col("w2"))
+            .alias("opinion_word"),
+            F.when(adj_noun, F.lit("ADJ_NOUN")).otherwise(F.lit("NOUN_ADJ"))
+            .alias("pattern"),
+        )
+    )

@@ -664,13 +664,22 @@ def inflection_polarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# deterministic rule-based POS lexicon over the corpus vocabulary — the
-# reference tags with spaCy de_core_news_lg (not in this container); the
-# pattern machinery downstream is identical either way.
-_ADJ_WORDS = ("fast", "slow", "big", "small")
-_DET_WORDS = ("the", "a")
-_ADJ_SQL = ", ".join(f"'{w}'" for w in _ADJ_WORDS)
-_DET_SQL = ", ".join(f"'{w}'" for w in _DET_WORDS)
+# the POS cascade for the synthetic English corpus: same engine as the
+# German tagger (operators/pos.py — lexicon → suffix → default CASE), with
+# the corpus vocabulary as lexicon.  The reference tags with spaCy
+# de_core_news_lg; the German cascade's fidelity is pinned by the
+# hand-labeled fixture in tests/test_pos_fixture.py, and the identical
+# CASE string serves as both the Spark projection and the oracle SQL here.
+from ..operators.pos import (extract_opinion_pairs,  # noqa: E402
+                             pos_case_sql, pos_tag)
+
+_EN_POS_LEXICON = (
+    ("ADJ", ("fast", "slow", "big", "small")),
+    ("DET", ("the", "a")),
+)
+_EN_POS_CASE = pos_case_sql(
+    "word", _EN_POS_LEXICON, capitalized_noun=False, suffix_rules=(),
+    default="NOUN")
 
 
 @query(
@@ -678,10 +687,7 @@ _DET_SQL = ", ".join(f"'{w}'" for w in _DET_WORDS)
     oracle=f"""
     WITH {_TOK_CTE},
     tagged AS (
-        SELECT doc_id, word_index, word,
-               CASE WHEN word IN ({_ADJ_SQL}) THEN 'ADJ'
-                    WHEN word IN ({_DET_SQL}) THEN 'DET'
-                    ELSE 'NOUN' END AS tag
+        SELECT doc_id, word_index, word, {_EN_POS_CASE} AS tag
         FROM tok
     ),
     bi AS (
@@ -718,40 +724,20 @@ def opinion_pattern_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     group to ``post_opinion_sentiment`` — count, mean sentiment per aspect
     (post_opinion_patterns.py:264-271; migration_053.sql:5-20).
 
-    The tagger here is a deterministic broadcast lexicon (the container has
-    no spaCy model); pattern search is a ``lead()`` window — adjacency
-    comes from one sort within the doc partition, no self-join (J7→window
-    rewrite, SURVEY §2.6).  Mean sentiment uses exact integer decipoint
-    sums with a single final division.
+    The tagger is the shared CASE-cascade engine of ``operators/pos.py``
+    (lexicon → suffix → default; the German instantiation's fidelity is
+    fixture-pinned in tests/test_pos_fixture.py); pattern search is a
+    ``lead()`` window — adjacency comes from one sort within the doc
+    partition, no self-join (J7→window rewrite, SURVEY §2.6).  Mean
+    sentiment uses exact integer decipoint sums with a single final
+    division.
     """
     tokens = _tokens(spark, sf_dir)
-    tag = (
-        F.when(F.col("word").isin(*_ADJ_WORDS), "ADJ")
-        .when(F.col("word").isin(*_DET_WORDS), "DET")
-        .otherwise("NOUN")
-    )
-    tagged = tokens.select("doc_id", "word_index", "word", tag.alias("tag"))
-    w = W.partitionBy("doc_id").orderBy("word_index")
-    bi = tagged.select(
-        "doc_id",
-        F.col("word").alias("w1"), F.col("tag").alias("t1"),
-        F.lead("word").over(w).alias("w2"),
-        F.lead("tag").over(w).alias("t2"),
-    )
-    adj_noun = (F.col("t1") == "ADJ") & (F.col("t2") == "NOUN")
-    noun_adj = (F.col("t1") == "NOUN") & (F.col("t2") == "ADJ")
-    pairs = (
-        bi.filter(adj_noun | noun_adj)
-        .select(
-            "doc_id",
-            F.when(adj_noun, F.col("w2")).otherwise(F.col("w1"))
-            .alias("aspect_word"),
-            F.when(adj_noun, F.col("w1")).otherwise(F.col("w2"))
-            .alias("opinion_word"),
-            F.when(adj_noun, F.lit("ADJ_NOUN")).otherwise(F.lit("NOUN_ADJ"))
-            .alias("pattern"),
-        )
-    )
+    tagged = pos_tag(
+        tokens.select("doc_id", "word_index", "word"),
+        lexicon=_EN_POS_LEXICON, capitalized_noun=False, suffix_rules=(),
+        default="NOUN")
+    pairs = extract_opinion_pairs(tagged)
     pol = spark.createDataFrame(
         [(w_, v) for w_, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
     )

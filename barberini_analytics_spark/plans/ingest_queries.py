@@ -1026,10 +1026,19 @@ def gomus_scrape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(H.hash_id(mail_valid, F.lit(None)), F.lit(0))
         .alias("customer_id"),
     )
-    rows = booked.select(
-        "order_id", "order_date", "language", "customer_id",
-        F.explode(F.expr(r"regexp_extract_all(doc, '<tr>(.*?)</tr>', 1)"))
-        .alias("tr"))
+    # linear row split: '</tr>'-delimited fragments, each row's content is
+    # what follows the fragment's last '<tr>'.  The earlier non-greedy
+    # regexp_extract_all backtracked over the whole document per row —
+    # O(doc²) on long bookings; split + substring_index is one pass.
+    rows = (
+        booked.select(
+            "order_id", "order_date", "language", "customer_id",
+            F.explode(F.split("doc", "</tr>")).alias("__frag"))
+        .filter(F.col("__frag").contains("<tr>"))
+        .select(
+            "order_id", "order_date", "language", "customer_id",
+            F.substring_index("__frag", "<tr>", -1).alias("tr"))
+    )
     # the reference's skip workarounds: no id div / empty td[3] / '' ticket
     arts = rows.filter(
         (F.regexp_extract("tr", r"^<td><div>([^<]*)</div>", 1) != "")

@@ -53,12 +53,56 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("data").alias("payload_hex"))
 
 
-@query("media_pipeline")  # rows-only: mapInPandas stub decode + frame fan-out
+#: the synthetic payload blob, as DuckDB SQL (shared with the manifest)
+_PAYLOAD_SQL = """
+    '\\x53\\x59\\x4E\\x4D'::BLOB
+    || unhex(lpad(hex(doc_id % 3), 2, '0'))
+    || unhex(lpad(hex((doc_id % 64 + 1) * 16), 4, '0'))
+    || unhex(lpad(hex((doc_id % 36 + 1) * 16), 4, '0'))
+    || unhex(lpad(hex(doc_id % 120 + 1), 4, '0'))
+    || encode(text)
+"""
+
+
+@query(
+    "media_pipeline",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST((doc_id % 64 + 1) * 16 AS INT) AS width,
+               CAST((doc_id % 36 + 1) * 16 AS INT) AS height,
+               CAST(doc_id % 120 + 1 AS INT) AS n_frames,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                   AS n_payload_bytes,
+               sha256(hex({_PAYLOAD_SQL})) AS digest
+        FROM documents
+    )
+    SELECT media_id, kind, width, height, n_frames, n_payload_bytes,
+           array_to_string(list_transform(range(0, 8), i ->
+               printf('%.6f', CAST(CAST(list_sum(
+                   list_transform(range(0, 8), j ->
+                       (strpos('0123456789abcdef',
+                               substring(digest, 8 * i + j + 1, 1)) - 1)
+                       * power(16, 7 - j))
+               ) / 4294967296.0 AS REAL) AS DOUBLE))), ',')
+               AS features_csv,
+           CASE WHEN kind = 'video'
+                THEN CAST((n_frames - 1) // 10 + 1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS n_sampled_frames
+    FROM p
+    """,
+)
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode (stubbed codec) + deterministic feature extraction + frame
     sampling over the media table in one frame — the three ``mapInPandas``
-    paths (decode, feature-extract, frame fan-out) under one rows-only
-    check; per-path determinism is pinned in
+    paths (decode, feature-extract, frame fan-out) hash-checked
+    end-to-end: the oracle rebuilds the payload bytes, reproduces the
+    sha256-over-hex feature digest (digit-parsed into the same
+    uint32/2^32 floats, through the same float32 rounding), and derives
+    the frame-sample fan-out count ``ceil(n_frames / every_n)``
+    relationally.  Per-path determinism is additionally pinned in
     tests/test_multimodal_sources.py.
 
     The ``features`` array is flattened to a CSV string so the frame
