@@ -364,7 +364,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 
 
 def sample_per_key(df: DataFrame, keys: Sequence[str], n: int,
-                   seed: int = 42, order_col: str | None = None) -> DataFrame:
+                   seed: int = 42,
+                   order_col: str | Sequence[str] | None = None) -> DataFrame:
     """Deterministic per-key cap: keep at most ``n`` rows per key group —
     the training-data move that bounds any one domain/source's share of a
     corpus.
@@ -375,9 +376,13 @@ def sample_per_key(df: DataFrame, keys: Sequence[str], n: int,
     reruns pick the same rows.  One shuffle on the keys; with AQE skew
     splitting a hot key does not stall the stage.
     """
-    order = F.col(order_col) if order_col else \
-        F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-    w = W.partitionBy(*keys).orderBy(order)
+    if order_col is None:
+        order = [F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))]
+    elif isinstance(order_col, str):
+        order = [F.col(order_col)]
+    else:
+        order = [F.col(c) for c in order_col]
+    w = W.partitionBy(*keys).orderBy(*order)
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= n).drop("__rk"))
 

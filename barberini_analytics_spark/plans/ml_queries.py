@@ -400,8 +400,8 @@ _DBSCAN_MAX_ROWS = 200_000
 
 
 @query("embedding_dbscan_clusters")  # rows-only: density clustering not SQL
-def embedding_dbscan_clusters(spark: SparkSession,
-                              sf_dir: str) -> DataFrame:
+def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str,
+                              max_rows: int = _DBSCAN_MAX_ROWS) -> DataFrame:
     """M8: cosine DBSCAN (eps=.37, min 2) over the embedding table, with
     each cluster labeled by the top-3 nearest vocabulary centroids of its
     mean vector (src/absa/post_opinion_patterns.py:73-210).
@@ -416,9 +416,11 @@ def embedding_dbscan_clusters(spark: SparkSession,
     """
     emb = load_table(spark, sf_dir, "embeddings")
     # gate+1 LIMIT probe: decides the path without ever counting past the
-    # bound (a full count() here would scan the whole table at 100 TB)
-    n = emb.select("vec_id").limit(_DBSCAN_MAX_ROWS + 1).count()
-    if n > _DBSCAN_MAX_ROWS:
+    # bound (a full count() here would scan the whole table at 100 TB);
+    # ``max_rows`` is overridable so tests can force the LSH path on a
+    # small corpus (the driver always calls with the default)
+    n = emb.select("vec_id").limit(max_rows + 1).count()
+    if n > max_rows:
         # LSH scale path: no collect, same core-point partitions
         # (tests/test_ml.py pins the equivalence at small scale)
         from ..ml.dbscan import dbscan_distributed

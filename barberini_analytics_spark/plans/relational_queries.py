@@ -294,21 +294,99 @@ _WATERMARK_CUTOFF = "2024-01-15 00:00:00"
     WITH processed AS (
         SELECT * FROM events WHERE ts < TIMESTAMP '{_WATERMARK_CUTOFF}'
     ),
-    wm AS (SELECT max(ts) AS w FROM processed)
-    SELECT e.event_id, e.ts, e.user_id, e.event_type
-    FROM events e, wm
-    WHERE (e.ts > wm.w) IS NOT FALSE
+    wm AS (SELECT max(ts) AS w FROM processed),
+    new_events AS (
+        SELECT e.event_id, e.ts, e.user_id, e.event_type
+        FROM events e, wm
+        WHERE (e.ts > wm.w) IS NOT FALSE
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ),
+    enriched AS (
+        SELECT n.event_id, n.ts, n.user_id, n.event_type,
+               p.value AS last_purchase_value,
+               p.ts AS matched_ts
+        FROM new_events n ASOF LEFT JOIN purchases p
+          ON n.user_id = p.user_id AND n.ts >= p.ts
+    ),
+    audit AS (
+        SELECT DISTINCT CAST(user_id % 4 AS INT) AS zone,
+               time_bucket(INTERVAL 1 HOUR, ts) AS a_start,
+               time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS a_end
+        FROM events WHERE event_type = 'error'
+    ),
+    hit AS (
+        SELECT e.event_id, e.ts, e.user_id, e.event_type,
+               e.last_purchase_value, e.matched_ts, a.a_start
+        FROM enriched e JOIN audit a
+          ON CAST(e.user_id % 4 AS INT) = a.zone
+         AND a.a_start <= e.ts AND a.a_end >= e.ts
+    )
+    SELECT event_id, ts, user_id, event_type,
+           last_purchase_value, matched_ts, a_start
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id, a_start) AS rk
+        FROM hit
+    ) WHERE rk <= 5
     """,
 )
 def incremental_new_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§4/§7.6 incremental layer: high-watermark new-row filter with the
-    reference's ``> ANY(...) IS NOT FALSE`` null semantics — an empty
-    processed history admits every row.
+    """§4/§7.6 incremental layer, driving the round-2 relational
+    additions end-to-end against DuckDB's native equivalents:
 
-    ``processed`` is simulated as all events before a cutoff; the query
-    returns exactly the rows an incremental run would process next.
+    1. high-watermark new-row filter with the reference's
+       ``> ANY(...) IS NOT FALSE`` null semantics — an empty processed
+       history admits every row;
+    2. ``asof_join`` — each new event picks up the latest prior purchase
+       value of its user (oracled by DuckDB's native ``ASOF LEFT JOIN``;
+       the purchase side is deduped per (user, ts) so the match is
+       well-defined);
+    3. ``interval_overlap_join`` — events intersected with per-zone
+       audit hours (hours in which the zone logged an error), the range
+       predicate evaluated inside the keyed hash join;
+    4. ``sample_per_key`` — at most 5 rows per user, deterministically
+       ordered, bounding any one user's share of the incremental batch.
+
+    Scale: one shuffle per keyed step (union-window as-of, zone hash
+    join, user rank) — no broadcast nested loop anywhere; the as-of union
+    trick keeps the 100 TB plan a single keyed window.
     """
     events = load_table(spark, sf_dir, "events")
     processed = events.filter(F.col("ts") < F.lit(_WATERMARK_CUTOFF))
-    return R.high_watermark_filter(events, processed, "ts").select(
+    new = R.high_watermark_filter(events, processed, "ts").select(
         "event_id", "ts", "user_id", "event_type")
+
+    purch = R.latest_per_key(
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "event_id"),
+        ["user_id", "ts"], ["event_id"],
+    ).drop("event_id")
+    enriched = R.asof_join(new, purch, on=["user_id"]) \
+        .withColumnRenamed("value", "last_purchase_value")
+
+    audit = (
+        events.filter(F.col("event_type") == "error")
+        .select((F.col("user_id") % 4).cast("int").alias("zone"),
+                F.date_trunc("hour", "ts").alias("a_start"))
+        .distinct()
+        .withColumn("a_end", F.col("a_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    hit = R.interval_overlap_join(
+        enriched.withColumn("zone", (F.col("user_id") % 4).cast("int")),
+        audit, keys=["zone"], left_bounds=("ts", "ts"),
+        right_bounds=("a_start", "a_end"),
+    )
+    capped = R.sample_per_key(
+        hit, ["user_id"], 5, order_col=["ts", "event_id", "a_start_r"])
+    return capped.select(
+        "event_id", "ts", "user_id", "event_type",
+        "last_purchase_value", "matched_ts",
+        F.col("a_start_r").alias("a_start"))

@@ -24,23 +24,47 @@ _counter = itertools.count()
     oracle="""
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
+           CAST(user_id % 4 AS INT) AS segment,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT)
                AS value_floor_sum
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 1, 2, 3
     """,
 )
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly per-type rollup computed BY THE STREAMING ENGINE (file
-    source → event-time window + watermark → availableNow drain), compared
-    against batch SQL — the cron-hourly performance refresh of the
-    reference (scripts/setup/.crontab:5) as a real stream."""
+    """Hourly rollup computed BY THE STREAMING ENGINE, now driving the
+    full stateful chain: file source → in-stream duplicate injection
+    (every 10th event is replayed) → ``dedup_stream`` watermark dedup →
+    ``enrich_stream`` stream-static broadcast segment join → event-time
+    window agg → availableNow drain — the cron-hourly performance refresh
+    of the reference (scripts/setup/.crontab:5) as a real stream.
+
+    The oracle reads the PLAIN events table: it is only equal if the
+    watermark dedup dropped exactly the injected replicas (a failure
+    inflates ``n``) and the enrichment matched the batch join — so the
+    hash row covers the stateful dedup and the stream-static join, not
+    just the windowed agg.
+    """
     events = SJ.stream_events(spark, sf_dir).withColumn(
         "value", F.floor("value").cast("double"))
-    rolled = SJ.windowed_engagement(events, "1 hour")
+    # inject replays: every 10th event arrives twice (same event_id)
+    dupped = (events.withColumn(
+        "__copy",
+        F.explode(F.when(F.col("event_id") % 10 == 0,
+                         F.array(F.lit(0), F.lit(1)))
+                  .otherwise(F.array(F.lit(0))))).drop("__copy"))
+    deduped = SJ.dedup_stream(dupped, keys=["event_id"])
+    # stream-static enrichment: per-user segment dimension (stateless,
+    # broadcast per micro-batch)
+    dim = (spark.range(0, 4096).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 4).cast("int").alias("segment")))
+    enriched = SJ.enrich_stream(deduped, dim, on=["user_id"])
+    rolled = SJ.windowed_engagement(enriched, "1 hour", watermark=None,
+                                    extra_keys=["segment"])
     name = f"hourly_rollup_{next(_counter)}"
     out = SJ.run_available_now(rolled, name, output_mode="complete")
     return out.select(
-        "window_start", "event_type", "n",
+        "window_start", "event_type", "segment", "n",
         F.col("value_sum").cast("long").alias("value_floor_sum"))

@@ -59,20 +59,25 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def windowed_engagement(events: DataFrame, window: str = "1 hour",
                         slide: str | None = None,
-                        watermark: str = "2 hours") -> DataFrame:
+                        watermark: str = "2 hours",
+                        extra_keys: Sequence[str] = ()) -> DataFrame:
     """Per-type event counts/sums over (sliding) event-time windows with a
     late-data watermark.  Streaming shuffle state is bounded by the
     watermark horizon — the 100 TB knob is the watermark, not the data
     volume."""
     win = (F.window("ts", window, slide) if slide
            else F.window("ts", window))
-    return (events.withWatermark("ts", watermark)
-            .groupBy(win.alias("w"), "event_type")
+    # watermark=None: an upstream stateful operator already declared it
+    # (Spark disallows redefining the watermark mid-chain)
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (events
+            .groupBy(win.alias("w"), "event_type", *extra_keys)
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("value").alias("value_sum"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
-                    "event_type", "n", "value_sum"))
+                    "event_type", *extra_keys, "n", "value_sum"))
 
 
 def condense_stream(events: DataFrame, keys: Sequence[str],

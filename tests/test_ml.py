@@ -167,3 +167,83 @@ def test_gsdmm_gate_routes_large_corpus_through_shards(spark):
     n_shards = -(-n_docs // 10)
     for r in rows:
         assert 0 <= r.topic < n_shards * 10
+
+
+def test_distributed_dbscan_planted_clusters_at_scale(spark):
+    """The LSH path on a generated corpus 16x the sf0.001 table, with
+    planted ground truth: every planted ball must come out as one cluster,
+    distinct balls as distinct clusters, and background noise as -1 —
+    under the session's real shuffle partitioning, with no driver-side
+    neighbor matrix anywhere."""
+    import numpy as np
+
+    from barberini_analytics_spark.ml.dbscan import dbscan_distributed
+
+    rng = np.random.default_rng(7)
+    n_balls, per_ball, n_noise, dim = 40, 100, 400, 64
+    centers = rng.normal(size=(n_balls, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    truth = {}
+    for b in range(n_balls):
+        for _ in range(per_ball):
+            v = centers[b] + 0.05 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            truth[vid] = b
+            vid += 1
+    for _ in range(n_noise):
+        v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+        truth[vid] = -1
+        vid += 1
+
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .repartition(32)
+    labels = {r.vec_id: r.label
+              for r in dbscan_distributed(
+                  emb, eps=0.37, min_samples=2, bands=8, bits=4).collect()}
+
+    assert len(labels) == n_balls * per_ball + n_noise
+    # each planted ball is exactly one cluster; balls don't merge
+    ball_labels = {}
+    for v, b in truth.items():
+        if b == -1:
+            assert labels[v] == -1, f"noise point {v} got cluster {labels[v]}"
+        else:
+            ball_labels.setdefault(b, set()).add(labels[v])
+    assert all(len(ls) == 1 for ls in ball_labels.values()), \
+        "a planted ball split into multiple clusters"
+    flat = [next(iter(ls)) for ls in ball_labels.values()]
+    assert len(set(flat)) == n_balls, "planted balls merged"
+
+
+def test_dbscan_query_gate_override_runs_lsh_path(spark):
+    """embedding_dbscan_clusters with max_rows=0 must produce the same
+    core-point clustering through the distributed path as the default
+    driver path on the sf0.001 table (labels are canonical smallest-member
+    ids in both, since vec_id equals collect order there)."""
+    import numpy as np
+
+    from barberini_analytics_spark.core.io import load_table
+    from barberini_analytics_spark.plans.ml_queries import (
+        embedding_dbscan_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    driver = {r.vec_id: (r.cluster, r.cluster_label)
+              for r in embedding_dbscan_clusters(spark, sf).collect()}
+    dist = {r.vec_id: (r.cluster, r.cluster_label)
+            for r in embedding_dbscan_clusters(spark, sf,
+                                               max_rows=0).collect()}
+    assert set(driver) == set(dist)
+
+    # exact core mask to scope the strict comparison
+    emb = load_table(spark, sf, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    vecs = np.array([r.embedding for r in rows], dtype=np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    core_mask = ((1.0 - unit @ unit.T) <= 0.37).sum(axis=1) >= 2
+    core = {r.vec_id for r, c in zip(rows, core_mask) if c}
+
+    mismatches = {v for v in core if driver[v] != dist[v]}
+    assert not mismatches, f"core rows disagree: {sorted(mismatches)[:5]}"
