@@ -222,6 +222,47 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, hash56(normalized))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        k: int = 8, window: int = 4, base: int = 257,
+                        mod: int = 1_000_000_007,
+                        out_col: str = "winnow_fps") -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): Karp-Rabin polynomial hashes of
+    char ``k``-grams, reduced to the minimum per sliding ``window`` — a
+    position-robust fingerprint SET whose overlap measures local text
+    reuse (unlike the whole-document hash above, one edit only perturbs
+    nearby fingerprints).
+
+    The polynomial hash (``Σ c·base^i  mod  m``) is deliberately chosen
+    over murmur: identical integer arithmetic runs in any SQL engine, so
+    the fingerprints are oracle-checkable cross-engine.  Everything is
+    codegen array lambdas over the scan — per-row work, no explode, no
+    shuffle, no UDF; at 100 TB this adds nothing to the profile scan's
+    shape.  (A streaming implementation would roll the hash in O(len);
+    the vectorized form is O(len·k) with k=8 — the constant is the cost
+    of staying in whole-stage codegen.)
+
+    Documents shorter than ``k + window - 1`` chars yield NULL.
+    """
+    eligible = F.length(text_col) >= k + window - 1
+    kg = (
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> aggregate(sequence(i, i + {k} - 1), 0L, "
+        f"(acc, p) -> (acc * {base} + ascii(substring({text_col}, p, 1)))"
+        f" % {mod}))"
+    )
+    fps = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, size(__kg) - {window} + 1), "
+        f"j -> array_min(slice(__kg, j, {window})))))"
+    )
+    return (
+        df.withColumn("__kg", F.when(eligible, F.expr(kg)))
+        .withColumn(out_col, F.when(eligible, F.expr(fps)))
+        .drop("__kg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (training-data pipeline hygiene stage)
 # ---------------------------------------------------------------------------

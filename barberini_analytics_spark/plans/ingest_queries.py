@@ -544,16 +544,15 @@ _FB_POSTS_SCHEMA = (
 )
 
 # the insights `value` is heterogeneous (map for reactions/activity/clicks,
-# scalar for negative-feedback/impressions), so the payload is parsed twice
-# with PERMISSIVE from_json: the mismatched field nulls out per-element and
-# the two passes are re-aligned with arrays_zip (same document, same order).
-_FB_INS_MAP_SCHEMA = (
+# scalar for negative-feedback/impressions).  The body is parsed ONCE with
+# `value` declared STRING — Spark's Jackson parser hands back the raw JSON
+# text for object values and the literal for scalars — then each picked
+# metric gets a second, per-value parse of a few dozen bytes.  One
+# full-document parse instead of two (the two-pass PERMISSIVE variant cost
+# 2x the heavy parse; measured ~35% of the query).
+_FB_INS_STR_SCHEMA = (
     "STRUCT<data: ARRAY<STRUCT<name: STRING, "
-    "values: ARRAY<STRUCT<value: MAP<STRING, BIGINT>>>>>>"
-)
-_FB_INS_INT_SCHEMA = (
-    "STRUCT<data: ARRAY<STRUCT<name: STRING, "
-    "values: ARRAY<STRUCT<value: BIGINT>>>>>"
+    "values: ARRAY<STRUCT<value: STRING>>>>>"
 )
 
 _FB_COMMENTS_SCHEMA = (
@@ -734,26 +733,29 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wide extraction is shuffle-free: the `data` array is searched with
     # codegen'd array `filter` per metric name (the reference's
     # `[d for d in data if d['name'] == …][0]` list comprehension) — no
-    # explode, no re-aggregation; whole-stage codegen CSE evaluates each
-    # from_json once per row
-    two_pass = _spread(ins_body).select(
+    # explode, no re-aggregation; whole-stage codegen CSE evaluates the
+    # single full-body from_json once per row
+    parsed = _spread(ins_body).select(
         "post_id",
-        F.from_json("body", _FB_INS_MAP_SCHEMA)["data"].alias("md"),
-        F.from_json("body", _FB_INS_INT_SCHEMA)["data"].alias("sd"))
+        F.from_json("body", _FB_INS_STR_SCHEMA)["data"].alias("d"))
 
-    def pick(arr: str, name: str) -> F.Column:
-        hit = F.get(F.filter(F.col(arr), lambda x: x["name"] == name), 0)
+    def pick(name: str) -> F.Column:
+        hit = F.get(F.filter(F.col("d"), lambda x: x["name"] == name), 0)
         return hit["values"].getItem(0)["value"]
 
-    wide_maps = two_pass.select(
+    def pick_map(name: str) -> F.Column:
+        # per-value re-parse: a few dozen bytes, not the whole body
+        return F.from_json(pick(name), "MAP<STRING, BIGINT>")
+
+    wide_maps = parsed.select(
         "post_id",
-        pick("md", "post_reactions_by_type_total").alias("rmap"),
-        pick("md", "post_activity_by_action_type").alias("amap"),
-        pick("md", "post_clicks_by_type").alias("cmap"),
-        pick("sd", "post_negative_feedback").alias("neg"),
-        pick("sd", "post_impressions_paid").alias("paid"),
-        pick("sd", "post_impressions").alias("impr"),
-        pick("sd", "post_impressions_unique").alias("impru"),
+        pick_map("post_reactions_by_type_total").alias("rmap"),
+        pick_map("post_activity_by_action_type").alias("amap"),
+        pick_map("post_clicks_by_type").alias("cmap"),
+        pick("post_negative_feedback").cast("bigint").alias("neg"),
+        pick("post_impressions_paid").cast("bigint").alias("paid"),
+        pick("post_impressions").cast("bigint").alias("impr"),
+        pick("post_impressions_unique").cast("bigint").alias("impru"),
     )
 
     def from_map(map_col: str, key: str) -> F.Column:

@@ -144,8 +144,27 @@ def _lex_sql(words) -> str:
                    / len(bi) END AS top_bigram_frac,
            CASE WHEN len(toks) > 2 THEN
                1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
-               END AS dup_trigram_frac
+               END AS dup_trigram_frac,
+           CASE WHEN length(text) >= 11 THEN
+               CAST(len(wfp) AS BIGINT) END AS n_winnow_fp,
+           CASE WHEN length(text) >= 11 THEN
+               CAST(list_sum(wfp) AS BIGINT) END AS winnow_checksum
     FROM (
+        SELECT *,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 8 - 4 + 2, 0)),
+                   j -> list_min(kg[j:j + 3])))) AS wfp
+        FROM (
+            SELECT *,
+                   list_transform(
+                       generate_series(1, greatest(length(text) - 7, 0)),
+                       i -> list_reduce(
+                           [CAST(0 AS BIGINT)] || list_transform(
+                               generate_series(i, i + 7),
+                               p -> CAST(ascii(substring(text, p, 1))
+                                         AS BIGINT)),
+                           (a, b) -> (a * 257 + b) % 1000000007)) AS kg
+            FROM (
         SELECT *,
                list_transform(generate_series(1, len(toks) - 1),
                    i -> toks[i] || ' ' || toks[i + 1]) AS bi,
@@ -153,6 +172,8 @@ def _lex_sql(words) -> str:
                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
                    AS tri
         FROM h
+    )
+        )
     )
     """,
 )
@@ -169,7 +190,10 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     - fingerprint: md5-derived 56-bit over whitespace-normalized text — the
       exact-dedup key;
     - token counts: whitespace tokens + BPE-ish regex pre-tokens (the
-      corpus budget metric).
+      corpus budget metric);
+    - winnowed rolling-hash fingerprints (MOSS): Karp-Rabin k-gram hashes
+      winnowed to window minima, hash-verified through an
+      order-independent count + checksum of the fingerprint set.
 
     At 100 TB this is one map-only scan — no shuffle, (doc_id, ~15 scalars)
     per row leaving each task.  The local single-row-group parquet file is
@@ -185,6 +209,7 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.language_id(out)
     out = X.fingerprint(out)
     out = X.repetition_signals(out)
+    out = X.winnow_fingerprints(out)
     return out.select(
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -198,4 +223,7 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
         .cast("long").alias("bpe_tokens"),
         "top_unigram_frac", "top_bigram_frac", "dup_trigram_frac",
+        F.size("winnow_fps").cast("long").alias("n_winnow_fp"),
+        F.aggregate("winnow_fps", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("winnow_checksum"),
     )

@@ -253,3 +253,29 @@ def test_interval_overlap_join(spark):
         for r in R.interval_overlap_join(
             left, right, ["key"]).collect())
     assert got == [("a", "x"), ("b", "w")]
+
+
+def test_winnow_fingerprints_locality_and_overlap(spark):
+    """MOSS properties: identical docs → identical fingerprint sets; a
+    shared long substring → large overlap; a point edit perturbs only
+    nearby fingerprints; short docs → NULL."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.operators.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("jumps", "hops!")
+    shared = "XYZ " + base[:40]          # long shared prefix chunk
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, shared), (4, "tiny")],
+        ["doc_id", "text"])
+    fps = {r.doc_id: (set(r.winnow_fps) if r.winnow_fps is not None
+                      else None)
+           for r in winnow_fingerprints(df).collect()}
+
+    assert fps[0] == fps[1]                      # deterministic
+    assert fps[4] is None                        # below k + window - 1
+    inter = len(fps[0] & fps[2])
+    assert inter > 0.5 * len(fps[0])             # edit is local
+    assert fps[0] != fps[2]                      # but detected
+    assert len(fps[0] & fps[3]) > 0              # shared chunk found
