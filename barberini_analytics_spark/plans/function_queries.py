@@ -14,6 +14,7 @@ from ..core.io import load_table
 from ..functions import hashing as H
 from ..functions import parsing as P
 from ..functions import postal as PC
+from ..operators import text as X
 from .registry import query
 
 _TAGS_SQL = "', '".join(P.TOURISM_TAGS)
@@ -40,12 +41,30 @@ _TAGS_SQL = "', '".join(P.TOURISM_TAGS)
                AS tags,
            (o_orderstatus = 'F') AS paid,
            CASE o_orderkey % 3 WHEN 0 THEN 'w' WHEN 1 THEN 'm'
-                ELSE '' END AS gender
+                ELSE '' END AS gender,
+           regexp_replace(regexp_replace(regexp_replace(
+               'Order ' || CAST(o_orderkey AS VARCHAR) || ': contact user'
+                   || CAST(o_orderkey % 100 AS VARCHAR)
+                   || '@example.com or call +49 30 55512'
+                   || lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0')
+                   || ' from 10.0.' || CAST(o_orderkey % 256 AS VARCHAR)
+                   || '.' || CAST(o_orderkey % 100 AS VARCHAR) || ' now',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+               '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+               '(^|[^0-9A-Za-z_])(\\+?[0-9][0-9 ()./-]{{5,}}[0-9])([^0-9A-Za-z_]|$)',
+               '\\1<PHONE>\\3', 'g') AS pii_scrubbed
     FROM orders
     """,
 )
 def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 casts/parsers + P6/P7/P10 string transforms, all JVM expressions."""
+    """P2 casts/parsers + P6/P7/P10 string transforms, all JVM expressions
+    — plus the PII scrub chain over a synthesized contact line (P-layer of
+    the training-data pipeline).  The scrub's phone rule uses lookaround
+    boundaries that RE2 cannot express, so the oracle applies a
+    capture-group boundary equivalent — exactly equal on one-PII-per-slot
+    text like this (the general lookaround semantics are pinned by
+    tests/test_ingest_sources.py)."""
     orders = load_table(spark, sf_dir, "orders")
     mail = F.concat(
         F.lit("user"), (F.col("o_orderkey") % 100).cast("string"),
@@ -56,6 +75,14 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     gender_src = (F.when(F.col("o_orderkey") % 3 == 0, "Frau")
                   .when(F.col("o_orderkey") % 3 == 1, "Herr")
                   .otherwise("k.A."))
+    contact = F.format_string(
+        "Order %d: contact user%d@example.com or call +49 30 55512%02d "
+        "from 10.0.%d.%d now",
+        F.col("o_orderkey"), F.col("o_orderkey") % 100,
+        F.col("o_orderkey") % 100, F.col("o_orderkey") % 256,
+        F.col("o_orderkey") % 100)
+    orders = X.scrub_pii(orders.withColumn("__contact", contact),
+                         text_col="__contact", out_col="pii_scrubbed")
     return orders.select(
         "o_orderkey",
         P.excel_serial_to_date(F.col("o_orderkey") % 40000 + 1000)
@@ -71,6 +98,7 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(P.tourism_tags(mail)), ",").alias("tags"),
         P.parse_boolean(F.col("o_orderstatus"), "F").alias("paid"),
         P.parse_gender(gender_src).alias("gender"),
+        "pii_scrubbed",
     )
 
 
