@@ -413,3 +413,78 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     cond = (F.col(f"{rb}{suffix}") <= F.col(le)) \
         & (F.col(f"{re_}{suffix}") >= F.col(lb))
     return left.join(r, list(keys)).filter(cond)
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resilient equi join: spread a hot join key over ``salt``
+    shuffle partitions.
+
+    Every left row gets a deterministic salt in ``[0, salt)`` (xxhash64 of
+    the full row — stable across runs and partitionings); the right side
+    is replicated ``salt`` times with one explode; the join runs on
+    ``keys + salt``.  A key holding 20% of a 100 TB fact table then lands
+    on ``salt`` reducers instead of one.  This is the explicit form of
+    what AQE's skew-join splitting does at runtime — use it when the skew
+    is KNOWN ahead of planning (AQE can only split after a stage
+    materializes) or when the right side is mid-sized: too big to
+    broadcast, small enough that ``salt``-fold replication beats a
+    stalled straggler.
+
+    Only join types where an unmatched RIGHT row produces no output are
+    allowed (inner/left/left_semi/left_anti) — outer-right would emit the
+    replicas.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}")
+    keys = list(on)
+    l_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+               F.lit(salt)).cast("int"))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l_salted.join(r_salted, keys + ["__salt"], how)
+    return out.drop("__salt")
+
+
+#: decomposable aggregate -> (partial fn, final combine fn)
+_SALTED_AGGS = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(df: DataFrame, keys: Sequence[str],
+                     aggs: dict[str, tuple[str, str]],
+                     salt: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for hot grouping keys.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    sum/count/min/max.  Phase 1 aggregates on ``keys + salt`` (the hot
+    key's rows split across ``salt`` reducers), phase 2 combines the
+    ``salt`` partials per key.  Spark's hash aggregate already does a
+    map-side partial combine, which usually absorbs skew for these
+    algebraic functions — the explicit salt matters when the partial
+    combine is defeated (high-cardinality composite keys spilling the
+    hash map, or a first shuffle forced by a prior repartition).  The
+    pattern generalizes to any decomposable accumulator.
+    """
+    keys = list(keys)
+    bad = [fn for _, fn in aggs.values() if fn not in _SALTED_AGGS]
+    if bad:
+        raise ValueError(f"non-decomposable aggregate fns: {bad}")
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(salt)).cast("int")
+    partial = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(*[_SALTED_AGGS[fn][0](col).alias(out)
+               for out, (col, fn) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[_SALTED_AGGS[fn][1](out).alias(out)
+          for out, (_, fn) in aggs.items()])

@@ -279,3 +279,53 @@ def test_winnow_fingerprints_locality_and_overlap(spark):
     assert inter > 0.5 * len(fps[0])             # edit is local
     assert fps[0] != fps[2]                      # but detected
     assert len(fps[0] & fps[3]) > 0              # shared chunk found
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics: inner and left results
+    equal the unsalted join on a deliberately skewed key distribution."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.operators.relational import salted_join
+
+    # 90% of left rows share key 0 (the hot key); right covers 0..9 + 99
+    left = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 97)
+        .alias("k"), F.col("id").alias("v"))
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in list(range(10)) + [99]], ["k", "name"])
+
+    for how in ["inner", "left"]:
+        plain = {tuple(r) for r in left.join(right, ["k"], how).collect()}
+        salted = {tuple(r) for r in
+                  salted_join(left, right, ["k"], salt=8, how=how).collect()}
+        assert salted == plain, how
+
+    sem = {tuple(r) for r in
+           salted_join(left, right, ["k"], salt=8, how="left_semi").collect()}
+    plain_sem = {tuple(r) for r in
+                 left.join(right, ["k"], "left_semi").collect()}
+    assert sem == plain_sem
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.operators.relational import (
+        salted_aggregate)
+
+    df = spark.range(0, 20000).select(
+        (F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id") % 7))
+        .alias("k"),
+        (F.col("id") % 100).alias("v"))
+    plain = {(r.k, r.s, r.n, r.lo, r.hi) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"),
+                                 F.count("v").alias("n"),
+                                 F.min("v").alias("lo"),
+                                 F.max("v").alias("hi")).collect()}
+    salted = {(r.k, r.s, r.n, r.lo, r.hi) for r in
+              salted_aggregate(df, ["k"], {
+                  "s": ("v", "sum"), "n": ("v", "count"),
+                  "lo": ("v", "min"), "hi": ("v", "max")},
+                  salt=8).collect()}
+    assert salted == plain
