@@ -132,6 +132,15 @@ _GPLAY_SCHEMA = (
 )
 
 
+def _spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed variant of :func:`_spread`: pin a CPU-heavy aggregation's
+    width by hash-repartitioning on its grouping key first.  The
+    following ``groupBy`` on the same key reuses the partitioning (no
+    second exchange), and AQE leaves user repartitions alone."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Re-spread a payload table across the full core count before a
     CPU-heavy parse projection.  The payload aggregations shuffle few
@@ -682,10 +691,15 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PAGE_ID), ok, F.date_format("o_orderdate", "yyyy-MM-dd"),
         ok, F.lower("o_orderpriority"))
     # one page per ~100 posts — the API's limit=100 pagination; thousands
-    # of page rows parse in parallel instead of 4 giant documents
-    pages = orders.groupBy((ok / 100).cast("bigint").alias("pg")).agg(
-        F.concat(F.lit('{"data": ['), F.concat_ws(",", F.collect_list(post_obj)),
-                 F.lit("]}")).alias("body"))
+    # of page rows parse in parallel instead of 4 giant documents.  The
+    # page-concat agg is CPU-heavy with few shuffle bytes — pin its width
+    # with a keyed repartition (see _spread_by) or AQE serializes it.
+    pages = (
+        _spread_by(orders.withColumn("pg", (ok / 100).cast("bigint")), "pg")
+        .groupBy("pg")
+        .agg(F.concat(F.lit('{"data": ['),
+                      F.concat_ws(",", F.collect_list(post_obj)),
+                      F.lit("]}")).alias("body")))
     posts = (
         _spread(pages).select(F.explode(F.from_json("body", _FB_POSTS_SCHEMA)["data"])
                      .alias("p"))
@@ -811,7 +825,8 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "yyyy-MM-dd"),
         cid, rname)).otherwise(F.lit(""))
     comment_obj = F.concat(base, reply_part, F.lit("}"))
-    cpages = li.groupBy("l_orderkey").agg(
+    # same build-width pin as the posts pages (CPU-heavy concat agg)
+    cpages = _spread_by(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.concat(F.lit('{"data": ['),
                  F.concat_ws(",", F.collect_list(comment_obj)),
                  F.lit("]}")).alias("body"))
@@ -1004,7 +1019,12 @@ def gomus_scrape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R",
                F.lit("<td>Stornogebühr</td>")).otherwise(F.lit("")),
         F.lit("</tr>"))
-    tables = li.groupBy("l_orderkey").agg(
+    # explicit keyed repartition BEFORE the build agg: the reduce stage
+    # concatenates the per-order HTML (CPU-heavy, few shuffle bytes), so
+    # AQE's size-based coalescing would otherwise run it on ~3 tasks —
+    # the build-side twin of the _spread() parse fix.  The groupBy reuses
+    # this partitioning, so no extra shuffle is added.
+    tables = _spread_by(li, "l_orderkey").groupBy("l_orderkey").agg(
         F.concat(F.lit("<table><tbody>"),
                  F.concat_ws("", F.collect_list(tr)),
                  F.lit("</tbody></table>")).alias("tbl"))
