@@ -76,16 +76,18 @@ def mode_per_group(df: DataFrame, group_keys: Sequence[str], value_col: str,
         .groupBy(*group_keys, value_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    # max_by on (cnt, reversed-value) would need orderable reversal for any
-    # type; a min_by on (-cnt, value) keeps it type-generic for strings too:
-    # instead use max_by with struct(cnt, neg_rank) — simplest general form
-    # is a rank window over the (tiny) counted relation.
-    w = W.partitionBy(*group_keys).orderBy(F.col("__cnt").desc(), F.col(value_col).asc())
-    return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*group_keys, F.col(value_col).alias(out_col))
-    )
+    # min_by over struct(-cnt, value): the minimum is the largest count,
+    # ties to the smallest value — type-generic (negating the COUNT, not
+    # the value, so strings order naturally).  A hash aggregate with
+    # map-side partial combine, replacing the previous rank window (which
+    # re-shuffled AND sorted the counted relation): two partial-aggregable
+    # exchanges total per mode.
+    return counted.groupBy(*group_keys).agg(
+        F.min_by(
+            F.col(value_col),
+            F.struct((-F.col("__cnt")).alias("nc"),
+                     F.col(value_col).alias("v")),
+        ).alias(out_col))
 
 
 # ---------------------------------------------------------------------------
