@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the pure algorithm cores, plus
+the MOSS winnowing guarantee checked through the real Spark operator.
+
+These pin invariants rather than examples — the reference's test strategy
+(SURVEY §5) leans on golden files; properties catch the cases goldens
+miss (canonical-label structure, roundtrip identities, guarantee bounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from barberini_analytics_spark.ml.dbscan import cosine_dbscan
+from barberini_analytics_spark.ml.gsdmm import GSDMM
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(3, 30), st.integers(2, 6))
+def test_dbscan_labels_are_canonical_member_indices(seed, n, dim):
+    """Every non-noise label equals the smallest member index of its
+    cluster; every labeled point's cluster contains that point."""
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    labels = cosine_dbscan(vecs, eps=0.4, min_samples=2)
+    for c in set(labels):
+        if c == -1:
+            continue
+        members = np.nonzero(labels == c)[0]
+        assert c == members.min()
+    # a noise point is never a core point of any cluster: its eps-ball
+    # holds fewer than min_samples points
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                             1e-12)
+    near = (1.0 - unit @ unit.T) <= 0.4
+    for i in np.nonzero(labels == -1)[0]:
+        assert near[i].sum() < 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 8))
+def test_gsdmm_labels_in_range_and_deterministic(seed, k):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = [[vocab[rng.integers(0, 20)] for _ in range(rng.integers(2, 9))]
+            for _ in range(rng.integers(3, 25))]
+    a = GSDMM(n_clusters=k, n_iters=5, seed=seed % 1000).fit_predict(docs)
+    b = GSDMM(n_clusters=k, n_iters=5, seed=seed % 1000).fit_predict(docs)
+    assert (a == b).all()
+    assert ((0 <= a) & (a < k)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dates())
+def test_excel_serial_roundtrip_property(spark, d):
+    """date -> Excel serial -> date is the identity for any proleptic
+    Gregorian date in Spark's range."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.functions.parsing import (
+        excel_serial_to_date)
+
+    if d.year < 1901 or d.year > 2200:
+        return
+    serial = (d - datetime.date(1899, 12, 30)).days
+    out = (spark.range(1)
+           .select(excel_serial_to_date(F.lit(serial)).alias("d"))
+           .collect()[0].d)
+    assert out == d
+
+
+def test_winnow_moss_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= k + window - 1 share at least one fingerprint.  Checked
+    through the real Spark operator over generated pairs with planted
+    shared chunks at random offsets."""
+    import random
+
+    from barberini_analytics_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(13)
+    alphabet = "abcdefghij "
+    rows = []
+    pairs = []
+    vid = 0
+    for trial in range(40):
+        chunk_len = rng.randint(11, 40)      # >= k + window - 1 = 11
+        chunk = "".join(rng.choice(alphabet) for _ in range(chunk_len))
+
+        def noise(n):
+            return "".join(rng.choice(alphabet) for _ in range(n))
+
+        a = noise(rng.randint(0, 30)) + chunk + noise(rng.randint(0, 30))
+        b = noise(rng.randint(0, 30)) + chunk + noise(rng.randint(0, 30))
+        rows.append((vid, a)); rows.append((vid + 1, b))
+        pairs.append((vid, vid + 1))
+        vid += 2
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc_id: set(r.winnow_fps or [])
+           for r in winnow_fingerprints(df).collect()}
+    misses = [(i, j) for i, j in pairs if not (fps[i] & fps[j])]
+    assert not misses, f"MOSS guarantee violated for pairs {misses[:3]}"
