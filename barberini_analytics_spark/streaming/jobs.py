@@ -159,3 +159,28 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     dimension updates between micro-batches are picked up automatically.
     """
     return events.join(F.broadcast(dim), list(on), "left")
+
+
+def upsert_stream(events: DataFrame, path: str, pk: Sequence[str],
+                  query_name: str = "upsert_stream") -> None:
+    """Stream → keyed merge sink: each micro-batch lands through the K1
+    ``upsert_by_pk`` write path (``foreachBatch``), so replays and
+    restarts converge to the same table state — the exactly-once-by-
+    idempotence pattern every production stream→table pipeline uses
+    (the reference's cron loop re-INSERTs with ON CONFLICT for the same
+    reason, src/_utils/database.py:140-174).
+
+    Runs with the availableNow trigger and blocks until the backlog is
+    drained (test/backfill mode; a production deployment drops the
+    trigger and lets it run continuously).  State lives in the target
+    table, not the stream — no watermark needed.
+    """
+    from ..core.sinks import upsert_by_pk
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        upsert_by_pk(batch.sparkSession, batch, path, pk)
+
+    q = (events.writeStream.foreachBatch(_merge)
+         .queryName(query_name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

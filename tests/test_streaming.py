@@ -112,3 +112,36 @@ def test_enrich_stream_static_broadcast(spark, batch_events):
     assert got.count() == batch_events.count()
     assert got.filter(F.col("segment")
                       != (F.col("user_id") % 3).cast("int")).count() == 0
+
+
+def test_upsert_stream_converges_and_replays_idempotently(spark, tmp_path):
+    """Each micro-batch merges by PK; the final table is the latest row
+    per user, and draining the same source AGAIN leaves the state
+    identical (replay idempotence — the property the foreachBatch sink
+    exists for)."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.streaming import jobs as SJ
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "user_state.parquet")
+
+    def drain(name):
+        ev = SJ.stream_events(spark, sf).select(
+            "user_id", "event_id", "ts", "event_type")
+        SJ.upsert_stream(ev, path, pk=["user_id"], query_name=name)
+
+    drain("upsert_drain_1")
+    first = {r.user_id: (r.event_id, r.ts)
+             for r in spark.read.parquet(path).collect()}
+
+    # expected final state: one row per user (batch wins on collision,
+    # and within the single availableNow batch the PK-dedup keeps one
+    # deterministic survivor)
+    batch_events = spark.read.parquet(f"{sf}/events.parquet")
+    assert len(first) == batch_events.select("user_id").distinct().count()
+
+    drain("upsert_drain_2")
+    second = {r.user_id: (r.event_id, r.ts)
+              for r in spark.read.parquet(path).collect()}
+    assert second == first
