@@ -65,7 +65,12 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture-group boundary equivalent — exactly equal on one-PII-per-slot
     text like this (the general lookaround semantics are pinned by
     tests/test_ingest_sources.py)."""
-    orders = load_table(spark, sf_dir, "orders")
+    from .ingest_queries import _spread
+
+    # the local single-row-group parquet is unsplittable — re-spread the
+    # scan so the regex/parse projection uses every core (on a real lake
+    # row groups split naturally and this is one harmless tiny exchange)
+    orders = _spread(load_table(spark, sf_dir, "orders"))
     mail = F.concat(
         F.lit("user"), (F.col("o_orderkey") % 100).cast("string"),
         F.lit("@"),
@@ -162,7 +167,9 @@ def postal_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 postal cleansing over synthesized customer codes; general-input
     value semantics pinned by tests/test_functions.py, fixture outputs
     hash-checked against a derived expected-value oracle."""
-    cust = load_table(spark, sf_dir, "customer")
+    from .ingest_queries import _spread
+
+    cust = _spread(load_table(spark, sf_dir, "customer"))
     df = cust.selectExpr(
         "c_custkey AS customer_id",
         "CASE c_custkey % 7"
