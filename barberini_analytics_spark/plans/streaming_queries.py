@@ -13,6 +13,7 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..core.io import load_table
 from ..streaming import jobs as SJ
 from .registry import query
 
@@ -56,10 +57,14 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(F.array(F.lit(0))))).drop("__copy"))
     deduped = SJ.dedup_stream(dupped, keys=["event_id"])
     # stream-static enrichment: per-user segment dimension (stateless,
-    # broadcast per micro-batch)
-    dim = (spark.range(0, 4096).select(
-        F.col("id").alias("user_id"),
-        (F.col("id") % 4).cast("int").alias("segment")))
+    # broadcast per micro-batch).  Built from the static events table's
+    # own key domain so the left join covers every stream key at ANY
+    # scale factor — a fixed range bound would silently yield NULL
+    # segments once user_id outgrew it.
+    dim = (load_table(spark, sf_dir, "events")
+           .select("user_id").distinct()
+           .withColumn("segment",
+                       (F.col("user_id") % 4).cast("int")))
     enriched = SJ.enrich_stream(deduped, dim, on=["user_id"])
     rolled = SJ.windowed_engagement(enriched, "1 hour", watermark=None,
                                     extra_keys=["segment"])
