@@ -1,0 +1,92 @@
+"""Persist lifecycle management.
+
+Two distinct persist lifetimes exist in the plan layer, and both used to
+leak cached partitions in a long-running session:
+
+- **query-scoped staging** (e.g. the MinHash shingle/signature frames,
+  reused by several branches of one plan): persisted for the duration of
+  one query, dead afterwards.  ``scoped_persist`` registers them;
+  ``release_scoped`` unpersists everything registered.  The query registry
+  calls ``release_scoped`` on entry to every top-level query — sequential
+  driver/bench execution guarantees the previous query's result has been
+  fully consumed by then, so the release is safe and deterministic (no
+  reliance on the JVM ContextCleaner's GC timing).
+- **cross-query caches** (the topic-token and topic-fit frames shared by
+  the M9/A11 queries): intentionally outlive single queries.
+  ``FrameCache`` bounds them — a tiny keyed LRU that unpersists evicted
+  entries, so a session touching many scale factors holds at most
+  ``max_entries`` cached frames per cache instead of one per (app, sf)
+  forever.
+
+``release_all`` drops both tiers (test sweeps, session teardown).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """Persist a frame for the current query's lifetime only."""
+    df.persist()
+    _SCOPED.append(df)
+    return df
+
+
+def release_scoped() -> None:
+    """Unpersist every query-scoped frame (called between queries)."""
+    for df in _SCOPED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _SCOPED.clear()
+
+
+class FrameCache:
+    """Keyed LRU of persisted DataFrames with unpersist-on-evict."""
+
+    def __init__(self, max_entries: int = 2):
+        self.max_entries = max_entries
+        self._entries: OrderedDict[object, DataFrame] = OrderedDict()
+        _CACHES.append(self)
+
+    def get_or_build(self, key: object,
+                     build: Callable[[], DataFrame]) -> DataFrame:
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return self._entries[key]
+        df = build().persist()
+        self._entries[key] = df
+        while len(self._entries) > self.max_entries:
+            _, old = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def evict(self, key: object) -> None:
+        df = self._entries.pop(key, None)
+        if df is not None:
+            df.unpersist()
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._entries.clear()
+
+
+_CACHES: list[FrameCache] = []
+
+
+def release_all() -> None:
+    """Drop every scoped persist and every FrameCache entry."""
+    release_scoped()
+    for cache in _CACHES:
+        cache.clear()

@@ -69,6 +69,32 @@ def overwrite(df: DataFrame, path: str,
             shutil.rmtree(staging, ignore_errors=True)
 
 
+def _stored_pruned(spark: SparkSession, path: str, batch: DataFrame,
+                   partition_cols: Sequence[str]) -> DataFrame:
+    """Stored-side reader restricted to the batch's partitions by a STATIC
+    In-filter.
+
+    The batch's distinct partition tuples are collected (bounded: a batch
+    touches few partitions — and every touched partition gets rewritten
+    anyway, so the collect is negligible next to the write) and applied as
+    a literal OR-of-ANDs predicate.  Literal predicates reach the scan as
+    ``PartitionFilters``; a broadcast-semi-join formulation does NOT — the
+    optimizer's dynamic-partition-pruning heuristic declines it (no
+    selective build-side filter), leaving a full scan of 100 TB of history
+    filtered after the read.  Pinned by tests/test_plan_shapes.py.
+    """
+    part_rows = batch.select(*partition_cols).distinct().collect()
+    stored = spark.read.parquet(path)
+    if not part_rows:
+        return stored.limit(0)
+    conds = [
+        reduce(lambda a, b: a & b,
+               [F.col(c).eqNullSafe(F.lit(r[c])) for c in partition_cols])
+        for r in part_rows
+    ]
+    return stored.filter(reduce(lambda a, b: a | b, conds))
+
+
 def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
                  pk: Sequence[str],
                  partition_cols: Sequence[str] | None = None) -> None:
@@ -81,8 +107,9 @@ def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
     instead of failing).
 
     Scale: the union shuffles once on the PK.  With ``partition_cols`` the
-    stored side is pre-filtered to the batch's partitions (partition pruning
-    at the scan) and only those partitions are rewritten — the 100 TB path.
+    stored side is pre-filtered to the batch's partitions via static
+    ``PartitionFilters`` at the scan (``_stored_pruned``) and only those
+    partitions are rewritten — the 100 TB path.
     """
     batch = batch.dropDuplicates(list(pk))
     if not _exists(path):
@@ -91,10 +118,10 @@ def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
         return
-    stored = spark.read.parquet(path)
     if partition_cols:
-        parts = batch.select(*partition_cols).distinct()
-        stored = stored.join(F.broadcast(parts), list(partition_cols), "left_semi")
+        stored = _stored_pruned(spark, path, batch, partition_cols)
+    else:
+        stored = spark.read.parquet(path)
     merged = (
         batch.withColumn("__is_new", F.lit(1))
         .unionByName(stored.withColumn("__is_new", F.lit(0)),

@@ -168,9 +168,13 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
     # persist the two frames the plan reuses (shingles: signature build +
     # both sides of the intersection join; signatures: both sides of the
     # band self-join) — the same staging the reference does with temp
-    # tables for its fuzzy joins (src/absa/post_aspects.py:59-118)
-    sh = word_shingles(df, id_col, text_col, k).persist()
-    sigs = minhash_signatures(sh, id_col, num_perm).persist()
+    # tables for its fuzzy joins (src/absa/post_aspects.py:59-118).
+    # Scoped: released by the registry when the next query starts, so a
+    # long-running session doesn't accumulate cached partitions per call.
+    from ..core.cache import scoped_persist
+
+    sh = scoped_persist(word_shingles(df, id_col, text_col, k))
+    sigs = scoped_persist(minhash_signatures(sh, id_col, num_perm))
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     return jaccard_pairs(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
 

@@ -136,7 +136,9 @@ def pos_tag(tokens: DataFrame, word_col: str = "word",
 # ---------------------------------------------------------------------------
 
 def extract_opinion_pairs(tagged: DataFrame, doc_col: str = "doc_id",
-                          index_col: str = "word_index") -> DataFrame:
+                          index_col: str = "word_index",
+                          word_col: str = "word",
+                          tag_col: str = "tag") -> DataFrame:
     """ADJ+NOUN / NOUN+ADJ subsequence search as a ``lead()`` window —
     the JSONC pattern set of data/absa/opinion_patterns.jsonc applied the
     way src/absa/post_opinion_patterns.py:402-421 walks ``find_subseqs``,
@@ -149,9 +151,9 @@ def extract_opinion_pairs(tagged: DataFrame, doc_col: str = "doc_id",
     w = W.partitionBy(doc_col).orderBy(index_col)
     bi = tagged.select(
         doc_col,
-        F.col("word").alias("w1"), F.col("tag").alias("t1"),
-        F.lead("word").over(w).alias("w2"),
-        F.lead("tag").over(w).alias("t2"),
+        F.col(word_col).alias("w1"), F.col(tag_col).alias("t1"),
+        F.lead(word_col).over(w).alias("w2"),
+        F.lead(tag_col).over(w).alias("t2"),
     )
     adj_noun = (F.col("t1") == "ADJ") & (F.col("t2") == "NOUN")
     noun_adj = (F.col("t1") == "NOUN") & (F.col("t2") == "ADJ")

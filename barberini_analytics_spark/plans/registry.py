@@ -13,9 +13,12 @@ The driver compares both at sf0.01 (row count + schema + value hash), so:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..core.cache import release_scoped
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -24,10 +27,22 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and its DuckDB oracle SQL, if expressible)."""
+    """Register a query (and its DuckDB oracle SQL, if expressible).
+
+    The registered (top-level) entry releases the previous query's scoped
+    persists on entry — queries run sequentially in the driver/bench, so by
+    then the prior result is fully consumed and its staging frames are
+    dead.  The module-level function stays unwrapped, so queries composing
+    other queries internally don't trigger a mid-plan release.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -82,8 +82,9 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write → merge → read-back parquet round-trip of K1/K2/K4 instead of a
     dataflow re-statement of it.
     """
-    import tempfile
+    import os
 
+    from ..core.scratch import scratch_path
     from ..core.sinks import materialize, overwrite, upsert_by_pk
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -94,7 +95,11 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ["user_id"], order)
     batch = R.latest_per_key(ev.filter(F.col("event_id") % 2 == 1),
                              ["user_id"], order)
-    scratch = tempfile.mkdtemp(prefix="upsert_merge_")
+    # per-process scratch root (removed at exit) keyed by sf tag:
+    # repeated bench/selfcheck invocations overwrite in place instead of
+    # accumulating orphaned /tmp copies
+    scratch = scratch_path("upsert_merge", os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(scratch, exist_ok=True)
     table = f"{scratch}/events_state.parquet"
     overwrite(stored.withColumn("from_batch", F.lit(False)), table)   # K2
     upsert_by_pk(spark, batch.withColumn("from_batch", F.lit(True)),  # K1

@@ -59,7 +59,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def windowed_engagement(events: DataFrame, window: str = "1 hour",
                         slide: str | None = None,
-                        watermark: str = "2 hours",
+                        watermark: str | None = "2 hours",
                         extra_keys: Sequence[str] = ()) -> DataFrame:
     """Per-type event counts/sums over (sliding) event-time windows with a
     late-data watermark.  Streaming shuffle state is bounded by the

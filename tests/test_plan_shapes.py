@@ -97,3 +97,46 @@ def test_winnow_stays_in_codegen(spark):
     plan = _plan(spark, "document_profile")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_upsert_stored_side_partition_pruned(spark, tmp_path):
+    """K1 partitioned path: the stored-side scan must carry static
+    PartitionFilters restricted to the batch's partitions — the "100 TB
+    never rewrites (or reads) history" claim, enforced not narrated."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.sinks import _stored_pruned
+
+    path = str(tmp_path / "t.parquet")
+    base = spark.range(1000).select("id", (F.col("id") % 10).alias("p"))
+    base.write.partitionBy("p").parquet(path)
+    batch = spark.range(5).select("id", (F.col("id") % 2 + 1).alias("p"))
+
+    stored = _stored_pruned(spark, path, batch, ["p"])
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in stored-side scan:\n{plan[:2000]}"
+    # static literal filter on the partition column, e.g.
+    # ((p <=> 1) OR (p <=> 2)) — not just isnotnull, not dynamicpruning
+    assert re.search(r"p#\d+ <=> 1", m.group(1)) and re.search(
+        r"p#\d+ <=> 2", m.group(1)), (
+        f"PartitionFilters not restricted to batch partitions: {m.group(1)}")
+    # behavioral check: only the two touched partitions come back
+    got = {r.p for r in stored.select("p").distinct().collect()}
+    assert got == {1, 2}, got
+
+
+def test_sharded_gsdmm_fit_exchange_budget(spark):
+    """The sharded GSDMM scale path is exactly two shuffles over a token
+    frame: one (doc_id) aggregation building the token lists, one (shard)
+    exchange feeding applyInPandas.  A third exchange would mean the fit
+    re-partitions data it already owns."""
+    from barberini_analytics_spark.ml.gsdmm import fit_topics_sharded
+
+    tokens = spark.createDataFrame(
+        [(i, w) for i in range(40) for w in ("alpha", "beta", "gamma")],
+        ["doc_id", "word"])
+    fit = fit_topics_sharded(tokens, n_docs=40, max_docs_per_shard=10)
+    plan = fit._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
