@@ -3,12 +3,13 @@ metadata, processed with Arrow-batched ``mapInPandas``.
 
 A 100 TB training-data pipeline carries media as binary columns next to the
 text: this module provides the Spark-side plumbing — schemas, batch-shaped
-UDF signatures, partition sizing — with the *codec* step stubbed: the
-runtime has no image/audio libraries, so ``decode_media`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic parser of our synthetic payload header.  Swapping the fake
-for PIL/ffmpeg changes ONE function body; every schema, partition and test
-stays.
+UDF signatures, partition sizing — with REAL lib-free codecs for the three
+containers decodable without external libraries (BMP images, WAV PCM
+audio, YUV4MPEG2 raw video — ``multimodal/codecs.py``) plus the
+documented ``SYNM`` synthetic header.  Containers that genuinely need
+codec libraries (JPEG, MP4, …) raise ``NotImplementedError`` — swapping
+in PIL/libav extends ONE dispatch function; every schema, partition and
+test stays.
 
 Scale notes:
 - media rows are orders of magnitude wider than text rows → ``blob_repartition``
@@ -77,40 +78,74 @@ def blob_repartition(df: DataFrame, target_bytes: int = 128 << 20,
 
 _DECODE_SCHEMA = StructType([
     StructField("media_id", LongType()),
-    StructField("kind", StringType()),
+    StructField("container", StringType()),   # bmp | wav | y4m | synm
+    StructField("kind", StringType()),        # image | audio | video
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),
+    StructField("sample_rate_hz", IntegerType()),
+    StructField("n_channels", IntegerType()),
     StructField("n_payload_bytes", LongType()),
+    StructField("content_stat", FloatType()),  # mean luma / RMS amplitude
 ])
 
+_SYNM_KINDS = {0: "image", 1: "audio", 2: "video"}
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Parse media headers → (dimensions, frame count, payload size).
 
-    Real codecs are NOT available in this runtime; ``fake=True`` decodes
-    the synthetic SYNM header deterministically.  A production build
-    replaces ``_decode_batch``'s body with PIL/libav calls — signature,
-    schema and partitioning are already production-shaped.
+def _decode_one(mid: int, b: bytes) -> tuple:
+    """Decode one payload by container sniffing (multimodal/codecs.py).
+
+    BMP, WAV and Y4M are REAL decoders — dimensions, sample rates and the
+    content statistic (mean luma / RMS) come from the decoded pixels and
+    samples, not just the header.  ``SYNM`` is the documented synthetic
+    header.  Anything else (JPEG, MP4, …) genuinely needs external codec
+    libraries and raises ``NotImplementedError``.
     """
-    if not fake:
-        raise NotImplementedError(
-            "no image/audio codecs in this runtime — pass fake=True for "
-            "the deterministic synthetic decoder")
+    from . import codecs as C
+
+    container = C.sniff(b)
+    if container == "bmp":
+        d = C.decode_bmp(b)
+        return (mid, "bmp", "image", d["width"], d["height"], 1,
+                None, None, d["n_payload_bytes"], d["mean_luma"])
+    if container == "wav":
+        d = C.decode_wav(b)
+        return (mid, "wav", "audio", None, None, d["n_samples"],
+                d["sample_rate"], d["n_channels"], d["n_payload_bytes"],
+                d["rms"])
+    if container == "y4m":
+        d = C.decode_y4m(b)
+        return (mid, "y4m", "video", d["width"], d["height"],
+                d["n_frames"], None, None, d["n_payload_bytes"],
+                d["mean_luma"])
+    if container == "synm":
+        w, h, nf = struct.unpack(">HHH", b[5:11])
+        return (mid, "synm", _SYNM_KINDS[b[4]], w, h, nf,
+                None, None, len(b) - 11, None)
+    raise NotImplementedError(
+        f"unsupported media container (magic {b[:4]!r}); supported "
+        "lib-free: BMP, WAV PCM, YUV4MPEG2, SYNM — JPEG/MP4/… need "
+        "external codec libraries")
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode media payloads → container, kind, dimensions, frame/sample
+    counts, and a content statistic over the decoded pixels/samples.
+
+    Arrow-batched ``mapInPandas``; BMP/WAV/Y4M run real lib-free decoders
+    (multimodal/codecs.py), the SYNM synthetic header parses its declared
+    fields, and unknown containers raise — the honest boundary of a
+    runtime without codec libraries.
+    """
 
     def _decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, kind, data in zip(pdf["media_id"], pdf["kind"],
-                                       pdf["data"]):
-                b = bytes(data)
-                assert b[:4] == _MAGIC, "bad synthetic payload"
-                w, h, nf = struct.unpack(">HHH", b[5:11])
-                rows.append((mid, kind, w, h, nf, len(b) - 11))
+            rows = [_decode_one(mid, bytes(data))
+                    for mid, data in zip(pdf["media_id"], pdf["data"])]
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               _DECODE_SCHEMA.fields])
 
-    return df.select("media_id", "kind", "data").mapInPandas(
+    return df.select("media_id", "data").mapInPandas(
         _decode_batch, _DECODE_SCHEMA)
 
 
@@ -143,8 +178,14 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
-    index (0, n, 2n, …) with a deterministic per-frame byte digest —
-    the fan-out shape of a real frame extractor (decode stub as above)."""
+    index (0, n, 2n, …) with a per-frame digest.
+
+    Y4M payloads are REALLY sliced: the digest is the sha256 of the
+    sampled frame's actual raw YUV planes (multimodal/codecs.py), exactly
+    what a frame extractor feeds downstream.  SYNM payloads (no frame
+    bytes exist) digest payload+index deterministically — the declared
+    fan-out shape with a synthetic body.
+    """
     schema = StructType([
         StructField("media_id", LongType()),
         StructField("frame_index", IntegerType()),
@@ -152,10 +193,18 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     ])
 
     def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs as C
+
         for pdf in it:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 b = bytes(data)
+                if C.sniff(b) == "y4m":
+                    frames = C.decode_y4m(b)["frames"]
+                    for idx in range(0, len(frames), every_n):
+                        d = hashlib.sha256(frames[idx]).hexdigest()
+                        out.append((mid, idx, d[:16]))
+                    continue
                 (nf,) = struct.unpack(">H", b[9:11])
                 for idx in range(0, nf, every_n):
                     d = hashlib.sha256(b + idx.to_bytes(4, "big")).hexdigest()

@@ -95,10 +95,11 @@ _PAYLOAD_SQL = """
     """,
 )
 def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (stubbed codec) + deterministic feature extraction + frame
-    sampling over the media table in one frame — the three ``mapInPandas``
-    paths (decode, feature-extract, frame fan-out) hash-checked
-    end-to-end: the oracle rebuilds the payload bytes, reproduces the
+    """Decode (SYNM header branch of the sniffing dispatcher; the real
+    BMP/WAV/Y4M decoders are exercised in tests/test_codecs.py) +
+    deterministic feature extraction + frame sampling over the media table
+    in one frame — the three ``mapInPandas`` paths (decode,
+    feature-extract, frame fan-out) hash-checked end-to-end: the oracle rebuilds the payload bytes, reproduces the
     sha256-over-hex feature digest (digit-parsed into the same
     uint32/2^32 floats, through the same float32 rounding), and derives
     the frame-sample fan-out count ``ceil(n_frames / every_n)``
@@ -109,7 +110,7 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains canonicalizable by the driver's pandas sort.
     """
     media = M.blob_repartition(M.synth_media(spark, sf_dir))
-    decoded = M.decode_media(media, fake=True)
+    decoded = M.decode_media(media)
     feats = M.extract_features(media, dim=8)
     frames = (M.sample_frames(M.synth_media(spark, sf_dir), every_n=10)
               .groupBy("media_id")

@@ -17,15 +17,19 @@ SF = "/root/testdata/sf0.001"
 # multimodal
 # ---------------------------------------------------------------------------
 
-def test_decode_requires_fake_flag(spark):
-    df = M.synth_media(spark, SF)
-    with pytest.raises(NotImplementedError):
-        M.decode_media(df)
+def test_decode_unknown_container_raises(spark):
+    """Containers that need external codec libs (e.g. JPEG) raise — the
+    honest boundary; known lib-free containers decode for real."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF-ish"))],
+        "media_id long, data binary")
+    with pytest.raises(Exception, match="unsupported media container"):
+        M.decode_media(df).collect()
 
 
 def test_decode_media_header_roundtrip(spark):
     df = M.synth_media(spark, SF)
-    out = M.decode_media(df, fake=True)
+    out = M.decode_media(df)
     joined = out.join(df.select("media_id", "declared_width",
                                 "declared_height"), "media_id")
     bad = joined.filter(
@@ -49,7 +53,7 @@ def test_extract_features_shape_and_determinism(spark):
 def test_sample_frames_fanout(spark):
     df = M.synth_media(spark, SF)
     frames = M.sample_frames(df, every_n=10)
-    decoded = M.decode_media(df.filter("kind = 'video'"), fake=True)
+    decoded = M.decode_media(df.filter("kind = 'video'"))
     expected = decoded.select(
         F.sum(F.ceil(F.col("n_frames") / 10))).first()[0]
     assert frames.count() == expected
