@@ -670,7 +670,9 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str,
                 lambda s: s["label"].cast("string")),
             "|").alias("cluster_label"))
     )
-    return (assign.join(cluster_labels, "cluster", "left")
+    # corpus-sized assignments × cluster-count-sized labels: broadcast
+    # the label table so no shuffle of the assignments happens
+    return (assign.join(F.broadcast(cluster_labels), "cluster", "left")
             .select("vec_id", "cluster",
                     F.coalesce("cluster_label", F.lit("")).alias(
                         "cluster_label")))

@@ -60,11 +60,16 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast per micro-batch).  Built from the static events table's
     # own key domain so the left join covers every stream key at ANY
     # scale factor — a fixed range bound would silently yield NULL
-    # segments once user_id outgrew it.
-    dim = (load_table(spark, sf_dir, "events")
-           .select("user_id").distinct()
-           .withColumn("segment",
-                       (F.col("user_id") % 4).cast("int")))
+    # segments once user_id outgrew it.  Persisted (query-scoped):
+    # the stream-static contract re-evaluates the static side EVERY
+    # micro-batch, and without the persist that re-runs the full
+    # distinct-over-events per batch.
+    from ..core.cache import scoped_persist
+
+    dim = scoped_persist(
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("int")))
     enriched = SJ.enrich_stream(deduped, dim, on=["user_id"])
     rolled = SJ.windowed_engagement(enriched, "1 hour", watermark=None,
                                     extra_keys=["segment"])

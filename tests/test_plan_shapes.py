@@ -140,3 +140,29 @@ def test_sharded_gsdmm_fit_exchange_budget(spark):
     plan = fit._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan[:2000]
     assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+
+
+def test_upsert_pruning_multi_column_and_null_partition(spark, tmp_path):
+    """Multi-column partitioning builds OR-of-ANDs tuples, and a NULL
+    partition value (hive default partition) matches via eqNullSafe."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.sinks import _stored_pruned
+
+    path = str(tmp_path / "t2.parquet")
+    base = spark.range(100).select(
+        "id", (F.col("id") % 3).alias("p"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 2)
+        .alias("q"))
+    base.write.partitionBy("p", "q").parquet(path)
+    # batch touches (p=1, q=NULL) and (p=2, q=0) only
+    batch = spark.createDataFrame(
+        [(1000, 1, None), (1001, 2, 0)], "id long, p long, q long")
+
+    stored = _stored_pruned(spark, path, batch, ["p", "q"])
+    got = {(r.p, r.q) for r in
+           stored.select("p", "q").distinct().collect()}
+    assert got == {(1, None), (2, 0)}, got
+    # and the empty-batch edge: zero partitions -> zero stored rows
+    empty = _stored_pruned(spark, path, batch.limit(0), ["p", "q"])
+    assert empty.count() == 0
