@@ -29,6 +29,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+#: (SparkContext, rdd ids) of query-scoped localCheckpoints —
+#: ``DataFrame.unpersist`` does NOT release checkpoint blocks (they are
+#: RDD-level persists outside the SQL cache manager), so they are freed
+#: by JVM-side ``JavaRDD.unpersist`` on the recorded ids
+_SCOPED_CKPTS: list[tuple[object, set[int]]] = []
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -36,6 +41,33 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     df.persist()
     _SCOPED.append(df)
     return df
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def scoped_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` whose storage is released with the
+    query scope.
+
+    Iterative operators (connected components, label propagation)
+    checkpoint per round to truncate lineage; the checkpointed RDDs
+    otherwise live until the JVM ContextCleaner happens to collect them.
+    Recording the rdd-id delta around the checkpoint lets
+    ``release_scoped`` free them deterministically.
+
+    Contract: a checkpointed frame is DEAD once its query scope ends —
+    unlike a released persist (which silently recomputes), re-executing a
+    plan over a freed checkpoint raises, because the checkpoint truncated
+    the lineage.  Results must be consumed within their query scope,
+    which the sequential driver/bench execution guarantees.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    _SCOPED_CKPTS.append((sc, _persistent_rdd_ids(sc) - before))
+    return out
 
 
 def release_scoped() -> None:
@@ -46,6 +78,15 @@ def release_scoped() -> None:
         except Exception:
             pass  # session already stopped — nothing to release
     _SCOPED.clear()
+    for sc, rdd_ids in _SCOPED_CKPTS:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for k in jmap.keySet().toArray():
+                if int(k) in rdd_ids:
+                    jmap.get(k).unpersist()
+        except Exception:
+            pass
+    _SCOPED_CKPTS.clear()
 
 
 class FrameCache:

@@ -86,6 +86,7 @@ def dbscan_distributed(vectors, id_col: str = "vec_id",
     """
     from pyspark.sql import functions as F
 
+    from ..core.cache import scoped_checkpoint
     from ..operators.similarity import cosine, srp_candidate_pairs
 
     ids = vectors.select(F.col(id_col).alias("id")).distinct()
@@ -95,44 +96,32 @@ def dbscan_distributed(vectors, id_col: str = "vec_id",
         .filter(F.col("cos") >= 1.0 - eps)
         .select("id1", "id2")
     )
-    edges = near.union(
+    edges = scoped_checkpoint(near.union(
         near.select(F.col("id2").alias("id1"), F.col("id1").alias("id2"))
-    ).localCheckpoint(eager=True)
+    ))
 
     degree = edges.groupBy("id1").count()
     core = (
         ids.join(degree, ids.id == degree.id1, "left")
         .select("id", (F.coalesce("count", F.lit(0)) + 1 >= min_samples)
                 .alias("is_core"))
-    ).localCheckpoint(eager=True)
+    )
+    core = scoped_checkpoint(core)
 
     core_ids = core.filter("is_core").select("id")
     core_edges = (
         edges.join(core_ids.withColumnRenamed("id", "id1"), "id1")
         .join(core_ids.withColumnRenamed("id", "id2"), "id2")
         .select("id1", "id2")
-    ).localCheckpoint(eager=True)
+    )
 
-    # min-label propagation to a fixpoint (connected components)
-    labels = core_ids.select("id", F.col("id").alias("label"))
-    for _ in range(max_iter):
-        neighbor_min = (
-            core_edges.join(labels, core_edges.id1 == labels.id)
-            .groupBy("id2").agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
-            .select("id", F.least("label", F.coalesce("nlabel", "label"))
-                    .alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter("n.label <> o.label").limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # clusters = connected components of the core-core ε-graph (shared
+    # min-label-propagation core, operators/graph.py; ``edges`` already
+    # carries both directions)
+    from ..operators.graph import connected_components
+
+    labels = connected_components(core_ids, core_edges, id_col="id",
+                                  symmetrize=False, max_iter=max_iter)
 
     # border points: non-core with a core ε-neighbor -> smallest such label
     border = (

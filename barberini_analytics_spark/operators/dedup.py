@@ -212,3 +212,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
         term = F.when(F.col(f"s_{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else (sig + term)
     return agg.select(F.col(id_col), sig.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate group resolution (pairs → transitive groups)
+# ---------------------------------------------------------------------------
+
+def near_dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 3, num_perm: int = 8, bands: int = 4,
+                    threshold: float = 0.5) -> DataFrame:
+    """Resolve verified near-dup PAIRS into transitive GROUPS and pick one
+    representative per group — the step a 100 TB dedup actually keeps:
+    "A≈B and B≈C" must collapse to ONE surviving document even when A and
+    C never met in any LSH bucket.
+
+    Pipeline: MinHash-LSH verified pairs (:func:`minhash_near_duplicates`)
+    → connected components (``operators/graph.py``, min-label
+    propagation — no driver collect) → group id = smallest member id,
+    representative = that member, group size attached.  Documents with no
+    near-dup form singleton groups, so the output is a total map
+    ``id → group`` and ``filter(is_representative)`` IS the deduplicated
+    corpus.
+
+    Returns ``(id_col, group_id, group_size, is_representative)``.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_near_duplicates(df, id_col, text_col, k=k,
+                                    num_perm=num_perm, bands=bands,
+                                    threshold=threshold)
+    nodes = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("id1"),
+                            F.col("id_b").alias("id2")),
+        id_col="id", symmetrize=True)
+    from pyspark.sql import Window as W
+
+    sized = comp.withColumn(
+        "group_size",
+        F.count(F.lit(1)).over(W.partitionBy("label")).cast("long"))
+    return sized.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("group_id"),
+        "group_size",
+        (F.col("id") == F.col("label")).alias("is_representative"))

@@ -94,28 +94,72 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
         GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT i.id_a, i.id_b,
+               CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter)
+              >= {_JACCARD_THRESHOLD}
+    ),
+    dir_edges AS (
+        SELECT id_a AS a, id_b AS b FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+        WITH RECURSIVE r(a, b) AS (
+            SELECT a, b FROM dir_edges
+            UNION
+            SELECT r.a, e.b FROM r JOIN dir_edges e ON r.b = e.a
+        ) SELECT a, b FROM r
+    ),
+    grp AS (
+        SELECT a AS id, least(a, min(b)) AS gid FROM reach GROUP BY a
     )
-    SELECT i.id_a, i.id_b,
-           CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.id_a
-    JOIN sizes zb ON zb.doc_id = i.id_b
-    WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= {_JACCARD_THRESHOLD}
+    SELECT v.id_a, v.id_b, v.jaccard, g.gid AS group_id
+    FROM verified v JOIN grp g ON g.id = v.id_a
     """,
 )
 def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection, verified with true Jaccard.
+    """MinHash + LSH near-dup detection, verified with true Jaccard, with
+    each pair tagged by its transitive GROUP id.
 
     shingle(k=3) → 8 minhash permutations → 8 one-row bands → bucket join →
-    exact Jaccard ≥ 0.5.  Candidate generation is the banded bucket join —
-    never an all-pairs comparison; at 100 TB the bucket join is the only
-    shuffle that grows with corpus size, and its key is (band, 56-bit hash).
+    exact Jaccard ≥ 0.5 → connected components over the verified pairs
+    (``operators/graph.py`` min-label propagation).  The oracle re-derives
+    the closure independently with a recursive CTE, so the group
+    resolution — "A≈B and B≈C collapse to one group even though A and C
+    never met in a bucket" — is hash-checked, not just unit-tested (the
+    full total-map operator is :func:`operators.dedup.near_dup_groups`).
+
+    Candidate generation is the banded bucket join — never an all-pairs
+    comparison; at 100 TB the bucket join is the only shuffle that grows
+    with corpus size, and its key is (band, 56-bit hash).  The component
+    table is pair-graph-sized (near-dup ids only), broadcast back onto
+    the pairs.
     """
+    from ..operators.graph import connected_components
+
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_duplicates(
+    pairs = D.minhash_near_duplicates(
         docs, "doc_id", k=_SHINGLE_K, num_perm=_NUM_PERM, bands=_NUM_PERM,
         threshold=_JACCARD_THRESHOLD,
     )
+    from ..core.cache import scoped_persist
+
+    pairs = scoped_persist(pairs)  # reused: node list + closure + final join
+    nodes = (pairs.select(F.col("id_a").alias("id"))
+             .union(pairs.select("id_b")).distinct())
+    comp = connected_components(
+        nodes, pairs.select(F.col("id_a").alias("id1"),
+                            F.col("id_b").alias("id2")),
+        id_col="id", symmetrize=True)
+    return pairs.join(
+        F.broadcast(comp.select(F.col("id").alias("id_a"),
+                                F.col("label").alias("group_id"))),
+        "id_a")
 
 
 _SIMHASH_BITS = 16
