@@ -80,6 +80,34 @@ def windowed_engagement(events: DataFrame, window: str = "1 hour",
                     "event_type", *extra_keys, "n", "value_sum"))
 
 
+def sessionized_engagement(events: DataFrame, gap: str = "30 minutes",
+                           keys: Sequence[str] = ("user_id",),
+                           watermark: str = "2 hours",
+                           ts_col: str = "ts") -> DataFrame:
+    """Per-key SESSION windows over the stream — the streaming face of the
+    batch M11 sessionizer (``operators.relational.sessionize``): a session
+    extends while consecutive events arrive within ``gap``; state for a
+    session is evicted once the watermark passes its close.
+
+    Spark-first: ``F.session_window`` — the engine merges overlapping
+    per-event windows into sessions inside the streaming aggregation, so
+    state is one open session per active key instead of one row per
+    event, and the watermark bounds it in event time.  Batch parity with
+    the two-window ``sessionize`` formulation is pinned in
+    tests/test_streaming.py.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("value_sum"))
+        .select(*keys,
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "value_sum")
+    )
+
+
 def condense_stream(events: DataFrame, keys: Sequence[str],
                     value_cols: Sequence[str],
                     ts_col: str = "ts") -> DataFrame:

@@ -145,3 +145,42 @@ def test_upsert_stream_converges_and_replays_idempotently(spark, tmp_path):
     second = {r.user_id: (r.event_id, r.ts)
               for r in spark.read.parquet(path).collect()}
     assert second == first
+
+
+def test_session_windows_match_batch_sessionize(spark, batch_events):
+    """The streaming F.session_window aggregation must produce exactly the
+    sessions the batch two-window ``sessionize`` derives: same per-key
+    session boundaries (start = first event, end = last event + gap),
+    same counts and sums — the M11 sessionizer's streaming face."""
+    from barberini_analytics_spark.operators.relational import sessionize
+
+    gap = "30 minutes"
+    stream = SJ.stream_events(spark, SF).withColumn(
+        "value", F.floor("value").cast("double"))
+    got = SJ.run_available_now(
+        SJ.sessionized_engagement(stream, gap=gap, keys=["user_id"]),
+        "session_counts", output_mode="complete").toPandas()
+
+    batch = batch_events.withColumn(
+        "value", F.floor("value").cast("double"))
+    expected = (
+        sessionize(batch, ["user_id"], "ts",
+                   F.expr("INTERVAL 30 MINUTES"))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("value_sum"),
+             F.min("ts").alias("session_start"),
+             (F.max("ts") + F.expr("INTERVAL 30 MINUTES"))
+             .alias("session_end"))
+        .drop("session_id")
+        .select("user_id", "session_start", "session_end",
+                "n_events", "value_sum")
+    ).toPandas()
+
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expected)
+    for col in ["user_id", "session_start", "session_end", "n_events",
+                "value_sum"]:
+        assert got[col].tolist() == expected[col].tolist(), col
