@@ -256,3 +256,47 @@ def near_dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
         F.col("label").alias("group_id"),
         "group_size",
         (F.col("id") == F.col("label")).alias("is_representative"))
+
+
+# ---------------------------------------------------------------------------
+# eval-contamination detection (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_overlap(train: DataFrame, evalset: DataFrame,
+                         id_col: str, text_col: str = "text",
+                         k: int = 3,
+                         min_overlap: float = 0.1) -> DataFrame:
+    """Flag training documents that share ≥ ``min_overlap`` of an eval
+    document's k-gram shingles — the standard benchmark-contamination
+    screen run before an LLM training job ships.
+
+    Shape: shingle both corpora, join on the shingle hash (the only
+    shuffle that grows with corpus size — never a doc×doc comparison),
+    count co-occurrences per (train, eval) pair, and score
+    ``n_shared / n_eval_shingles`` (containment of the eval doc in the
+    training doc, the directional metric contamination checks use).
+    The eval side is tiny next to the training corpus, so its shingle
+    table broadcasts; the training corpus streams through one scan.
+
+    Returns ``(train_id, eval_id, n_shared, eval_containment)`` for pairs
+    over the threshold.
+    """
+    tr = word_shingles(train, id_col, text_col, k).select(
+        F.col(id_col).alias("train_id"), "shingle")
+    ev = word_shingles(evalset, id_col, text_col, k).select(
+        F.col(id_col).alias("eval_id"), "shingle")
+    ev_sizes = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("n_eval_shingles"))
+    shared = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(ev_sizes), "eval_id")
+        .withColumn("eval_containment",
+                    F.col("n_shared").cast("double")
+                    / F.col("n_eval_shingles"))
+        .filter(F.col("eval_containment") >= min_overlap)
+        .select("train_id", "eval_id", "n_shared", "eval_containment")
+    )

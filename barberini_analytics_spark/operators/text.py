@@ -349,3 +349,41 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__bi", "__tri")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data chunking (token-bounded windows with overlap)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str = "text",
+                    max_tokens: int = 128, overlap: int = 16) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the
+    standard pre-tokenization step of an LLM training pipeline (long
+    documents become stride-``max_tokens - overlap`` windows so no text
+    is lost at chunk boundaries).
+
+    Pure codegen: one whitespace split, a stride ``sequence`` per row,
+    ``posexplode`` over ``slice``s of the token array — no UDF, no
+    shuffle; at 100 TB this is a map-only stage.  Returns
+    ``(id_col, chunk_index, n_chunk_tokens, chunk_text)``; a document
+    shorter than ``max_tokens`` yields exactly one chunk (index 0).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(tokens)
+    # start offsets 0, stride, 2*stride, … strictly below n (≥1 chunk)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.select(F.col(id_col), tokens.alias("__toks"),
+                  F.posexplode(starts).alias("chunk_index", "__start"))
+        .select(
+            id_col, "chunk_index",
+            F.size(F.slice("__toks", F.col("__start") + 1, max_tokens))
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, max_tokens), " ")
+            .alias("chunk_text"))
+    )
