@@ -166,3 +166,36 @@ def test_upsert_pruning_multi_column_and_null_partition(spark, tmp_path):
     # and the empty-batch edge: zero partitions -> zero stored rows
     empty = _stored_pruned(spark, path, batch.limit(0), ["p", "q"])
     assert empty.count() == 0
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """The 100 TB co-location lever: equi-joining two tables bucketed on
+    the join key must plan ZERO Exchange operators — the write-time
+    shuffle is reused by every downstream join/agg on that key."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.bucketing import (read_table,
+                                                          write_bucketed)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        write_bucketed(a, "bkt_a", ["k"], n_buckets=8)
+        write_bucketed(b, "bkt_b", ["k"], n_buckets=8)
+        joined = read_table(spark, "bkt_a").join(
+            read_table(spark, "bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert joined.count() == 1000
+        # and a groupBy on the bucket key is exchange-free too
+        agg = read_table(spark, "bkt_a").groupBy("k").agg(F.sum("va"))
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, agg_plan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
