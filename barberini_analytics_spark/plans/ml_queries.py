@@ -40,7 +40,7 @@ _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
               "for", "on", "with", "as", "at", "by", "be", "this", "that")
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
-#: per-process parquet drop points for the persist-then-oracle round trips
+#: fixed parquet drop points for the persist-then-oracle round trips
 #: (the oracle SQL strings embed these at import time; see core/scratch.py)
 _TOPIC_ASSIGN_PATH = scratch_path("topic_assign.parquet")
 _DBSCAN_ASSIGN_PATH = scratch_path("dbscan_assign.parquet")

@@ -95,9 +95,9 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ["user_id"], order)
     batch = R.latest_per_key(ev.filter(F.col("event_id") % 2 == 1),
                              ["user_id"], order)
-    # per-process scratch root (removed at exit) keyed by sf tag:
-    # repeated bench/selfcheck invocations overwrite in place instead of
-    # accumulating orphaned /tmp copies
+    # fixed scratch root keyed by sf tag: repeated bench/selfcheck
+    # invocations overwrite in place instead of accumulating orphaned
+    # /tmp copies
     scratch = scratch_path("upsert_merge", os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(scratch, exist_ok=True)
     table = f"{scratch}/events_state.parquet"
