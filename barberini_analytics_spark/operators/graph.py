@@ -49,6 +49,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("label"))
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             bi.join(labels, bi.id1 == labels.id)
@@ -66,4 +67,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # no silent caps: a component deeper than max_iter would come back
+        # partially merged — surface it instead of returning wrong groups
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            "rounds (component diameter exceeds the bound); labels are "
+            "partially merged — raise max_iter",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias(id_col), "label")

@@ -373,17 +373,20 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str = "text",
     stride = max_tokens - overlap
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(tokens)
-    # start offsets 0, stride, 2*stride, … strictly below n (≥1 chunk)
+    # start offsets 0, stride, 2*stride, … strictly below n (≥1 chunk);
+    # the chunk structs are built INSIDE one transform over the offsets so
+    # the exploded rows carry only their own chunk text, never the parent
+    # token array
     starts = F.sequence(
         F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.struct(
+        F.size(F.slice(tokens, s + 1, max_tokens)).alias("n_chunk_tokens"),
+        F.array_join(F.slice(tokens, s + 1, max_tokens), " ")
+        .alias("chunk_text")))
     return (
-        df.select(F.col(id_col), tokens.alias("__toks"),
-                  F.posexplode(starts).alias("chunk_index", "__start"))
-        .select(
-            id_col, "chunk_index",
-            F.size(F.slice("__toks", F.col("__start") + 1, max_tokens))
-            .alias("n_chunk_tokens"),
-            F.array_join(
-                F.slice("__toks", F.col("__start") + 1, max_tokens), " ")
-            .alias("chunk_text"))
+        df.select(F.col(id_col),
+                  F.posexplode(chunks).alias("chunk_index", "__c"))
+        .select(id_col, "chunk_index",
+                F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
+                F.col("__c.chunk_text").alias("chunk_text"))
     )

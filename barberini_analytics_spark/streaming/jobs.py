@@ -95,6 +95,12 @@ def sessionized_engagement(events: DataFrame, gap: str = "30 minutes",
     event, and the watermark bounds it in event time.  Batch parity with
     the two-window ``sessionize`` formulation is pinned in
     tests/test_streaming.py.
+
+    Boundary semantics: an event arriving EXACTLY ``gap`` after the
+    previous one starts a new session here (session windows are
+    half-open ``[start, last + gap)``), while the batch ``sessionize``
+    merges it (its condition is ``ts > prev + gap``) — an edge only
+    exact-boundary timestamps hit.
     """
     return (
         events.withWatermark(ts_col, watermark)

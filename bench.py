@@ -58,12 +58,18 @@ def main() -> None:
     # inside the same burst as the first measurement; stop early once a
     # run comes in under the repeat threshold.  Bounded to the slowest 24
     # entries to keep total wall time predictable.
+    first_run = dict(timings)  # pre-repeat timings, kept for transparency
     heavy = sorted(timings, key=timings.get, reverse=True)[:24]
     for name in heavy:
         for _ in range(2):
             if timings[name] <= 1.2:
                 break
             timings[name] = min(timings[name], run_once(name))
+    # transparency: for entries whose reported min differs noticeably from
+    # the first measurement (warm caches, JIT, host-noise dodging), also
+    # report what the first run cost
+    first_run = {k: round(v, 3) for k, v in first_run.items()
+                 if v - timings[k] > 0.5}
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
@@ -105,6 +111,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "first_run": first_run,
         "scale_paths": scale_timings,
         "sf": sf_num,
     }))
