@@ -373,12 +373,15 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str = "text",
     stride = max_tokens - overlap
     tokens = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(tokens)
-    # start offsets 0, stride, 2*stride, … strictly below n (≥1 chunk);
-    # the chunk structs are built INSIDE one transform over the offsets so
-    # the exploded rows carry only their own chunk text, never the parent
-    # token array
+    # start offsets 0, stride, 2*stride, … bounded so every chunk
+    # contributes at least one token beyond the overlap (a final chunk
+    # fully contained in its predecessor would emit duplicate training
+    # text); the interval [n - max_tokens, n - overlap - 1] always holds a
+    # stride multiple, so coverage stays total.  Chunk structs are built
+    # INSIDE one transform over the offsets so the exploded rows carry
+    # only their own chunk text, never the parent token array.
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.struct(
         F.size(F.slice(tokens, s + 1, max_tokens)).alias("n_chunk_tokens"),
         F.array_join(F.slice(tokens, s + 1, max_tokens), " ")

@@ -104,3 +104,67 @@ def test_winnow_moss_guarantee(spark):
            for r in winnow_fingerprints(df).collect()}
     misses = [(i, j) for i, j in pairs if not (fps[i] & fps[j])]
     assert not misses, f"MOSS guarantee violated for pairs {misses[:3]}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 20), st.integers(0, 30))
+def test_connected_components_matches_union_find(spark, seed, n_nodes,
+                                                 n_edges):
+    """Distributed CC == a driver-side union-find on random graphs."""
+    from barberini_analytics_spark.operators.graph import (
+        connected_components)
+
+    rng = np.random.default_rng(seed)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, n_nodes, size=(n_edges, 2))
+             if a != b]
+    # reference: union-find with min-id canonicalization
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n_nodes)}
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)],
+                                     ["id"])
+    edges_df = spark.createDataFrame(edges or [(0, 0)], "id1 long, id2 long")
+    if not edges:
+        edges_df = edges_df.limit(0)
+    got = {r.id: r.label for r in
+           connected_components(nodes_df, edges_df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60),
+       st.integers(2, 12), st.integers(0, 6))
+def test_chunking_reconstructs_document(spark, seed, n_words, max_tokens,
+                                        overlap):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    concatenating reconstructs the original token stream exactly — no
+    token lost, none duplicated, for any doc length / window / overlap."""
+    from hypothesis import assume
+
+    from barberini_analytics_spark.operators.text import chunk_documents
+
+    assume(overlap < max_tokens)
+    rng = np.random.default_rng(seed)
+    words = [f"t{rng.integers(0, 100)}_{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(chunk_documents(df, "doc_id", max_tokens=max_tokens,
+                                  overlap=overlap).collect(),
+                  key=lambda r: r.chunk_index)
+    rebuilt = []
+    for r in rows:
+        toks = r.chunk_text.split()
+        assert len(toks) == r.n_chunk_tokens <= max_tokens
+        rebuilt.extend(toks if r.chunk_index == 0 else toks[overlap:])
+    assert rebuilt == words

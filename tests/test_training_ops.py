@@ -66,3 +66,15 @@ def test_contamination_screen_directional_containment(spark):
     assert out[2].n_shared == 2
     assert out[2].eval_containment == pytest.approx(2 / 7)
     assert 3 not in out
+
+
+def test_chunking_emits_no_fully_redundant_chunk(spark):
+    # 22 tokens, max 10, overlap 3 (stride 7): a start at 21 would emit a
+    # 1-token chunk already contained in the chunk starting at 14
+    words = [f"w{i}" for i in range(22)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(chunk_documents(df, "doc_id", max_tokens=10,
+                                  overlap=3).collect(),
+                  key=lambda r: r.chunk_index)
+    assert [r.chunk_index for r in rows] == [0, 1, 2]
+    assert rows[2].chunk_text.split() == words[14:22]
