@@ -1,0 +1,133 @@
+"""Fetch-layer tests (S7/S12): retry, ignored statuses, auth redirect,
+cursor pagination, and fetched-bytes → real-codec decode end-to-end —
+all against deterministic fake transports (no network in this runtime)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.multimodal import codecs as C
+from barberini_analytics_spark.multimodal import media as M
+from barberini_analytics_spark.sources import fetch as FX
+
+
+class ScriptedTransport:
+    """Per-URL scripts: a list of outcomes consumed per attempt.
+    'boom' raises; an int is returned as that HTTP status; bytes are a
+    200 with that content."""
+
+    def __init__(self, scripts):
+        self.scripts = {u: list(s) for u, s in scripts.items()}
+
+    def __call__(self, url):
+        step = self.scripts[url].pop(0) if self.scripts.get(url) \
+            else b"default"
+        if step == "boom":
+            raise IOError("transport exploded")
+        if isinstance(step, int):
+            return FX.FetchResponse(status=step, content=b"", final_url=url)
+        if isinstance(step, tuple):  # (content, final_url)
+            return FX.FetchResponse(200, step[0], final_url=step[1])
+        return FX.FetchResponse(200, step, final_url=url)
+
+
+def test_fetch_retries_then_succeeds(spark):
+    factory = lambda: ScriptedTransport(  # noqa: E731
+        {"u1": ["boom", "boom", b"payload"], "u2": [b"fast"]})
+    df = spark.createDataFrame([(1, "u1"), (2, "u2")],
+                               ["media_id", "url"]).coalesce(1)
+    rows = {r.media_id: r for r in FX.fetch_binary(
+        df, "url", factory, id_cols=["media_id"], max_attempts=4).collect()}
+    assert bytes(rows[1].content) == b"payload" and rows[1].n_attempts == 3
+    assert bytes(rows[2].content) == b"fast" and rows[2].n_attempts == 1
+
+
+def test_fetch_exhausted_retries_raise(spark):
+    factory = lambda: ScriptedTransport({"bad": ["boom"] * 9})  # noqa: E731
+    df = spark.createDataFrame([(1, "bad")], ["media_id", "url"])
+    with pytest.raises(Exception, match="transport exploded"):
+        FX.fetch_binary(df, "url", factory, id_cols=["media_id"],
+                        max_attempts=3).collect()
+
+
+def test_fetch_ignored_status_yields_error_row(spark):
+    factory = lambda: ScriptedTransport({"gone": [404]})  # noqa: E731
+    df = spark.createDataFrame([(1, "gone")], ["media_id", "url"])
+    rows = FX.fetch_binary(df, "url", factory, id_cols=["media_id"],
+                           ignored_status=[404]).collect()
+    assert rows[0].status == 404 and rows[0].content is None
+
+
+def test_fetch_auth_redirect_fails_loudly(spark):
+    factory = lambda: ScriptedTransport(  # noqa: E731
+        {"page": [(b"<html>login</html>", "https://x/users/sign_in")]})
+    df = spark.createDataFrame([(1, "page")], ["media_id", "url"])
+    with pytest.raises(Exception, match="sign_in"):
+        FX.fetch_binary(df, "url", factory, id_cols=["media_id"],
+                        auth_redirect_suffix="/users/sign_in").collect()
+
+
+class PagedTransport:
+    """Serves JSON pages with paging.next cursors, per key."""
+
+    def __call__(self, url):
+        # url scheme: "k<key>/p<page>"; 3 pages per key
+        key, page = url.split("/p")
+        page = int(page)
+        body = {"data": [f"{key}-item{page}"]}
+        if page < 2:
+            body["paging"] = {"next": f"{key}/p{page + 1}"}
+        return FX.FetchResponse(200, json.dumps(body).encode(), url)
+
+
+def _next_url(content: bytes):
+    return json.loads(content).get("paging", {}).get("next")
+
+
+def test_fetch_paged_walks_cursors_per_key(spark):
+    keys = spark.createDataFrame(
+        [("a", "ka/p0"), ("b", "kb/p0")], ["key", "first_url"])
+    out = FX.fetch_paged(keys, "first_url", PagedTransport, _next_url)
+    rows = sorted((r.key, r.page_index, r.url) for r in out.collect())
+    assert rows == [("a", 0, "ka/p0"), ("a", 1, "ka/p1"), ("a", 2, "ka/p2"),
+                    ("b", 0, "kb/p0"), ("b", 1, "kb/p1"), ("b", 2, "kb/p2")]
+
+
+def test_fetch_paged_runaway_cursor_raises(spark):
+    class Endless:
+        def __call__(self, url):
+            return FX.FetchResponse(
+                200, json.dumps(
+                    {"paging": {"next": url}}).encode(), url)
+
+    keys = spark.createDataFrame([("a", "loop")], ["key", "first_url"])
+    with pytest.raises(Exception, match="runaway"):
+        FX.fetch_paged(keys, "first_url", Endless, _next_url,
+                       max_pages=5).collect()
+
+
+def test_fetched_thumbnail_decodes_end_to_end(spark):
+    """S7 full chain: fetch a (real BMP) thumbnail blob → decode_media →
+    true dimensions and pixel statistic from the fetched bytes."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    bmp = C.encode_bmp(img)
+
+    class Thumbs:
+        def __call__(self, url):
+            return FX.FetchResponse(200, bmp, url)
+
+    posts = spark.createDataFrame(
+        [(42, "https://cdn/thumb42.bmp")], ["media_id", "thumbnail_url"])
+    fetched = FX.fetch_thumbnails(posts, Thumbs)
+    decoded = M.decode_media(
+        fetched.select("media_id", F.col("content").alias("data"))).collect()
+    (r,) = decoded
+    assert (r.container, r.kind, r.width, r.height) == ("bmp", "image", 9, 12)
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]).mean()
+    assert r.content_stat == pytest.approx(luma, rel=1e-6)
