@@ -197,3 +197,40 @@ def fetch_thumbnails(posts: DataFrame, transport_factory: TransportFactory,
     caller's filter — this operator fetches what it is given."""
     return fetch_binary(posts, url_col, transport_factory,
                         id_cols=[id_col], **fetch_kwargs)
+
+
+def http_transport_factory(headers: dict | None = None,
+                           cookies: dict | None = None,
+                           timeout: float = 60.0) -> TransportFactory:
+    """Production transport: one ``requests.Session`` per partition with
+    shared headers/cookies (the reference's bearer-token and
+    session-cookie patterns, facebook.py:487-492 / fetch_htmls.py:92-95).
+
+    Import-guarded: this runtime has no network stack; calling the
+    returned factory without ``requests`` installed raises with a clear
+    message, and everything above it stays testable with fakes.
+    """
+
+    def factory() -> Transport:
+        try:
+            import requests
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "http_transport_factory needs the 'requests' package; "
+                "in environments without it, inject a custom transport"
+            ) from exc
+        session = requests.Session()
+        if headers:
+            session.headers.update(headers)
+        if cookies:
+            session.cookies.update(cookies)
+
+        def transport(url: str) -> FetchResponse:
+            resp = session.get(url, timeout=timeout)
+            return FetchResponse(status=resp.status_code,
+                                 content=resp.content,
+                                 final_url=resp.url)
+
+        return transport
+
+    return factory
