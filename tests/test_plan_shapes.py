@@ -199,3 +199,35 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+# queries that execute eagerly on construction (fits, streams, sinks,
+# closure loops) — their plan properties are pinned by dedicated tests
+_EAGER = {
+    "streaming_hourly_rollup", "topic_model", "embedding_dbscan_clusters",
+    "visitor_prediction_forecast", "upsert_merge", "minhash_near_duplicates",
+}
+# the one sanctioned Python stage: the mmh3-parity Arrow UDF
+_ARROW_ALLOWED = {"gomus_scrape_flatten": 1, "pseudonymize_ids": 1,
+                  "customer_characteristics_view": 1, "post_view_stack": 1}
+
+
+def test_every_lazy_query_plan_is_clean(spark):
+    """Blanket guard over the whole registry: no CartesianProduct (a
+    cross join whose sides BOTH shuffle — broadcast nested loops over
+    tiny dims and scalars are legitimate for non-equi joins and are NOT
+    flagged), no row-at-a-time Python (BatchEvalPython), and Arrow
+    stages only where the documented mmh3 parity UDF lives."""
+    bad = []
+    for name in sorted(QUERIES):
+        if name in _EAGER:
+            continue
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        n_arrow = plan.count("ArrowEvalPython")
+        if n_arrow > _ARROW_ALLOWED.get(name, 0):
+            bad.append(f"{name}: {n_arrow} Arrow stages")
+    assert not bad, bad
