@@ -40,7 +40,8 @@ MEDIA_SCHEMA = StructType([
     StructField("declared_height", IntegerType()),
 ])
 
-_MAGIC = b"SYNM"  # synthetic media header: magic, kind byte, w, h, n_frames
+# synthetic media header: 'SYNM' magic, kind byte, w, h, n_frames
+# (sniffed in multimodal/codecs.py alongside the real containers)
 
 
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:

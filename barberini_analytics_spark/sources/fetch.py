@@ -40,7 +40,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+from pyspark.sql.types import (BinaryType, IntegerType, StringType,
                                StructField, StructType)
 
 
@@ -181,9 +181,6 @@ def fetch_paged(keys: DataFrame, first_url_col: str,
         return pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return keys.groupBy(key_col).applyInPandas(_run, schema)
-
-
-_ID_FIELD = StructField("media_id", LongType())
 
 
 def fetch_thumbnails(posts: DataFrame, transport_factory: TransportFactory,

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Throughput stress: core operators against in-memory synthetic data
+1-2 orders of magnitude beyond sf0.1.
+
+The correctness gate runs at sf0.01 and bench at sf0.1 (~1.5 M events,
+5 k docs) — small enough that per-job latency dominates.  This script
+synthesizes much larger inputs directly from ``spark.range`` (no disk,
+no dependence on the driver-provided testdata) and measures the
+operators whose cost grows with data volume, reporting rows/second so
+the 100 TB extrapolation rests on measured throughput, not narrative.
+
+Usage: python scripts/stress.py [events_millions] [docs_thousands]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window as W, functions as F  # noqa: E402
+
+from barberini_analytics_spark.core.session import get_spark  # noqa: E402
+from barberini_analytics_spark.operators import dedup as D  # noqa: E402
+from barberini_analytics_spark.operators import relational as R  # noqa: E402
+from barberini_analytics_spark.operators import text as X  # noqa: E402
+
+
+def main() -> None:
+    n_events = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 \
+        else 30_000_000
+    n_docs = int(float(sys.argv[2]) * 1e3) if len(sys.argv) > 2 else 200_000
+
+    spark = get_spark("barberini-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").write \
+        .format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, df, rows: int) -> None:
+        start = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - start
+        results[name] = {"sec": round(dt, 2),
+                         "rows_in": rows,
+                         "rows_per_sec": int(rows / dt)}
+
+    # --- events-shaped table, n_events rows, synthesized in the scan ----
+    events = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 1_000_000).alias("user_id"),
+        F.expr("timestamp_micros(CAST(1700000000000000 + id * 1e4 AS LONG))")
+        .alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "click", "purchase", "error")]),
+            (F.col("id") % 4 + 1).cast("int")).alias("event_type"),
+        (F.col("id") % 997).cast("double").alias("value"))
+
+    # keyed aggregation (A2-shape): one shuffle on user_id
+    run("user_rollup", events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")),
+        n_events)
+
+    # window condense (M13-shape): shuffle + per-key ordered scan
+    run("condense", R.condense_snapshots(
+        events, ["user_id"], ["ts"], ["value"]), n_events)
+
+    # as-of style latest-per-key (J7-shape)
+    run("latest_per_key", R.latest_per_key(
+        events, ["user_id"], ["ts", "event_id"]), n_events)
+
+    # --- documents-shaped corpus, n_docs rows ---------------------------
+    words = F.array(*[F.lit(f"w{i}") for i in range(64)])
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), F.lit(80)),
+                        lambda i: F.element_at(
+                            words,
+                            (F.pmod(F.col("id") * 31 + i * 17, 64) + 1)
+                            .cast("int"))), " ").alias("text"))
+
+    run("exact_dedup", D.exact_dedup(docs, "doc_id"), n_docs)
+    run("simhash", D.simhash(docs, "doc_id"), n_docs)
+    run("chunking", X.chunk_documents(docs, "doc_id", max_tokens=32,
+                                      overlap=4), n_docs)
+    run("quality_profile", X.quality_features(docs), n_docs)
+
+    print(json.dumps({
+        "events_rows": n_events,
+        "docs_rows": n_docs,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "ops": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
