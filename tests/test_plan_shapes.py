@@ -231,3 +231,28 @@ def test_every_lazy_query_plan_is_clean(spark):
         if n_arrow > _ARROW_ALLOWED.get(name, 0):
             bad.append(f"{name}: {n_arrow} Arrow stages")
     assert not bad, bad
+
+
+def test_window_over_bucketed_table_skips_exchange(spark):
+    """A window partitioned on the bucket key reuses the write-time
+    hash distribution: zero Exchange operators (the per-bucket Sort
+    remains — Spark does not trust bucket sort order for windows)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from barberini_analytics_spark.core.bucketing import (read_table,
+                                                          write_bucketed)
+
+    try:
+        df = spark.range(10_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("ts"),
+            (F.col("id") * 2).alias("v"))
+        write_bucketed(df, "bkt_win", ["k"], n_buckets=8,
+                       sort_cols=["k", "ts"])
+        w = W.partitionBy("k").orderBy("ts")
+        out = read_table(spark, "bkt_win").withColumn(
+            "lagv", F.lag("v").over(w))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "Window" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_win")
