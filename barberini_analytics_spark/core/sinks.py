@@ -111,7 +111,18 @@ def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
     ``PartitionFilters`` at the scan (``_stored_pruned``) and only those
     partitions are rewritten — the 100 TB path.
     """
-    batch = batch.dropDuplicates(list(pk))
+    # within-batch dedup with the DOCUMENTED deterministic survivor:
+    # max over the non-PK column tuple (dropDuplicates would keep an
+    # arbitrary, partitioning-dependent row)
+    others = [c for c in batch.columns if c not in pk]
+    if others:
+        batch = (
+            batch.groupBy(*pk)
+            .agg(F.max(F.struct(*others)).alias("__s"))
+            .select(*pk, *[F.col(f"__s.{c}").alias(c) for c in others])
+        )
+    else:
+        batch = batch.dropDuplicates(list(pk))
     if not _exists(path):
         writer = batch.write.mode("overwrite")
         if partition_cols:
