@@ -32,6 +32,11 @@ def latest_per_key(df: DataFrame, keys: Sequence[str],
     Spark-first: a single rank window — one shuffle on the key, no
     self-join, no second scan of the snapshot table.  At scale the window
     shuffle partitions by ``keys``; skewed hot keys are handled by AQE.
+
+    Contract: rows tying on the FULL ``order_cols`` tuple get an
+    arbitrary, partitioning-dependent survivor — include a unique column
+    (a PK) in ``order_cols`` when determinism matters, as every
+    oracle-checked caller here does.
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
@@ -130,6 +135,10 @@ def condense_snapshots(df: DataFrame, keys: Sequence[str],
     Spark-first: null-safe struct inequality against ``lag`` — a snapshot is
     kept iff it is the first for its key or any metric changed.  ``<=>``
     (eqNullSafe) mirrors the reference's NaN-tolerant comparison.
+
+    Contract: snapshots tying on the full ``order_cols`` tuple compare in
+    arbitrary order; include a tiebreaker column when snapshot timestamps
+    can collide.
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
     w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
