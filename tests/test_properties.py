@@ -168,3 +168,43 @@ def test_chunking_reconstructs_document(spark, seed, n_words, max_tokens,
         assert len(toks) == r.n_chunk_tokens <= max_tokens
         rebuilt.extend(toks if r.chunk_index == 0 else toks[overlap:])
     assert rebuilt == words
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60), st.integers(1, 20))
+def test_sessionize_matches_python_reference(spark, seed, n_rows, gap):
+    """Two-window sessionization == the obvious sequential scan."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.operators.relational import sessionize
+
+    rng = np.random.default_rng(seed)
+    ts = sorted(int(t) for t in rng.integers(0, 200, n_rows))
+    rows = [(1, i, t) for i, t in enumerate(ts)]
+
+    expected, session = {}, 0
+    for i, (k, rid, t) in enumerate(rows):
+        if i == 0 or t > rows[i - 1][2] + gap:
+            session += 1
+        expected[rid] = session
+
+    df = spark.createDataFrame(rows, ["k", "rid", "ts"])
+    got = {r.rid: r.session_id for r in
+           sessionize(df, ["k"], "ts", F.lit(gap),
+                      order_cols=["ts", "rid"]).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 16))
+def test_shuffle_sample_invariant_to_partitioning(spark, seed, parts):
+    """The K3 export sample is a pure function of (seed, keys): the same
+    100 rows come back under ANY physical partitioning."""
+    from barberini_analytics_spark.core.sinks import shuffle_sample
+
+    base = spark.range(500).selectExpr("id", "id * 7 AS v")
+    a = shuffle_sample(base, 20, seed=seed, key_cols=["id"]).collect()
+    b = shuffle_sample(base.repartition(parts), 20, seed=seed,
+                       key_cols=["id"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 20
