@@ -393,3 +393,71 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str = "text",
                 F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
                 F.col("__c.chunk_text").alias("chunk_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset splitting + token-budgeted shard packing
+# ---------------------------------------------------------------------------
+
+def hash_split(df: DataFrame, weights: Sequence[float], key_col: str,
+               seed: int = 42, out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test split by key hash.
+
+    Unlike ``randomSplit`` (partitioning-dependent sampling), the split
+    is a pure function of ``(seed, key)``: reproducible across runs,
+    clusters and repartitioning, and all rows sharing a key land in the
+    same split (no leakage of a document across train and eval).  Split
+    ``i`` gets keys whose hash falls in the cumulative-weight bucket.
+    """
+    total = float(sum(weights))
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        bounds.append(acc)
+    # 16 hex chars of md5 → uniform in [0, 1)
+    u = (F.conv(F.substring(F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))),
+        1, 15), 16, 10).cast("double") / float(16 ** 15))
+    expr = F.lit(len(bounds) - 1)
+    for i in range(len(bounds) - 2, -1, -1):
+        expr = F.when(u < bounds[i], i).otherwise(expr)
+    return df.withColumn(out_col, expr.cast("int"))
+
+
+def assign_token_shards(df: DataFrame, token_col: str, order_col: str,
+                        target_tokens: int,
+                        out_col: str = "shard") -> DataFrame:
+    """Pack documents into shards of ~``target_tokens`` tokens each — the
+    step that turns a filtered corpus into even training-shard files.
+
+    Scalable global running sum (no global window, no driver data):
+    range-partition by ``order_col``, compute per-partition token totals
+    (one tiny aggregate), collect only those totals (one row per
+    partition), broadcast their prefix offsets back, and add the offset
+    to each partition's local ROWS-frame cumulative sum.  Shard id =
+    ``floor((cumsum - tokens) / target)`` so every shard's token count
+    lands in ``[target - max_doc_tokens, target + max_doc_tokens)``.
+
+    Contract: ``order_col`` must be unique (a document PK) — it defines
+    the global packing order, and ties would make shard assignment
+    partitioning-dependent.
+    """
+    ranged = (df.repartitionByRange(F.col(order_col))
+              .withColumn("__pid", F.spark_partition_id()))
+    totals = (ranged.groupBy("__pid")
+              .agg(F.sum(token_col).alias("__t")).collect())
+    offsets = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__t"] or 0
+    off_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])[F.col("__pid")]
+    w = (W.partitionBy("__pid").orderBy(order_col)
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = F.sum(token_col).over(w) + off_col
+    return (ranged
+            .withColumn(out_col, F.floor(
+                (cum - F.col(token_col)) / target_tokens).cast("long"))
+            .drop("__pid"))

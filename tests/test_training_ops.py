@@ -1,8 +1,11 @@
-"""Training-pipeline operator tests: chunking + contamination screen."""
+"""Training-pipeline operator tests: chunking, contamination screen,
+hash splitting, and token-budgeted shard packing."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from barberini_analytics_spark.operators.dedup import cross_corpus_overlap
 from barberini_analytics_spark.operators.text import chunk_documents
@@ -78,3 +81,58 @@ def test_chunking_emits_no_fully_redundant_chunk(spark):
                   key=lambda r: r.chunk_index)
     assert [r.chunk_index for r in rows] == [0, 1, 2]
     assert rows[2].chunk_text.split() == words[14:22]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from barberini_analytics_spark.operators.text import hash_split
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in
+         hash_split(df, [0.8, 0.1, 0.1], "doc_id", seed=7).collect()}
+    b = {r.doc_id: r.split for r in
+         hash_split(df.repartition(13), [0.8, 0.1, 0.1], "doc_id",
+                    seed=7).collect()}
+    assert a == b, "split must be partitioning-invariant"
+    counts = [sum(1 for v in a.values() if v == i) for i in range(3)]
+    assert abs(counts[0] / 5000 - 0.8) < 0.03
+    assert abs(counts[1] / 5000 - 0.1) < 0.02
+    assert abs(counts[2] / 5000 - 0.1) < 0.02
+    # a different seed reshuffles membership
+    c = {r.doc_id: r.split for r in
+         hash_split(df, [0.8, 0.1, 0.1], "doc_id", seed=8).collect()}
+    assert c != a
+
+
+def test_token_shard_packing_budgets_and_determinism(spark):
+    from barberini_analytics_spark.operators.text import assign_token_shards
+
+    rng = np.random.default_rng(3)
+    docs = [(int(i), int(t)) for i, t in
+            enumerate(rng.integers(1, 400, size=2000))]
+    max_doc = max(t for _, t in docs)
+    target = 5_000
+    df = spark.createDataFrame(docs, ["doc_id", "n_tokens"])
+    out = assign_token_shards(df, "n_tokens", "doc_id", target).collect()
+    assert len(out) == len(docs)
+
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.n_tokens))
+    # every shard except possibly the last lands inside the budget band
+    sizes = {s: sum(t for _, t in rows) for s, rows in by_shard.items()}
+    last = max(sizes)
+    for s, tot in sizes.items():
+        assert tot < target + max_doc
+        if s != last:
+            assert tot > target - max_doc
+    # shards are contiguous runs of the packing order
+    shard_of = {d: r for (d, _), r in
+                zip(sorted(docs), [r.shard for r in sorted(
+                    out, key=lambda r: r.doc_id)])}
+    order = [shard_of[d] for d, _ in sorted(docs)]
+    assert order == sorted(order)
+    # partitioning-invariant
+    again = assign_token_shards(df.repartition(17), "n_tokens", "doc_id",
+                                target).collect()
+    assert {(r.doc_id, r.shard) for r in again} == \
+        {(r.doc_id, r.shard) for r in out}
