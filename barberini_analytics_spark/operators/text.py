@@ -415,10 +415,12 @@ def hash_split(df: DataFrame, weights: Sequence[float], key_col: str,
     for w in weights:
         acc += w / total
         bounds.append(acc)
-    # 16 hex chars of md5 → uniform in [0, 1)
+    # 12 hex chars of md5 = 48 bits → uniform in [0, 1), EXACTLY
+    # representable in a double — so any SQL engine reproduces u
+    # bit-identically (the correctness oracle re-derives it digit-wise)
     u = (F.conv(F.substring(F.md5(
         F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))),
-        1, 15), 16, 10).cast("double") / float(16 ** 15))
+        1, 12), 16, 10).cast("double") / float(16 ** 12))
     expr = F.lit(len(bounds) - 1)
     for i in range(len(bounds) - 2, -1, -1):
         expr = F.when(u < bounds[i], i).otherwise(expr)

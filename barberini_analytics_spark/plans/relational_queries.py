@@ -265,24 +265,51 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_dedup_documents",
+    # the split column re-derives hash_split digit-wise: 12 md5 hex chars
+    # (48 bits, exactly double-representable in both engines) → uniform
+    # [0,1) → cumulative-weight buckets 0.8/0.1/0.1
     oracle="""
-    SELECT doc_id, source, lang FROM documents WHERE lang = 'en'
-    UNION
-    SELECT doc_id, source, lang FROM documents WHERE source = 'src0'
+    WITH uni AS (
+        SELECT doc_id, source, lang FROM documents WHERE lang = 'en'
+        UNION
+        SELECT doc_id, source, lang FROM documents WHERE source = 'src0'
+    ),
+    hashed AS (
+        SELECT *,
+               list_sum(list_transform(range(0, 12), i ->
+                   (strpos('0123456789abcdef',
+                           substring(md5('42|' || CAST(doc_id AS VARCHAR)),
+                                     CAST(i + 1 AS INT), 1)) - 1)
+                   * power(16, 11 - i))) / power(16, 12) AS u
+        FROM uni
+    )
+    SELECT doc_id, source, lang,
+           CAST(CASE WHEN u < 0.8 THEN 0 WHEN u < 0.9 THEN 1 ELSE 2 END
+                AS INT) AS split
+    FROM hashed
     """,
 )
 def union_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Postgres ``UNION`` (distinct) semantics (SURVEY §2.8, §4 trap 4).
+    """Postgres ``UNION`` (distinct) semantics (SURVEY §2.8, §4 trap 4),
+    plus the deterministic train/val/test membership of the surviving
+    documents.
 
     Reference: the union views ``social_media_post`` / ``post``
     (migration_023.sql:30-90, migration_015.sql:140-185) — SQL UNION
-    dedups, so the Spark side must ``dropDuplicates`` after ``unionByName``.
+    dedups, so the Spark side must ``dropDuplicates`` after
+    ``unionByName``.  The appended ``hash_split`` column makes the
+    training-pipeline splitter oracle-checked: DuckDB re-derives the
+    48-bit md5 uniform digit-wise and buckets it with the same
+    cumulative weights.
     """
+    from ..operators.text import hash_split
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
-    return R.union_dedup(
+    uni = R.union_dedup(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("source") == "src0"),
     )
+    return hash_split(uni, [0.8, 0.1, 0.1], "doc_id", seed=42)
 
 
 _WATERMARK_CUTOFF = "2024-01-15 00:00:00"
