@@ -444,6 +444,11 @@ def assign_token_shards(df: DataFrame, token_col: str, order_col: str,
     Contract: ``order_col`` must be unique (a document PK) — it defines
     the global packing order, and ties would make shard assignment
     partitioning-dependent.
+
+    Cost: two exchanges of the (narrow) rows — the range partition plus
+    the pid-keyed hash the window demands (Catalyst cannot prove the
+    range layout satisfies ``partitionBy(__pid)``); the cumulative sum
+    itself stays JVM-side.
     """
     ranged = (df.repartitionByRange(F.col(order_col))
               .withColumn("__pid", F.spark_partition_id()))

@@ -36,6 +36,10 @@ _TOK_CTE = r"""
 _STOPWORDS = ("a", "the")
 _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
+#: token budget per training shard for the packing column of
+#: ``document_profile`` (small so even sf0.001 yields multiple shards)
+_SHARD_TARGET_TOKENS = 2000
+
 
 @query(
     "document_token_ngrams",
@@ -148,7 +152,12 @@ def _lex_sql(words) -> str:
            CASE WHEN length(text) >= 11 THEN
                CAST(len(wfp) AS BIGINT) END AS n_winnow_fp,
            CASE WHEN length(text) >= 11 THEN
-               CAST(list_sum(wfp) AS BIGINT) END AS winnow_checksum
+               CAST(list_sum(wfp) AS BIGINT) END AS winnow_checksum,
+           CAST(floor((sum(len(toks)) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - len(toks)) / {_SHARD_TARGET_TOKENS}.0) AS BIGINT)
+               AS token_shard
     FROM (
         SELECT *,
                list_sort(list_distinct(list_transform(
@@ -210,6 +219,13 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.fingerprint(out)
     out = X.repetition_signals(out)
     out = X.winnow_fingerprints(out)
+    # token-budgeted shard packing directly over the profile rows — no
+    # join-back: the operator's per-partition-totals pre-pass aggregates
+    # only (doc_id, n_tokens), so Catalyst column-prunes the heavy
+    # fingerprint/winnow projections out of that pass entirely
+    out = X.assign_token_shards(out, "n_tokens", "doc_id",
+                                _SHARD_TARGET_TOKENS,
+                                out_col="token_shard")
     return out.select(
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -226,4 +242,5 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("winnow_fps").cast("long").alias("n_winnow_fp"),
         F.aggregate("winnow_fps", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("winnow_checksum"),
+        F.col("token_shard").cast("long").alias("token_shard"),
     )

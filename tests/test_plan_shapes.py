@@ -30,9 +30,11 @@ def _read_schemas(plan: str) -> list[str]:
 PRUNING_CASES = [
     # exact dedup never needs lang/source/n_chars — only id + text
     ("exact_dedup_documents", 1, "n_chars"),
-    # profile is a pure map plus one explicit scan re-spread (the local
-    # parquet is a single unsplittable row group)
-    ("document_profile", 1, "n_chars"),
+    # profile is a map pipeline plus one explicit scan re-spread (the
+    # local parquet is a single unsplittable row group) and the shard
+    # packer's two exchanges (range partition + the pid-keyed window
+    # re-hash; rows at that point are narrow scalars)
+    ("document_profile", 3, "n_chars"),
     # pricing summary reads 7 lineitem columns, never the ship metadata
     ("pricing_summary", 1, "l_comment"),
 ]
@@ -93,10 +95,11 @@ def test_incremental_chain_shape(spark):
 
 def test_winnow_stays_in_codegen(spark):
     """The fingerprint cascade must not add a shuffle or a Python stage
-    to the profile scan."""
+    to the profile scan (budget: the spread + the shard packer's two
+    exchanges over narrow scalar rows)."""
     plan = _plan(spark, "document_profile")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Exchange") <= 1
+    assert plan.count("Exchange") <= 3
 
 
 def test_upsert_stored_side_partition_pruned(spark, tmp_path):
