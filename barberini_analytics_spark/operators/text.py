@@ -355,6 +355,31 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 # training-data chunking (token-bounded windows with overlap)
 # ---------------------------------------------------------------------------
 
+def chunk_texts(tokens: Column, max_tokens: int, overlap: int) -> Column:
+    """Array of ``struct(n_chunk_tokens, chunk_text)`` chunk windows over a
+    token-array column — the shared core of :func:`chunk_documents` and
+    the profile chunk digest (so the oracle exercises the same logic).
+
+    Start offsets 0, stride, 2*stride, … bounded so every chunk
+    contributes at least one token beyond the overlap (a final chunk
+    fully contained in its predecessor would emit duplicate training
+    text); the interval [n - max_tokens, n - overlap - 1] always holds a
+    stride multiple, so coverage stays total.  Chunk structs are built
+    INSIDE one transform over the offsets so downstream explodes carry
+    only their own chunk text, never the parent token array.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    n = F.size(tokens)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
+    return F.transform(starts, lambda s: F.struct(
+        F.size(F.slice(tokens, s + 1, max_tokens)).alias("n_chunk_tokens"),
+        F.array_join(F.slice(tokens, s + 1, max_tokens), " ")
+        .alias("chunk_text")))
+
+
 def chunk_documents(df: DataFrame, id_col: str, text_col: str = "text",
                     max_tokens: int = 128, overlap: int = 16) -> DataFrame:
     """Split documents into token-bounded chunks with overlap — the
@@ -368,24 +393,8 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str = "text",
     ``(id_col, chunk_index, n_chunk_tokens, chunk_text)``; a document
     shorter than ``max_tokens`` yields exactly one chunk (index 0).
     """
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be smaller than max_tokens")
-    stride = max_tokens - overlap
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(tokens)
-    # start offsets 0, stride, 2*stride, … bounded so every chunk
-    # contributes at least one token beyond the overlap (a final chunk
-    # fully contained in its predecessor would emit duplicate training
-    # text); the interval [n - max_tokens, n - overlap - 1] always holds a
-    # stride multiple, so coverage stays total.  Chunk structs are built
-    # INSIDE one transform over the offsets so the exploded rows carry
-    # only their own chunk text, never the parent token array.
-    starts = F.sequence(
-        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride))
-    chunks = F.transform(starts, lambda s: F.struct(
-        F.size(F.slice(tokens, s + 1, max_tokens)).alias("n_chunk_tokens"),
-        F.array_join(F.slice(tokens, s + 1, max_tokens), " ")
-        .alias("chunk_text")))
+    chunks = chunk_texts(F.split(F.trim(F.col(text_col)), r"\s+"),
+                         max_tokens, overlap)
     return (
         df.select(F.col(id_col),
                   F.posexplode(chunks).alias("chunk_index", "__c"))

@@ -157,7 +157,12 @@ def _lex_sql(words) -> str:
                     ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 - len(toks)) / {_SHARD_TARGET_TOKENS}.0) AS BIGINT)
-               AS token_shard
+               AS token_shard,
+           md5(array_to_string(list_transform(
+                   range(0, CAST(floor(greatest(len(toks) - 5, 0) / 28.0)
+                                 AS BIGINT) + 1),
+                   k -> array_to_string(toks[k*28 + 1 : k*28 + 32], ' ')),
+               '|')) AS chunks_digest
     FROM (
         SELECT *,
                list_sort(list_distinct(list_transform(
@@ -243,4 +248,10 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("winnow_fps", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("winnow_checksum"),
         F.col("token_shard").cast("long").alias("token_shard"),
+        # chunker under the hash gate: digest of every chunk window's
+        # text (shared chunk_texts core, max 32 tokens / overlap 4)
+        F.md5(F.array_join(
+            F.transform(X.chunk_texts(F.col("tokens"), 32, 4),
+                        lambda c: c["chunk_text"]), "|"))
+        .alias("chunks_digest"),
     )
