@@ -188,3 +188,21 @@ def shuffle_sample(df: DataFrame, n: int, seed: int = 42,
     order = F.md5(F.concat_ws("|", F.lit(str(seed)),
                               *[F.col(c).cast("string") for c in keys]))
     return df.orderBy(order, *keys).limit(n)
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          shard_col: str = "shard",
+                          max_records_per_file: int | None = None) -> None:
+    """Export a packed corpus as shard-partitioned JSONL — the layout
+    training jobs stream (one directory per shard, newline-delimited
+    JSON inside).
+
+    Pairs with ``operators.text.assign_token_shards``: partitioning by
+    the shard id makes each shard a self-contained directory a data
+    loader can claim atomically; ``max_records_per_file`` caps file size
+    inside a shard (Spark splits files, loaders often don't).
+    """
+    writer = df.write.mode("overwrite").partitionBy(shard_col)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(path)

@@ -136,3 +136,33 @@ def test_token_shard_packing_budgets_and_determinism(spark):
                                 target).collect()
     assert {(r.doc_id, r.shard) for r in again} == \
         {(r.doc_id, r.shard) for r in out}
+
+
+def test_training_shard_export_roundtrip(spark, tmp_path):
+    """pack → export → read back: shard directories are self-contained
+    JSONL, the read-back corpus is exactly the input, and the per-file
+    record cap holds."""
+    import glob
+    import json as _json
+
+    from barberini_analytics_spark.core.sinks import write_training_shards
+    from barberini_analytics_spark.operators.text import assign_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, 40 + (i * 7) % 50, f"text {i}") for i in range(200)],
+        ["doc_id", "n_tokens", "text"])
+    packed = assign_token_shards(docs, "n_tokens", "doc_id", 1_000,
+                                 out_col="shard")
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out, "shard", max_records_per_file=5)
+
+    shard_dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shard_dirs) > 3
+    # JSONL inside, honoring the record cap
+    for f in glob.glob(f"{shard_dirs[0]}/part-*.json"):
+        lines = open(f).read().splitlines()
+        assert 0 < len(lines) <= 5
+        _json.loads(lines[0])
+    back = spark.read.json(out)
+    got = {(r.doc_id, r.n_tokens, r.text) for r in back.collect()}
+    assert got == {(i, 40 + (i * 7) % 50, f"text {i}") for i in range(200)}
