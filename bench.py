@@ -31,6 +31,17 @@ def main() -> None:
     spark = get_spark("barberini-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # hard wall-clock envelope: host-interference bursts can double every
+    # measurement, and an external harness may kill a long-running bench;
+    # optional passes (repeats, scale paths) yield before these marks so
+    # the JSON line ALWAYS lands
+    bench_start = time.perf_counter()
+    repeat_deadline = float(os.environ.get("BENCH_REPEAT_DEADLINE", "300"))
+    scale_deadline = float(os.environ.get("BENCH_SCALE_DEADLINE", "420"))
+
+    def elapsed() -> float:
+        return time.perf_counter() - bench_start
+
     # JVM/codegen warm-up so the alphabetically-first query doesn't absorb
     # executor spin-up time into its measurement
     spark.range(1_000_000).selectExpr("sum(id)").write \
@@ -62,7 +73,7 @@ def main() -> None:
     heavy = sorted(timings, key=timings.get, reverse=True)[:24]
     for name in heavy:
         for _ in range(2):
-            if timings[name] <= 1.2:
+            if timings[name] <= 1.2 or elapsed() > repeat_deadline:
                 break
             timings[name] = min(timings[name], run_once(name))
     # transparency: for entries whose reported min differs noticeably from
@@ -99,12 +110,15 @@ def main() -> None:
     from barberini_analytics_spark.core.io import load_table
     from barberini_analytics_spark.plans.ml_queries import _topic_tokens
 
-    tokens = _topic_tokens(spark, sf_dir)
-    n_docs = tokens.select("doc_id").distinct().count()
-    run_scale("scale_gsdmm_sharded", lambda: fit_topics_sharded(
-        tokens, n_docs=n_docs, max_docs_per_shard=max(1, n_docs // 5)))
-    run_scale("scale_dbscan_lsh", lambda: dbscan_distributed(
-        load_table(spark, sf_dir, "embeddings"), eps=0.37, min_samples=2))
+    if elapsed() < scale_deadline:
+        tokens = _topic_tokens(spark, sf_dir)
+        n_docs = tokens.select("doc_id").distinct().count()
+        run_scale("scale_gsdmm_sharded", lambda: fit_topics_sharded(
+            tokens, n_docs=n_docs, max_docs_per_shard=max(1, n_docs // 5)))
+    if elapsed() < scale_deadline:
+        run_scale("scale_dbscan_lsh", lambda: dbscan_distributed(
+            load_table(spark, sf_dir, "embeddings"), eps=0.37,
+            min_samples=2))
 
     print(json.dumps({
         "metric": "total_query_wall_time",
