@@ -14,48 +14,106 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..core.io import load_table
 from ..functions import cents
 from ..operators import relational as R
+from ..operators import sketch as SK
+from ..operators.text import hash56
 from .registry import query
 
 
+# engine-shared sketch fragments (see operators/sketch.py): the oracle
+# replays the HLL register build and the count-min grid bit-for-bit
+_HLL_COLS = SK.hll_summary_cols(8)
+_CMS_CELLS = [SK.cms_cell_sql("__gkey", i, 512) for i in range(4)]
+
+
 # ---------------------------------------------------------------------------
-# A1 — grouped aggregation (flagship; TPC-H Q1 shape)
+# A1 — grouped aggregation (flagship; TPC-H Q1 shape) + sketch extension
 # ---------------------------------------------------------------------------
 
 @query(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     WITH c AS (
-        SELECT l_returnflag, l_linestatus,
+        SELECT l_returnflag, l_linestatus, l_suppkey,
+               ('0x' || substring(md5(l_returnflag || '|' || l_linestatus),
+                                  1, 14))::BIGINT               AS __gkey,
                CAST(l_quantity AS BIGINT)                    AS qty_i,
                CAST(round(l_extendedprice * 100) AS BIGINT)  AS price_c,
                CAST(round(l_discount * 100) AS BIGINT)       AS disc_pct,
                CAST(round(l_tax * 100) AS BIGINT)            AS tax_pct
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    ),
+    agg AS (
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(sum(qty_i) AS BIGINT)                                       AS sum_qty,
+            CAST(sum(price_c) AS BIGINT) / 100.0                             AS sum_base_price,
+            CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) / 10000.0        AS sum_disc_price,
+            CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) / 1000000.0
+                                                                             AS sum_charge,
+            CAST(sum(qty_i) AS BIGINT) / CAST(count(*) AS DOUBLE)            AS avg_qty,
+            CAST(sum(price_c) AS BIGINT) / (100.0 * count(*))                AS avg_price,
+            CAST(sum(disc_pct) AS BIGINT) / (100.0 * count(*))               AS avg_disc,
+            CAST(count(*) AS BIGINT)                                         AS count_order,
+            CAST(count(DISTINCT l_suppkey) AS BIGINT)                        AS n_supp
+        FROM c
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    regs AS (
+        SELECT l_returnflag, l_linestatus, __h % 256 AS bucket,
+               max({SK.hll_rank_sql('__h', 8)}) AS reg
+        FROM (SELECT l_returnflag, l_linestatus,
+                     {SK.mix_sql('l_suppkey')} AS __h FROM c)
+        GROUP BY 1, 2, 3
+    ),
+    hll AS (
+        SELECT l_returnflag, l_linestatus,
+               {_HLL_COLS['hll_est']}        AS hll_supp_est,
+               {_HLL_COLS['hll_zero_regs']}  AS hll_zero_regs,
+               {_HLL_COLS['hll_reg_digest']} AS hll_reg_digest
+        FROM regs GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT i, cell, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT 0 AS i, {_CMS_CELLS[0]} AS cell FROM c
+            UNION ALL SELECT 1, {_CMS_CELLS[1]} FROM c
+            UNION ALL SELECT 2, {_CMS_CELLS[2]} FROM c
+            UNION ALL SELECT 3, {_CMS_CELLS[3]} FROM c
+        ) GROUP BY 1, 2
+    ),
+    cms AS (
+        SELECT l_returnflag, l_linestatus, CAST(least(
+            (SELECT cnt FROM cells WHERE i = 0 AND cell = {_CMS_CELLS[0]}),
+            (SELECT cnt FROM cells WHERE i = 1 AND cell = {_CMS_CELLS[1]}),
+            (SELECT cnt FROM cells WHERE i = 2 AND cell = {_CMS_CELLS[2]}),
+            (SELECT cnt FROM cells WHERE i = 3 AND cell = {_CMS_CELLS[3]})
+        ) AS BIGINT) AS cms_count_est
+        FROM (SELECT DISTINCT l_returnflag, l_linestatus, __gkey FROM c)
     )
-    SELECT
-        l_returnflag,
-        l_linestatus,
-        CAST(sum(qty_i) AS BIGINT)                                       AS sum_qty,
-        CAST(sum(price_c) AS BIGINT) / 100.0                             AS sum_base_price,
-        CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) / 10000.0        AS sum_disc_price,
-        CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) / 1000000.0
-                                                                         AS sum_charge,
-        CAST(sum(qty_i) AS BIGINT) / CAST(count(*) AS DOUBLE)            AS avg_qty,
-        CAST(sum(price_c) AS BIGINT) / (100.0 * count(*))                AS avg_price,
-        CAST(sum(disc_pct) AS BIGINT) / (100.0 * count(*))               AS avg_disc,
-        CAST(count(*) AS BIGINT)                                         AS count_order
-    FROM c
-    GROUP BY l_returnflag, l_linestatus
+    SELECT agg.*, hll.hll_supp_est, hll.hll_zero_regs, hll.hll_reg_digest,
+           cms.cms_count_est
+    FROM agg
+    JOIN hll USING (l_returnflag, l_linestatus)
+    JOIN cms USING (l_returnflag, l_linestatus)
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped agg with map-side partial aggregation (SURVEY §2.5 A1).
+    """Grouped agg with map-side partial aggregation (SURVEY §2.5 A1),
+    extended with the sketch family a 100 TB deployment pairs with it:
+    an exact ``COUNT(DISTINCT l_suppkey)`` next to its HLL register
+    estimate (``operators/sketch.py`` — one fixed-width shuffle instead
+    of a distinct-value shuffle) and a count-min point estimate of each
+    group's row count (heavy-hitter lookup that never rescans the fact
+    table).  The oracle replays register construction and the counter
+    grid bit-for-bit via the shared integer-hash fragments.
 
     Reference shape: order totals / latest-perf aggregations, e.g.
     migration_034.sql:16-31.  The filter is pushed to the parquet scan;
     the aggregation is a single hash-agg shuffle on two low-cardinality
-    keys — at 100 TB this is scan-bound, which is the right bound.
+    keys — at 100 TB this is scan-bound, which is the right bound.  The
+    sketch branches re-scan the same pushed-down projection and shuffle
+    only registers/cells (≤ 256 rows per group / ≤ 2048 total).
     """
     li = load_table(spark, sf_dir, "lineitem")
     qty_i = F.col("l_quantity").cast("long")
@@ -63,12 +121,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_pct = cents("l_discount")
     tax_pct = cents("l_tax")
     n = F.count(F.lit(1))
-    return (
+    grp = ["l_returnflag", "l_linestatus"]
+    c = (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
-        .select("l_returnflag", "l_linestatus",
+        .select(*grp, "l_suppkey",
+                hash56(F.concat_ws("|", *grp)).alias("__gkey"),
                 qty_i.alias("qty_i"), price_c.alias("price_c"),
                 disc_pct.alias("disc_pct"), tax_pct.alias("tax_pct"))
-        .groupBy("l_returnflag", "l_linestatus")
+    )
+    agg = (
+        c.groupBy(*grp)
         .agg(
             F.sum("qty_i").alias("sum_qty"),
             (F.sum("price_c") / 100.0).alias("sum_base_price"),
@@ -80,8 +142,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("price_c") / (100.0 * n)).alias("avg_price"),
             (F.sum("disc_pct") / (100.0 * n)).alias("avg_disc"),
             n.alias("count_order"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
         )
     )
+    hll = (
+        SK.hll_summary(SK.hll_registers(c, grp, "l_suppkey"), grp)
+        .withColumnRenamed("hll_est", "hll_supp_est")
+    )
+    cms = (
+        SK.cms_lookup(SK.cms_build(c, "__gkey"),
+                      c.select(*grp, "__gkey").distinct(), "__gkey")
+        .select(*grp, F.col("cms_est").alias("cms_count_est"))
+    )
+    return agg.join(F.broadcast(hll), grp).join(F.broadcast(cms), grp)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,152 @@
+"""HLL / count-min sketch: accuracy, mergeability, cross-engine parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.operators import sketch as S
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # 5000 distinct ids, skewed duplication (id % 7 copies)
+    return spark.range(5000).selectExpr(
+        "id AS item", "CAST(id % 3 AS STRING) AS grp").withColumn(
+        "__dup", F.explode(F.expr("sequence(0, CAST(item % 7 AS INT))"))
+    ).drop("__dup")
+
+
+def test_hll_registers_shape(spark, items):
+    regs = S.hll_registers(items, ["grp"], "item", p_bits=8)
+    pdf = regs.toPandas()
+    # at most m registers per group, every rank in [1, w+1]
+    assert pdf.groupby("grp").size().max() <= 256
+    assert pdf.reg.between(1, 24).all()
+    assert pdf.bucket.between(0, 255).all()
+
+
+def test_hll_raw_estimate_accuracy(spark):
+    # 5000 distinct per group >> 2.5*m: raw estimate applies, and the
+    # canonical HLL error bound is ~1.04/sqrt(m) ≈ 6.5% at m=256
+    df = spark.range(15000).selectExpr(
+        "id AS item", "CAST(id % 3 AS STRING) AS grp")
+    est = S.hll_summary(
+        S.hll_registers(df, ["grp"], "item"), ["grp"]).toPandas()
+    for e in est.hll_est:
+        assert abs(e - 5000) / 5000 < 0.15
+
+
+def test_hll_corrected_small_range(spark):
+    # 40 distinct << m=256: raw HLL is badly biased; linear counting
+    # must land within a few percent
+    df = spark.range(40).selectExpr("id * 131 AS item", "'g' AS grp")
+    est = S.hll_estimate_corrected(
+        S.hll_registers(df, ["grp"], "item"), ["grp"]).toPandas()
+    assert abs(int(est.n_distinct_est[0]) - 40) <= 5
+
+
+def test_hll_merge_equals_union(spark):
+    # registers(A) ⊔ registers(B) == registers(A ∪ B), including on
+    # overlapping id ranges — the incremental-maintenance property
+    a = spark.range(0, 3000).selectExpr("id AS item", "'g' AS grp")
+    b = spark.range(2000, 6000).selectExpr("id AS item", "'g' AS grp")
+    merged = S.hll_merge(S.hll_registers(a, ["grp"], "item"),
+                         S.hll_registers(b, ["grp"], "item"))
+    direct = S.hll_registers(a.union(b), ["grp"], "item")
+    m = {(r.grp, r.bucket): r.reg for r in merged.collect()}
+    d = {(r.grp, r.bucket): r.reg for r in direct.collect()}
+    assert m == d
+
+
+def test_hll_duckdb_parity(spark):
+    """The whole register pipeline replayed in DuckDB matches bit-for-bit
+    — the property the oracle fold in pricing_summary rests on."""
+    df = spark.range(2000).selectExpr("id * 37 % 991 AS item")
+    regs = S.hll_registers(df, [], "item")
+    spark_summary = S.hll_summary(regs, []).collect()[0]
+
+    h = S.mix_sql("item")
+    rank = S.hll_rank_sql("__h", 8)
+    cols = S.hll_summary_cols(8)
+    sql = f"""
+    WITH src AS (SELECT (range * 37) % 991 AS item FROM range(2000)),
+    hb AS (SELECT {h} AS __h FROM src),
+    regs AS (
+        SELECT __h % 256 AS bucket, max({rank}) AS reg
+        FROM hb GROUP BY 1)
+    SELECT {cols['hll_est']} AS hll_est,
+           {cols['hll_zero_regs']} AS hll_zero_regs,
+           {cols['hll_reg_digest']} AS hll_reg_digest
+    FROM regs
+    """
+    duck = duckdb.sql(sql).fetchone()
+    assert (spark_summary.hll_est, spark_summary.hll_zero_regs,
+            spark_summary.hll_reg_digest) == duck
+
+
+def test_hll_register_plan_single_exchange(spark, items):
+    # the register build must be ONE hash aggregate (partial+final),
+    # i.e. exactly one Exchange — the property that makes it a 100 TB op
+    plan = S.hll_registers(items, ["grp"], "item")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan
+
+
+def test_cms_overestimate_and_exactness(spark, items):
+    grid = S.cms_build(items, "item")
+    truth = items.groupBy("item").count().withColumnRenamed("count", "truth")
+    est = S.cms_lookup(grid, truth, "item")
+    pdf = est.toPandas()
+    # never an underestimate
+    assert (pdf.cms_est >= pdf.truth).all()
+    # CMS guarantee: overcount ≤ e·N/w with prob 1-e^-d per key
+    # (N = total stream count; 5000 keys over 512 cells ALWAYS collide,
+    # so exactness is the wrong property at this load factor)
+    n_total = pdf.truth.sum()
+    bound = 2.718 * n_total / 512
+    assert ((pdf.cms_est - pdf.truth) <= bound).mean() > 0.98
+
+
+def test_cms_exact_at_low_load(spark):
+    # few keys vs w: all 4 depths collision-free with high probability →
+    # point estimates are exact (the heavy-hitter regime)
+    df = spark.range(3000).selectExpr("id % 30 AS item")
+    grid = S.cms_build(df, "item")
+    truth = df.groupBy("item").count().withColumnRenamed("count", "truth")
+    pdf = S.cms_lookup(grid, truth, "item").toPandas()
+    assert (pdf.cms_est == pdf.truth).all()
+
+
+def test_cms_weighted(spark):
+    df = spark.range(100).selectExpr("id % 10 AS item", "id AS wt")
+    grid = S.cms_build(df, "item", weight_col="wt")
+    truth = df.groupBy("item").agg(F.sum("wt").alias("truth"))
+    pdf = S.cms_lookup(grid, truth, "item").toPandas()
+    assert (pdf.cms_est >= pdf.truth).all()
+
+
+def test_cms_grid_bounded(spark, items):
+    grid = S.cms_build(items, "item", depth=4, width=512)
+    assert grid.count() <= 4 * 512
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_cms_duckdb_parity(spark):
+    df = spark.range(500).selectExpr("id % 37 AS item")
+    grid = S.cms_build(df, "item", depth=2, width=64)
+    spark_cells = {(r.i, r.cell): r.cnt for r in grid.collect()}
+    cell0 = S.cms_cell_sql("item", 0, 64)
+    cell1 = S.cms_cell_sql("item", 1, 64)
+    duck = duckdb.sql(f"""
+        WITH src AS (SELECT range % 37 AS item FROM range(500)),
+        x AS (
+            SELECT 0 AS i, {cell0} AS cell FROM src
+            UNION ALL
+            SELECT 1 AS i, {cell1} AS cell FROM src)
+        SELECT i, cell, CAST(count(*) AS BIGINT) FROM x GROUP BY 1, 2
+    """).fetchall()
+    assert {(i, c): n for i, c, n in duck} == spark_cells
