@@ -226,6 +226,169 @@ def cms_build(df: DataFrame, item_col: str, depth: int = 4,
     )
 
 
+def bloom_build(keys: DataFrame, item_col: str, m_bits: int = 1 << 17,
+                k: int = 4) -> DataFrame:
+    """Build a Bloom filter of ``keys[item_col]`` as ONE row holding a
+    dense ``array<long>`` of ``m_bits/64`` words.
+
+    Dataflow: k portable hashes per key → (word, bit) → ``bit_or`` per
+    word (one hash aggregate with map-side combine) → densify against
+    ``range(m/64)`` → collapse to a single array row.  The array is
+    ``m_bits/8`` bytes (16 KiB at the default) — broadcastable at any
+    corpus size, and probing is O(1) per hash via ``element_at`` on the
+    dense array (a map would linear-scan).
+
+    At 100 TB this is the join-pruning primitive AQE's runtime bloom
+    filter implements JVM-internally (``bloom_filter_agg`` is not in the
+    public registry): build from the small side, filter the fact table
+    BEFORE its shuffle.  False-positive rate ≈ (1-e^(-kn/m))^k — size
+    ``m_bits`` ≥ ~10 bits/key for ~1%.
+    """
+    n_words = m_bits // 64
+    # nonlinear mix once, then k distinct affine maps: breaks sequential
+    # lattices while keeping the k positions decorrelated
+    pos = F.explode(F.expr(
+        "array(" + ", ".join(
+            f"{lehmer_sql(mix_sql(item_col), CMS_A[i % 4], CMS_B[i % 4] + i)}"
+            f" % {m_bits}" for i in range(k)) + ")"))
+    words = (
+        keys.select(pos.alias("pos"))
+        .select(F.expr("CAST(pos / 64 AS INT)").alias("word"),
+                F.expr("pos % 64").alias("bit"))
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").alias("bits"))
+    )
+    dense = (
+        keys.sparkSession.range(n_words)
+        .withColumnRenamed("id", "word")
+        .join(words, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0)).alias("bits"))
+    )
+    return dense.agg(F.expr(
+        "transform(array_sort(collect_list(struct(word, bits))),"
+        " x -> x.bits)").alias("words")).select(
+        "words", F.lit(m_bits).alias("m_bits"), F.lit(k).alias("k"))
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame,
+                item_col: str) -> DataFrame:
+    """Keep only rows whose ``item_col`` MIGHT be in the filter.
+
+    No false negatives (every inserted key passes); false positives pass
+    at the configured rate and are eliminated by the real join that
+    follows — so ``join(bloom_probe(fact, bloom_build(dim)), dim)``
+    equals ``join(fact, dim)`` while shuffling only the surviving
+    fraction of the fact table.  The filter row is broadcast; the probe
+    is a codegen conjunction of k O(1) word lookups — no shuffle added.
+
+    ``m_bits``/``k`` are read from the filter row itself (written by
+    ``bloom_build``), so build and probe can never disagree on the hash
+    family — a mismatch would silently break the no-false-negative
+    guarantee.  Reading them is one job over the one-row frame; the
+    frame is query-scope-persisted so the cross join reuses it.
+    """
+    from ..core.cache import scoped_persist
+
+    bloom = scoped_persist(bloom)
+    meta = bloom.select("m_bits", "k").first()
+    m_bits, k = int(meta.m_bits), int(meta.k)
+    checks = [
+        f"(shiftright(element_at(words, CAST(__p{i} / 64 AS INT) + 1),"
+        f" CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(k)
+    ]
+    probed = df.crossJoin(F.broadcast(bloom.select("words")))
+    for i in range(k):
+        probed = probed.withColumn(
+            f"__p{i}",
+            F.expr(f"{lehmer_sql(mix_sql(item_col), CMS_A[i % 4], CMS_B[i % 4] + i)}"
+                   f" % {m_bits}"))
+    return (probed.filter(F.expr(" AND ".join(checks)))
+            .drop("words", *[f"__p{i}" for i in range(k)]))
+
+
+def histogram_bins(df: DataFrame, group_cols: Sequence[str],
+                   value_col: str, n_bins: int = 256) -> DataFrame:
+    """Per-group equi-width histogram: ``group_cols + (bin, n)`` plus the
+    per-group ``(vmin, vmax, total)`` frame it was built against.
+
+    Returns ``(bins, bounds)``.  Two passes over the data — an exact
+    min/max aggregate, then ONE bin-count hash aggregate of at most
+    ``n_bins`` rows per group; both have map-side partials, so at 100 TB
+    the cost is two scans and two fixed-width shuffles.  Bin counts from
+    disjoint scans over the same bounds merge by addition — the
+    mergeable-quantile property (t-digest would adapt bin placement but
+    is not expressible as one hash aggregate, and its merge is
+    order-dependent; fixed bins trade resolution for exact determinism
+    and SQL portability).
+
+    Bin assignment ``floor((v - vmin) / width)`` is pure IEEE double
+    arithmetic — deterministic and engine-identical; ``v = vmax`` clamps
+    into the last bin.
+    """
+    g = list(group_cols)
+    bounds = df.groupBy(*g).agg(
+        F.min(value_col).cast("double").alias("vmin"),
+        F.max(value_col).cast("double").alias("vmax"),
+        F.count(value_col).alias("total"))
+    joined = df.join(F.broadcast(bounds), g) if g else df.crossJoin(
+        F.broadcast(bounds))
+    bin_expr = F.expr(
+        f"least({n_bins - 1}, greatest(0, CAST(floor("
+        f"(CAST({value_col} AS DOUBLE) - vmin) * {n_bins}.0"
+        f" / (vmax - vmin)) AS INT)))")
+    bins = (
+        joined.filter(F.col(value_col).isNotNull()
+                      & (F.col("vmax") > F.col("vmin")))
+        .select(*g, bin_expr.alias("bin"))
+        .groupBy(*g, "bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return bins, bounds
+
+
+def histogram_quantile(df: DataFrame, group_cols: Sequence[str],
+                       value_col: str, quantiles: Sequence[float],
+                       n_bins: int = 256) -> DataFrame:
+    """Approximate per-group quantiles from the equi-width histogram,
+    with linear interpolation inside the crossing bin.
+
+    Error bound: one bin width ``(vmax-vmin)/n_bins`` — rank-exact to
+    ±total/n_bins under any distribution, and every arithmetic step
+    (cumulative window sum over ≤ n_bins rows per group, one multiply,
+    one divide) is engine-deterministic, which is what lets the oracle
+    hash-check it.  Output: group cols + ``q_<pct>`` per quantile.
+    """
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+    bins, bounds = histogram_bins(df, g, value_col, n_bins)
+    w = Window.partitionBy(*[F.col(c) for c in g]).orderBy("bin") \
+        if g else Window.orderBy("bin")
+    cum = bins.withColumn("cum", F.sum("n").over(w))
+    cum = cum.join(F.broadcast(bounds), g) if g else cum.crossJoin(
+        F.broadcast(bounds))
+    out_cols = []
+    for q in quantiles:
+        name = f"q_{str(q).replace('0.', '')}"
+        target = f"({q} * total)"
+        # first bin whose cumulative count reaches the target rank;
+        # interpolate within it: vmin + width*(bin + frac)
+        est = (
+            f"min_by(vmin + (vmax - vmin) / {n_bins}.0 * (bin"
+            f" + (greatest({target} - (cum - n), 0.0)) / n), "
+            f"CASE WHEN cum >= {target} THEN bin ELSE {n_bins} END)")
+        out_cols.append(F.expr(est).alias(name))
+    agg = cum.groupBy(*g).agg(*out_cols) if g else cum.groupBy().agg(*out_cols)
+    if not g:
+        return agg
+    # all-equal groups produce no bins (the vmax > vmin filter): their
+    # every quantile IS the constant — emit it from the bounds side
+    fills = bounds.filter("vmax = vmin").select(
+        *g, *[F.col("vmin").alias(f"q_{str(q).replace('0.', '')}")
+              for q in quantiles])
+    return agg.unionByName(fills)
+
+
 def cms_lookup(grid: DataFrame, keys: DataFrame, item_col: str,
                depth: int = 4, width: int = 512) -> DataFrame:
     """Point-estimate every row of ``keys``: ``min_i grid[i][h_i(key)]``.

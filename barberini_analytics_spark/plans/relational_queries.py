@@ -190,11 +190,48 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
         FROM events GROUP BY user_id
+    ),
+    bounds AS (
+        SELECT user_id, min(CAST(value AS DOUBLE)) AS vmin,
+               max(CAST(value AS DOUBLE)) AS vmax,
+               count(value) AS total
+        FROM events GROUP BY user_id
+    ),
+    bins AS (
+        SELECT e.user_id,
+               least(255, greatest(0, CAST(floor(
+                   (CAST(e.value AS DOUBLE) - b.vmin) * 256.0
+                   / (b.vmax - b.vmin)) AS INT))) AS bin,
+               count(*) AS n
+        FROM events e JOIN bounds b USING (user_id)
+        WHERE e.value IS NOT NULL AND b.vmax > b.vmin
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, sum(n) OVER (PARTITION BY user_id ORDER BY bin) AS cum
+        FROM bins
+    ),
+    hq AS (
+        SELECT c.user_id,
+               min_by(b.vmin + (b.vmax - b.vmin) / 256.0 * (c.bin
+                   + (greatest(0.5 * b.total - (c.cum - c.n), 0.0)) / c.n),
+                   CASE WHEN c.cum >= 0.5 * b.total THEN c.bin ELSE 256 END)
+                   AS value_p50_est,
+               min_by(b.vmin + (b.vmax - b.vmin) / 256.0 * (c.bin
+                   + (greatest(0.9 * b.total - (c.cum - c.n), 0.0)) / c.n),
+                   CASE WHEN c.cum >= 0.9 * b.total THEN c.bin ELSE 256 END)
+                   AS value_p90_est
+        FROM cum c JOIN bounds b USING (user_id)
+        GROUP BY 1
+        UNION ALL
+        SELECT user_id, vmin, vmin FROM bounds WHERE vmax = vmin
     )
     SELECT l.user_id, l.event_id AS latest_event_id, l.ts AS latest_ts,
            l.event_type AS latest_event_type, l.value AS latest_value,
-           m.most_common_event_type, s.n_events, s.n_event_types
+           m.most_common_event_type, s.n_events, s.n_event_types,
+           h.value_p50_est, h.value_p90_est
     FROM latest l JOIN mode m USING (user_id) JOIN stats s USING (user_id)
+    JOIN hq h USING (user_id)
     """,
 )
 def user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +260,16 @@ def user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
-    return latest.join(mode, "user_id").join(stats, "user_id")
+    # histogram-sketch per-user engagement quantiles (operators/sketch.py):
+    # rank-exact to one bin width, mergeable across scans, and every
+    # arithmetic step deterministic — the oracle replays it exactly
+    hq = SK.histogram_quantile(
+        ev.select("user_id", "value"), ["user_id"], "value", [0.5, 0.9]
+    ).select("user_id",
+             F.col("q_5").alias("value_p50_est"),
+             F.col("q_9").alias("value_p90_est"))
+    return (latest.join(mode, "user_id").join(stats, "user_id")
+            .join(hq, "user_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,7 @@ from pyspark.sql import Window as W, functions as F  # noqa: E402
 from barberini_analytics_spark.core.session import get_spark  # noqa: E402
 from barberini_analytics_spark.operators import dedup as D  # noqa: E402
 from barberini_analytics_spark.operators import relational as R  # noqa: E402
+from barberini_analytics_spark.operators import sketch as SK  # noqa: E402
 from barberini_analytics_spark.operators import text as X  # noqa: E402
 
 
@@ -74,6 +75,14 @@ def main() -> None:
     # as-of style latest-per-key (J7-shape)
     run("latest_per_key", R.latest_per_key(
         events, ["user_id"], ["ts", "event_id"]), n_events)
+
+    # sketch family: fixed-width aggregates whose shuffle volume is
+    # CONSTANT in n — the throughput here is pure scan+hash speed
+    run("hll_registers", SK.hll_registers(
+        events, ["event_type"], "user_id"), n_events)
+    run("cms_grid", SK.cms_build(events, "user_id"), n_events)
+    run("histogram_quantile", SK.histogram_quantile(
+        events, ["event_type"], "value", [0.5, 0.9]), n_events)
 
     # --- documents-shaped corpus, n_docs rows ---------------------------
     words = F.array(*[F.lit(f"w{i}") for i in range(64)])

@@ -150,3 +150,115 @@ def test_cms_duckdb_parity(spark):
         SELECT i, cell, CAST(count(*) AS BIGINT) FROM x GROUP BY 1, 2
     """).fetchall()
     assert {(i, c): n for i, c, n in duck} == spark_cells
+
+
+def test_bloom_no_false_negatives(spark):
+    dim = spark.range(0, 500).selectExpr("id * 7 AS key")
+    bloom = S.bloom_build(dim, "key")
+    kept = S.bloom_probe(dim, bloom, "key")
+    assert kept.count() == 500  # every inserted key must pass
+
+
+def test_bloom_fp_rate_and_pruning(spark):
+    dim = spark.range(0, 1000).selectExpr("id AS key")
+    fact = spark.range(0, 100000).selectExpr("id AS key")
+    bloom = S.bloom_build(dim, "key", m_bits=1 << 15)
+    kept = S.bloom_probe(fact, bloom, "key").count()
+    # 1000 true hits; FP rate at n=1000,m=32768,k=4 -> (1-e^-0.122)^4 ≈ 2e-4
+    assert 1000 <= kept < 1000 + 0.01 * 99000
+
+
+def test_bloom_prejoin_equivalence(spark):
+    dim = spark.range(0, 300).selectExpr("id * 13 AS key", "id AS attr")
+    fact = spark.range(0, 20000).selectExpr("id AS key", "id % 5 AS v")
+    bloom = S.bloom_build(dim, "key")
+    pruned = S.bloom_probe(fact, bloom, "key").join(dim, "key")
+    plain = fact.join(dim, "key")
+    assert sorted(map(tuple, pruned.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_bloom_probe_adds_no_shuffle(spark):
+    fact = spark.range(0, 10000).selectExpr("id AS key")
+    bloom = S.bloom_build(spark.range(100).selectExpr("id AS key"), "key")
+    plan = S.bloom_probe(fact, bloom, "key")._jdf \
+        .queryExecution().executedPlan().toString()
+    # the probe side must see only a broadcast exchange, never a shuffle
+    assert "ShuffleExchange" not in plan.replace(
+        "BroadcastExchange", "")
+
+
+def test_histogram_quantile_rank_error(spark):
+    # uniform 0..9999: q50 ≈ 5000, q90 ≈ 9000 within one bin width (~40)
+    df = spark.range(10000).selectExpr(
+        "CAST(id AS DOUBLE) AS v", "CAST(id % 2 AS STRING) AS grp")
+    out = S.histogram_quantile(df, ["grp"], "v", [0.5, 0.9]).toPandas()
+    assert len(out) == 2
+    for _, r in out.iterrows():
+        assert abs(r.q_5 - 5000) < 80
+        assert abs(r.q_9 - 9000) < 80
+
+
+def test_histogram_quantile_skewed(spark):
+    # heavy-tail: 99% zeros, 1% large — q50 must sit in the zero mass
+    df = spark.range(10000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 1000.0 ELSE CAST(id % 7 AS DOUBLE)"
+        " END AS v", "'g' AS grp")
+    out = S.histogram_quantile(df, ["grp"], "v", [0.5]).toPandas()
+    assert out.q_5[0] < 50  # one bin width of 1000/256 ≈ 4 above ~3
+
+
+def test_histogram_degenerate_constant_group(spark):
+    df = spark.range(100).selectExpr(
+        "CASE WHEN id < 50 THEN 'const' ELSE 'vary' END AS grp",
+        "CASE WHEN id < 50 THEN 42.0 ELSE CAST(id AS DOUBLE) END AS v")
+    out = S.histogram_quantile(df, ["grp"], "v", [0.5]).toPandas()
+    got = dict(zip(out.grp, out.q_5))
+    assert got["const"] == 42.0
+    assert 50 <= got["vary"] <= 100
+
+
+def test_histogram_bins_merge_additively(spark):
+    # bin counts over disjoint scans with SHARED bounds sum to the full
+    # histogram — the mergeable property (same vmin/vmax is required)
+    full = spark.range(8000).selectExpr("CAST(id AS DOUBLE) AS v")
+    bins_full, bounds = S.histogram_bins(full, [], "v", 64)
+    a = full.filter("v < 3000")
+    b = full.filter("v >= 3000")
+    import pyspark.sql.functions as FF
+    def with_bounds(part):
+        return part.crossJoin(FF.broadcast(
+            bounds.select("vmin", "vmax")))
+    bin_expr = ("least(63, greatest(0, CAST(floor((v - vmin) * 64.0"
+                " / (vmax - vmin)) AS INT)))")
+    pa = with_bounds(a).selectExpr(f"{bin_expr} AS bin").groupBy("bin").count()
+    pb = with_bounds(b).selectExpr(f"{bin_expr} AS bin").groupBy("bin").count()
+    merged = pa.unionByName(pb).groupBy("bin").agg(
+        FF.sum("count").alias("n"))
+    got = {r.bin: r.n for r in merged.collect()}
+    want = {r.bin: r.n for r in bins_full.collect()}
+    assert got == want
+
+
+def test_histogram_quantile_duckdb_parity(spark):
+    """The full chain (bounds → bins → cumsum → interpolation) replayed
+    in DuckDB matches exactly — determinism of the IEEE arithmetic."""
+    df = spark.range(5000).selectExpr("CAST(id * id % 997 AS DOUBLE) AS v")
+    got = S.histogram_quantile(df, [], "v", [0.5], n_bins=64).collect()[0].q_5
+    want = duckdb.sql("""
+        WITH src AS (SELECT CAST((range * range) % 997 AS DOUBLE) AS v
+                     FROM range(5000)),
+        bounds AS (SELECT min(v) AS vmin, max(v) AS vmax,
+                          count(*) AS total FROM src),
+        bins AS (
+            SELECT least(63, greatest(0, CAST(floor((v - vmin) * 64.0
+                       / (vmax - vmin)) AS INT))) AS bin,
+                   count(*) AS n
+            FROM src, bounds GROUP BY 1),
+        cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM bins)
+        SELECT min_by(vmin + (vmax - vmin) / 64.0 * (bin
+                   + greatest(0.5 * total - (cum - n), 0.0) / n),
+                   CASE WHEN cum >= 0.5 * total THEN bin ELSE 64 END)
+        FROM cum, bounds
+    """).fetchone()[0]
+    assert got == want
