@@ -80,6 +80,38 @@ def windowed_engagement(events: DataFrame, window: str = "1 hour",
                     "event_type", *extra_keys, "n", "value_sum"))
 
 
+def windowed_distinct_sketch(events: DataFrame, item_col: str = "user_id",
+                             window: str = "1 hour",
+                             watermark: str | None = "2 hours",
+                             p_bits: int = 8) -> DataFrame:
+    """Approximate distinct-``item_col`` per event-time window via
+    streaming HLL registers.
+
+    ``COUNT(DISTINCT)`` is not a supported streaming aggregate (its
+    state is unbounded per window); the HLL register ``max`` IS — state
+    per window is a fixed ≤ 2^p_bits rows whatever the stream volume,
+    which is the 100 TB story: an hourly distinct-visitors dashboard
+    whose state never grows with traffic.  Returns one row per
+    (window, bucket) with the running register; collapse with
+    ``operators.sketch.hll_summary`` (or ``hll_estimate_corrected``)
+    after the drain — registers from a resumed/replayed stream merge by
+    the same max, so checkpoint recovery is idempotent by construction.
+    """
+    from ..operators import sketch as SK
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    h = SK.mix_sql(item_col)
+    return (
+        events
+        .withColumn("__h", F.expr(h))
+        .groupBy(F.window("ts", window).alias("w"),
+                 F.expr(f"__h % {1 << p_bits}").alias("bucket"))
+        .agg(F.max(F.expr(SK.hll_rank_sql("__h", p_bits))).alias("reg"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "reg")
+    )
+
+
 def sessionized_engagement(events: DataFrame, gap: str = "30 minutes",
                            keys: Sequence[str] = ("user_id",),
                            watermark: str = "2 hours",

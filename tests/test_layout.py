@@ -1,0 +1,73 @@
+"""Z-order clustered layout: key correctness and measured data skipping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.core import layout as L
+
+
+def _morton2(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    df = spark.range(256).selectExpr("id AS a", "(255 - id) AS b")
+    got = df.withColumn("z", L.zorder_key(df, ["a", "b"], bits=8)) \
+        .orderBy("a").select("a", "b", "z").collect()
+    # quantization maps [0,255] onto 8-bit cells: floor(v*256/255) clamped
+    for r in got:
+        qa = min(255, (r.a * 256) // 255)
+        qb = min(255, (r.b * 256) // 255)
+        assert r.z == _morton2(qa, qb, 8)
+
+
+def test_zorder_key_is_single_stage(spark):
+    # the key must be a per-row projection: no exchange, no window, no
+    # join in the plan (the min/max fold happens driver-side, once)
+    df = spark.range(1000).selectExpr("id AS a", "id % 37 AS b")
+    plan = df.withColumn("z", L.zorder_key(df, ["a", "b"]))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_zorder_write_skipping(spark, tmp_path):
+    # two independent dimensions; z-ordered layout must give BOTH
+    # columns narrow per-row-group ranges, a linear sort only one
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "CAST((id * 2654435761) % 65536 AS DOUBLE) AS x",
+        "CAST((id * 40503) % 65536 AS DOUBLE) AS y")
+    zpath = str(tmp_path / "zordered")
+    lpath = str(tmp_path / "linear")
+    L.write_zordered(df, zpath, ["x", "y"], n_files=8)
+    (df.repartitionByRange(8, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(lpath))
+
+    z = L.rowgroup_ranges(zpath, ["x", "y"])
+    lin = L.rowgroup_ranges(lpath, ["x", "y"])
+    # linear sort: x perfectly clustered, y unclustered (~full span)
+    assert lin["x"] < 0.35
+    assert lin["y"] > 0.8
+    # z-order: BOTH columns substantially clustered
+    assert z["x"] < 0.6 and z["y"] < 0.6
+    assert z["x"] + z["y"] < lin["x"] + lin["y"]
+
+
+def test_zordered_read_roundtrip_and_pushdown(spark, tmp_path):
+    df = spark.range(50_000).selectExpr(
+        "id", "CAST(id % 1000 AS DOUBLE) AS x", "CAST(id % 777 AS DOUBLE) AS y")
+    path = str(tmp_path / "z")
+    L.write_zordered(df, path, ["x", "y"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert sorted(c for c in back.columns) == ["id", "x", "y"]
+    # predicate reaches the scan (skipping applies at the reader)
+    plan = back.filter("x < 10.0")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(x,10.0)" in plan

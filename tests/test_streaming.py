@@ -184,3 +184,38 @@ def test_session_windows_match_batch_sessionize(spark, batch_events):
     for col in ["user_id", "session_start", "session_end", "n_events",
                 "value_sum"]:
         assert got[col].tolist() == expected[col].tolist(), col
+
+
+def test_windowed_distinct_sketch_matches_batch_registers(spark, batch_events):
+    """Streaming HLL registers == batch registers (state is the same max),
+    and the collapsed estimate tracks exact COUNT(DISTINCT) per window."""
+    from barberini_analytics_spark.operators import sketch as SK
+
+    stream = SJ.stream_events(spark, SF)
+    regs = SJ.run_available_now(
+        SJ.windowed_distinct_sketch(stream, "user_id", "1 hour"),
+        "win_distinct", output_mode="complete")
+
+    batch_regs = (
+        batch_events
+        .withColumn("__h", F.expr(SK.mix_sql("user_id")))
+        .groupBy(F.window("ts", "1 hour").alias("w"),
+                 F.expr("__h % 256").alias("bucket"))
+        .agg(F.max(F.expr(SK.hll_rank_sql("__h", 8))).alias("reg"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "reg"))
+
+    got = {(r.window_start, r.bucket): r.reg for r in regs.collect()}
+    want = {(r.window_start, r.bucket): r.reg for r in batch_regs.collect()}
+    assert got == want
+
+    est = SK.hll_estimate_corrected(
+        regs, ["window_start"]).toPandas().set_index("window_start")
+    exact = (batch_events
+             .groupBy(F.window("ts", "1 hour").alias("w"))
+             .agg(F.countDistinct("user_id").alias("n"))
+             .select(F.col("w.start").alias("window_start"), "n")
+             ).toPandas().set_index("window_start")
+    joined = est.join(exact)
+    assert len(joined) == len(exact)
+    rel_err = (joined.n_distinct_est - joined.n).abs() / joined.n
+    assert rel_err.mean() < 0.12  # m=256 → ~6.5% canonical error
