@@ -300,3 +300,75 @@ def cross_corpus_overlap(train: DataFrame, evalset: DataFrame,
         .filter(F.col("eval_containment") >= min_overlap)
         .select("train_id", "eval_id", "n_shared", "eval_containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# retention policy + incremental dedup against an existing corpus
+# ---------------------------------------------------------------------------
+
+def dedup_keep_best(df: DataFrame, id_col: str, score_col: str,
+                    text_col: str = "text", **near_dup_kw) -> DataFrame:
+    """Near-dup dedup that keeps the BEST document of each group instead
+    of the arbitrary smallest-id representative.
+
+    A training-data pipeline rarely wants "keep any one": it keeps the
+    highest-quality member (longest, best quality score, freshest).
+    Survivor = ``max_by(id, (score, -id))`` per group — the id tiebreak
+    pins determinism when scores tie.  Returns the surviving rows of
+    ``df`` with ``group_size`` attached; one shuffle on the group id
+    beyond the grouping itself.
+    """
+    groups = near_dup_groups(df, id_col, text_col, **near_dup_kw)
+    scored = df.join(groups.select(id_col, "group_id", "group_size"),
+                     id_col)
+    best = (
+        scored.groupBy("group_id")
+        .agg(F.expr(
+            f"max_by({id_col}, struct({score_col} AS s,"
+            f" -{id_col} AS tie))").alias(id_col))
+    )
+    return scored.join(best, [id_col, "group_id"]).drop("group_id")
+
+
+def fingerprint_index(corpus: DataFrame, id_col: str,
+                      text_col: str = "text",
+                      m_bits: int = 1 << 20) -> tuple[DataFrame, DataFrame]:
+    """Build the incremental-dedup index of a corpus: its exact content
+    fingerprints plus a Bloom filter over them.
+
+    The index is what a 100 TB pipeline persists between crawls — the
+    corpus itself is never rescanned.  Returns ``(fps, bloom)``:
+    ``fps`` = (fingerprint) rows (one shuffle-free scan + dedup on the
+    56-bit key), ``bloom`` = one broadcastable row over the same keys.
+    """
+    from .text import fingerprint
+    from .sketch import bloom_build
+
+    fps = (fingerprint(corpus, text_col).select("fingerprint").distinct())
+    return fps, bloom_build(fps, "fingerprint", m_bits=m_bits)
+
+
+def incremental_dedup(new_docs: DataFrame, fps: DataFrame,
+                      bloom: DataFrame, id_col: str,
+                      text_col: str = "text") -> DataFrame:
+    """Keep the rows of ``new_docs`` whose content is NOT in the corpus
+    the index was built from (exact-duplicate semantics).
+
+    Bloom asymmetry does the heavy lifting: a Bloom MISS is definitely
+    new (no false negatives), so only the hitting fraction — true dups
+    plus the configured false-positive rate — ever reaches the exact
+    anti-join against the fingerprint table.  On a fresh crawl with a
+    few percent duplication the shuffle volume of the anti-join drops by
+    the same factor; the miss path is a broadcast-filter scan with no
+    shuffle at all.
+    """
+    from .text import fingerprint
+    from .sketch import bloom_probe
+
+    fp_new = fingerprint(new_docs, text_col)
+    hits = bloom_probe(fp_new, bloom, "fingerprint")
+    confirmed_dups = hits.join(fps, "fingerprint", "left_semi") \
+        .select(F.col(id_col).alias("__dup_id"))
+    return (fp_new.join(confirmed_dups,
+                        fp_new[id_col] == F.col("__dup_id"), "left_anti")
+            .drop("fingerprint"))

@@ -166,3 +166,51 @@ def test_training_shard_export_roundtrip(spark, tmp_path):
     back = spark.read.json(out)
     got = {(r.doc_id, r.n_tokens, r.text) for r in back.collect()}
     assert got == {(i, 40 + (i * 7) % 50, f"text {i}") for i in range(200)}
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    from barberini_analytics_spark.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, 0.2), (2, base + " extra", 0.9), (3, base + " extra", 0.5),
+        (10, "completely different text about museums and art", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    out = D.dedup_keep_best(df, "doc_id", "score", k=3, num_perm=8,
+                            bands=4, threshold=0.3).toPandas()
+    kept = set(out.doc_id)
+    assert 2 in kept          # best of the near-dup group
+    assert 1 not in kept and 3 not in kept
+    assert 10 in kept         # singleton survives
+    assert out[out.doc_id == 2].group_size.iloc[0] >= 2
+
+
+def test_incremental_dedup_only_new_content_survives(spark):
+    from barberini_analytics_spark.operators import dedup as D
+
+    corpus = spark.range(500).selectExpr(
+        "id AS doc_id", "'corpus doc number ' || CAST(id AS STRING) AS text")
+    fps, bloom = D.fingerprint_index(corpus, "doc_id", m_bits=1 << 14)
+    new = spark.range(1000).selectExpr(
+        "id + 10000 AS doc_id",
+        # first 200 replicate corpus content (different ids), rest new
+        "CASE WHEN id < 200 THEN 'corpus doc number ' || CAST(id AS STRING)"
+        " ELSE 'fresh crawl doc ' || CAST(id AS STRING) END AS text")
+    kept = D.incremental_dedup(new, fps, bloom, "doc_id")
+    got = sorted(r.doc_id for r in kept.collect())
+    assert got == list(range(10200, 11000))
+    assert kept.columns == ["doc_id", "text"]
+
+
+def test_incremental_dedup_normalizes_whitespace(spark):
+    from barberini_analytics_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello   World")], "doc_id long, text string")
+    fps, bloom = D.fingerprint_index(corpus, "doc_id")
+    new = spark.createDataFrame(
+        [(2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string")
+    kept = D.incremental_dedup(new, fps, bloom, "doc_id").collect()
+    assert [r.doc_id for r in kept] == [3]  # 2 is a normalized dup
