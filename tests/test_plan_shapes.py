@@ -35,8 +35,12 @@ PRUNING_CASES = [
     # packer's two exchanges (range partition + the pid-keyed window
     # re-hash; rows at that point are narrow scalars)
     ("document_profile", 3, "n_chars"),
-    # pricing summary reads 7 lineitem columns, never the ship metadata
-    ("pricing_summary", 1, "l_comment"),
+    # pricing summary reads 8 lineitem columns, never the ship metadata.
+    # Budget: the Q1 hash agg + countDistinct's expand re-hash, plus the
+    # sketch branches (HLL register build + summary, CMS cell build +
+    # lookup — each shuffles ≤ 2^p rows per group, CONSTANT in input
+    # size) and the three broadcast joins stitching 6-row frames
+    ("pricing_summary", 9, "l_comment"),
 ]
 
 
