@@ -398,6 +398,39 @@ def sample_per_key(df: DataFrame, keys: Sequence[str], n: int,
             .filter(F.col("__rk") <= n).drop("__rk"))
 
 
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    keys: Sequence[str] = (), seed: int = 42) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows
+    (per key group if ``keys`` given): Efraimidis-Spirakis A-Res.
+
+    Priority ``u^(1/w)`` with ``u`` a hash-uniform in (0,1) derived from
+    the row (xxhash64 over all columns + seed); the top-``n`` priorities
+    are exactly a weight-proportional sample without replacement — and
+    because ``u`` is hashed, not drawn, the sample is identical across
+    runs, partitionings and cluster sizes.  Rows with weight <= 0 or
+    NULL are excluded.  Cost: one top-n-per-group window (shuffle on the
+    keys; global n uses a single-partition ORDER BY LIMIT — at 100 TB
+    prefer per-key quotas, which is what corpus-balance sampling wants
+    anyway).
+
+    The training-data use: sample a corpus proportional to per-document
+    quality scores while keeping per-source quotas — compose with
+    ``sample_per_key`` caps.
+    """
+    u = (F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+         .bitwiseAND(F.lit((1 << 56) - 1)) + 1) / float(1 << 56)
+    priority = F.pow(u, 1.0 / F.col(weight_col))
+    eligible = df.filter(F.col(weight_col).isNotNull()
+                         & (F.col(weight_col) > 0))
+    if keys:
+        w = W.partitionBy(*keys).orderBy(F.desc("__prio"))
+        return (eligible.withColumn("__prio", priority)
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n).drop("__prio", "__rk"))
+    return (eligible.withColumn("__prio", priority)
+            .orderBy(F.desc("__prio")).limit(n).drop("__prio"))
+
+
 def interval_overlap_join(left: DataFrame, right: DataFrame,
                           keys: Sequence[str],
                           left_bounds: tuple[str, str] = ("start", "end"),

@@ -389,6 +389,31 @@ def histogram_quantile(df: DataFrame, group_cols: Sequence[str],
     return agg.unionByName(fills)
 
 
+def filter_by_quantile(df: DataFrame, value_col: str, q: float,
+                       keep: str = "above",
+                       group_cols: Sequence[str] = (),
+                       n_bins: int = 1024) -> DataFrame:
+    """Keep rows whose ``value_col`` is above (or below) the (per-group)
+    ``q``-quantile — the quality-gate stage of a training pipeline
+    ("drop the bottom decile by quality score") without a global sort.
+
+    Two fixed-width aggregate passes to find the threshold (see
+    :func:`histogram_quantile`; accurate to one bin width), then one
+    broadcast-joined filter scan.  A sort-based exact quantile would
+    shuffle the full corpus; this never shuffles anything proportional
+    to it.
+    """
+    g = list(group_cols)
+    name = f"q_{str(q).replace('0.', '')}"
+    thresholds = histogram_quantile(df, g, value_col, [q], n_bins) \
+        .withColumnRenamed(name, "__thr")
+    joined = df.join(F.broadcast(thresholds), g) if g else \
+        df.crossJoin(F.broadcast(thresholds))
+    cmp = (F.col(value_col) >= F.col("__thr")) if keep == "above" else \
+        (F.col(value_col) <= F.col("__thr"))
+    return joined.filter(cmp).drop("__thr")
+
+
 def cms_lookup(grid: DataFrame, keys: DataFrame, item_col: str,
                depth: int = 4, width: int = 512) -> DataFrame:
     """Point-estimate every row of ``keys``: ``min_i grid[i][h_i(key)]``.

@@ -458,9 +458,19 @@ def assign_token_shards(df: DataFrame, token_col: str, order_col: str,
     the pid-keyed hash the window demands (Catalyst cannot prove the
     range layout satisfies ``partitionBy(__pid)``); the cumulative sum
     itself stays JVM-side.
+
+    The ranged frame is MATERIALIZED (query-scoped localCheckpoint)
+    before ``spark_partition_id`` is read: the totals aggregate and the
+    window run as separate jobs, and without pinning, AQE may coalesce
+    the range exchange differently per job — renumbered pids then miss
+    the offset map and produce NULL shards.  (Surfaced by the sf0.1
+    oracle sweep: correct at 500 docs, 74% NULL at 5,000.)
     """
-    ranged = (df.repartitionByRange(F.col(order_col))
-              .withColumn("__pid", F.spark_partition_id()))
+    from ..core.cache import scoped_checkpoint
+
+    ranged = scoped_checkpoint(
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id()))
     totals = (ranged.groupBy("__pid")
               .agg(F.sum(token_col).alias("__t")).collect())
     offsets = {}

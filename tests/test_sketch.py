@@ -262,3 +262,50 @@ def test_histogram_quantile_duckdb_parity(spark):
         FROM cum, bounds
     """).fetchone()[0]
     assert got == want
+
+
+def test_filter_by_quantile_drops_bottom_decile(spark):
+    df = spark.range(10000).selectExpr("id", "CAST(id AS DOUBLE) AS score")
+    kept = S.filter_by_quantile(df, "score", 0.1, keep="above")
+    n = kept.count()
+    # threshold accurate to one bin width: 10000/1024 ≈ 10
+    assert abs(n - 9000) < 100
+    assert kept.agg(F.min("score")).first()[0] >= 900
+
+
+def test_filter_by_quantile_per_group(spark):
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 2 AS STRING) AS src",
+        "CAST(CASE WHEN id % 2 = 0 THEN id ELSE id * 100 END AS DOUBLE)"
+        " AS score")
+    kept = S.filter_by_quantile(df, "score", 0.5, keep="below",
+                                group_cols=["src"])
+    pdf = kept.toPandas()
+    # each group loses its own top half — scales are per-group
+    counts = pdf.groupby("src").size()
+    assert abs(counts["0"] - 500) < 30 and abs(counts["1"] - 500) < 30
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from barberini_analytics_spark.operators import relational as R
+
+    # two weight classes: weight 9 vs 1 — the heavy class should win
+    # roughly 90% of sample slots
+    df = spark.range(20000).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 9.0 ELSE 1.0 END AS wt")
+    s1 = R.weighted_sample(df, 2000, "wt")
+    heavy = s1.filter("id % 2 = 0").count()
+    assert 1650 < heavy < 1950
+    # determinism across partitionings
+    s2 = R.weighted_sample(df.repartition(7), 2000, "wt")
+    assert sorted(r.id for r in s1.collect()) == \
+        sorted(r.id for r in s2.collect())
+
+
+def test_weighted_sample_per_key_quota(spark):
+    from barberini_analytics_spark.operators import relational as R
+
+    df = spark.range(3000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS src", "1.0 + id % 5 AS wt")
+    out = R.weighted_sample(df, 50, "wt", keys=["src"]).toPandas()
+    assert (out.groupby("src").size() == 50).all()

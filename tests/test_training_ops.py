@@ -214,3 +214,24 @@ def test_incremental_dedup_normalizes_whitespace(spark):
         "doc_id long, text string")
     kept = D.incremental_dedup(new, fps, bloom, "doc_id").collect()
     assert [r.doc_id for r in kept] == [3]  # 2 is a normalized dup
+
+
+def test_assign_token_shards_no_nulls_at_scale(spark):
+    """Regression (sf0.1 oracle sweep): the totals job and the window job
+    must see the SAME partition ids — AQE re-coalescing the range
+    exchange between the two executions renumbered pids, missed the
+    offset map, and produced NULL shards on 74% of rows."""
+    from barberini_analytics_spark.operators.text import assign_token_shards
+
+    df = spark.range(200_000).selectExpr(
+        "id AS doc_id", "CAST(1 + id % 37 AS LONG) AS n_tokens")
+    out = assign_token_shards(df, "n_tokens", "doc_id", 10_000)
+    assert out.filter("shard IS NULL").count() == 0
+    # exact parity with a single-partition reference cumsum
+    got = {r.doc_id: r.shard for r in out.collect()}
+    ref = df.coalesce(1).selectExpr(
+        "doc_id",
+        "CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " - n_tokens) / 10000.0) AS LONG) AS shard").collect()
+    assert got == {r.doc_id: r.shard for r in ref}
