@@ -19,6 +19,7 @@ engine-portable (the DuckDB oracle folds the same element order).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -219,6 +220,253 @@ def ivf_search(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
         [F.col("cosine").desc(), F.col(id_col).asc()],
         k=k, rank_col="rank", keep_rank=True,
     ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the IVF-PQ memory tier)
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the dominant ANN cost is not compute but *bytes*: a 64-dim
+# float corpus is 256 B/vector, while an m=8 / k=16 PQ code is 4 B — the
+# compressed corpus fits in a fraction of the executors' memory and the
+# search scan reads 64× less.  The classic layout (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) splits the
+# vector into ``m`` subspaces, k-means-quantizes each independently, and
+# scores compressed vectors against a per-query lookup table (ADC) —
+# ``m`` array lookups per corpus row instead of ``dim`` multiplies.
+#
+# Engine-portability contract (shared with the DuckDB oracle that
+# hash-checks the encode + ADC chain in ``plans/similarity_queries``):
+# every float reduction — the L2 normalization, the subvector distances,
+# the LUT dot products, the ADC total — folds IN ELEMENT ORDER on both
+# engines, so the doubles are bit-identical and no rounding is needed.
+
+
+def l2_normalize(vec: Column, dim: int) -> Column:
+    """Unit-normalize an ``array`` column (double-widened, ordered fold)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i).cast("double")
+            * F.element_at(vec, i).cast("double"),
+        )
+    )
+    return F.transform(vec, lambda x: x.cast("double") / norm)
+
+
+def _mean_vectors(df: DataFrame, keys: list[str], vec_col: str) -> DataFrame:
+    """Per-key mean vector via the map-side-combining MLlib aggregate
+    (one running-mean buffer per key per map task — see
+    ``centroids_by_key`` for why this beats a posexplode shuffle)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from pyspark.ml.stat import Summarizer
+
+    return (
+        df.select(*keys, array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"))
+        .groupBy(*keys)
+        .agg(Summarizer.mean(F.col("__v")).alias("__m"))
+        .select(*keys, vector_to_array("__m").alias("centroid"))
+    )
+
+
+def pq_train(vectors: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
+             dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Train per-subspace PQ codebooks → ``(sub, code, centroid)``.
+
+    Vectors are L2-normalized first (so inner-product ADC approximates
+    cosine), split into ``m`` subspaces of ``dim/m`` dims, and each
+    subspace is Lloyd-quantized to ``k`` centroids.  Codes are seeded
+    from the ``k`` lowest-id vectors (deterministic); each iteration is
+    one broadcast-codebook scan + one map-side-combining mean — the
+    standard distributed k-means shape.  Codes that lose all members
+    keep their previous centroid (no codebook shrinkage).
+
+    Scale note: PQ codebooks are trained on a bounded SAMPLE in
+    production (≈100k vectors is standard); pass the sample in as
+    ``vectors`` and the per-iteration shuffle stays sample-sized while
+    ``pq_encode`` stays a map-only pass over the full corpus.
+    """
+    from .relational import top_k_per_group
+    from ..core.cache import scoped_checkpoint
+
+    d_sub = dim // m
+    norm = vectors.select(
+        F.col(id_col), l2_normalize(F.col(vec_col), dim).alias("__nv")
+    )
+    subs = norm.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__nv", s * d_sub + 1, d_sub).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.sub", "e.sv")
+
+    seed_ids = vectors.select(id_col).orderBy(id_col).limit(k)
+    cb = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .withColumn(
+            "code",
+            (F.row_number().over(
+                W.partitionBy("sub").orderBy(id_col)) - 1).cast("int"),
+        )
+        .select("sub", "code", F.col("sv").alias("centroid"))
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(d_sub)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at("sv", i) - F.element_at("centroid", i))
+        * (F.element_at("sv", i) - F.element_at("centroid", i)),
+    )
+    for _ in range(iters):
+        assigned = (
+            subs.join(F.broadcast(cb), "sub")
+            .withColumn("__d", dist)
+        )
+        best = top_k_per_group(
+            assigned, [id_col, "sub"],
+            [F.col("__d").asc(), F.col("code").asc()], k=1,
+        ).select(id_col, "sub", "code", "sv")
+        means = _mean_vectors(best, ["sub", "code"], "sv") \
+            .withColumnRenamed("centroid", "__new")
+        cb = scoped_checkpoint(
+            cb.join(means, ["sub", "code"], "left")
+            .select("sub", "code",
+                    F.coalesce("__new", "centroid").alias("centroid"))
+        )
+    return cb
+
+
+def _l2sq_to(sv_col: str, d_sub: int):
+    """Single-arg lambda (PySpark's ``transform`` must NOT see a second
+    parameter — it would bind the element index to it): squared L2
+    distance from the ``sv_col`` attribute to the lambda's centroid
+    element, folded in element order."""
+    def dist(cent: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d_sub)),
+            F.lit(0.0),
+            lambda a, i: a
+            + (F.element_at(F.col(sv_col), i) - F.element_at(cent, i))
+            * (F.element_at(F.col(sv_col), i) - F.element_at(cent, i)),
+        )
+    return dist
+
+
+def pq_encode(vectors: DataFrame, codebook: list, m: int = 8, k: int = 16,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors to packed PQ codes — a MAP-ONLY projection.
+
+    ``codebook`` is the collected ``pq_train`` output (``m × k`` rows —
+    bounded, literal-embedded, so the encode plan has no join, no
+    shuffle, no Python: one codegen pass over the corpus).  Per
+    subspace the argmin folds codes in ascending order with a strict
+    ``<``, so exact-tie behavior matches the oracle's
+    ``(dist ASC, code ASC)`` ranking.  Output: ``(id, pq_code)`` where
+    ``pq_code = Σ code_s · k^s`` (exact integer packing).
+    """
+    d_sub = dim // m
+    cents = {}
+    for row in codebook:
+        cents[(row["sub"], row["code"])] = list(row["centroid"])
+    cb_lits = [
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in cents[(s, j)]])
+            for j in range(k)
+        ])
+        for s in range(m)
+    ]
+    # staged projections so every reuse is an ATTRIBUTE read, not an
+    # inlined re-evaluation: normalize once, slice once per subspace,
+    # build the k-distance array once per subspace, then argmin + pack.
+    # (Catalyst's CollapseProject keeps multi-use non-cheap aliases in
+    # their own project, so each stage evaluates once per row.)
+    staged = vectors.select(
+        F.col(id_col), l2_normalize(F.col(vec_col), dim).alias("__nv")
+    ).select(
+        id_col,
+        *[F.slice("__nv", s * d_sub + 1, d_sub).alias(f"__sv{s}")
+          for s in range(m)],
+    ).select(
+        id_col,
+        *[F.transform(cb_lits[s], _l2sq_to(f"__sv{s}", d_sub)).alias(f"__d{s}")
+          for s in range(m)],
+    )
+    # array_position returns the FIRST index equal to the min — the same
+    # (dist ASC, code ASC) tie-break the oracle's row_number uses
+    packed = None
+    for s in range(m):
+        code_s = (F.array_position(f"__d{s}", F.array_min(f"__d{s}")) - 1)
+        term = code_s.cast("long") * F.lit(int(k ** s)).cast("long")
+        packed = term if packed is None else packed + term
+    return staged.select(F.col(id_col), packed.alias("pq_code"))
+
+
+def pq_adc_scores(codes: DataFrame, codebook: list, query_vec: list,
+                  m: int = 8, k: int = 16, dim: int = 64,
+                  id_col: str = "vec_id",
+                  out_col: str = "adc_score") -> DataFrame:
+    """Asymmetric-distance scores of packed codes against one query.
+
+    The per-query LUT (``m × k`` inner products of the normalized query
+    subvector with every centroid) is computed ONCE driver-side in the
+    same element-order fold the oracle uses, then literal-embedded — the
+    corpus side does ``m`` array lookups + adds per row (the whole point
+    of ADC: scan cost is independent of ``dim``).  Higher = more
+    cosine-similar (vectors were normalized before encoding).
+    """
+    d_sub = dim // m
+    qn_norm = 0.0
+    for x in query_vec:
+        qn_norm += float(x) * float(x)
+    qn_norm = qn_norm ** 0.5
+    qn = [float(x) / qn_norm for x in query_vec]
+    cents = {}
+    for row in codebook:
+        cents[(row["sub"], row["code"])] = list(row["centroid"])
+    lut = []
+    for s in range(m):
+        row_l = []
+        for j in range(k):
+            acc = 0.0
+            cent = cents[(s, j)]
+            for i in range(d_sub):
+                acc += qn[s * d_sub + i] * float(cent[i])
+            row_l.append(acc)
+        lut.append(row_l)
+    lut_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row_l]) for row_l in lut
+    ])
+    # unpack once into an attribute column (exact integer div/mod), then
+    # the score is m array lookups folded in subspace order
+    unpacked = codes.select(
+        F.col(id_col), F.col("pq_code"),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), "
+            f"s -> CAST((CAST(pq_code AS BIGINT) div CAST(pow({k}, s) AS BIGINT))"
+            f" % {k} AS INT))"
+        ).alias("__codes"),
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.element_at(lut_lit, (s + 1).cast("int")),
+            (F.element_at("__codes", (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    return unpacked.select(
+        F.col(id_col), F.col("pq_code"), score.alias(out_col))
 
 
 def kmeans_refine(vectors: DataFrame, init_centroids: DataFrame,

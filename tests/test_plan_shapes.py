@@ -213,6 +213,9 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
 _EAGER = {
     "streaming_hourly_rollup", "topic_model", "embedding_dbscan_clusters",
     "visitor_prediction_forecast", "upsert_merge", "minhash_near_duplicates",
+    # trains + persists the PQ codebook on construction; the encode plan
+    # shape is pinned by tests/test_pq.py
+    "ivf_assignments",
 }
 # the one sanctioned Python stage: the mmh3-parity Arrow UDF
 _ARROW_ALLOWED = {"gomus_scrape_flatten": 1, "pseudonymize_ids": 1,
