@@ -354,28 +354,39 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "event_type_pivot",
     oracle="""
     SELECT user_id,
+           CAST(grouping(user_id) AS INT) AS is_total,
            CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
            CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
            CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
            CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
            CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
     FROM events
-    GROUP BY user_id
+    GROUP BY ROLLUP(user_id)
     """,
 )
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot / unstack (SURVEY §2.5 A8).
+    """Pivot / unstack (SURVEY §2.5 A8) over a ROLLUP grouping set.
 
     Reference: ``groupby(...).count().unstack()`` in the log report
     (src/diagnostics/log_report.py:114-132).  Pivot values are declared
     explicitly — at scale an undeclared pivot triggers an extra distinct
-    scan to discover values.
+    scan to discover values.  The reference has no grouping
+    sets/cube/rollup anywhere (SURVEY §2.5); the ``ROLLUP(user_id)``
+    grand-total row (``is_total = 1`` via ``grouping()``, so a NULL
+    total key can never be confused with a NULL data key) shows the
+    superaggregate surface — Spark computes all grouping sets in ONE
+    shuffle via an Expand node, not one pass per level.
     """
     ev = load_table(spark, sf_dir, "events")
-    out = ev.groupBy("user_id").pivot("event_type", list(_EVENT_TYPES)).count()
-    for t in _EVENT_TYPES:
-        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)).cast("long"))
-    return out
+    counts = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+        for t in _EVENT_TYPES
+    ]
+    return (
+        ev.rollup("user_id")
+        .agg(F.grouping("user_id").cast("int").alias("is_total"), *counts)
+        .select("user_id", "is_total", *_EVENT_TYPES)
+    )
 
 
 # ---------------------------------------------------------------------------
