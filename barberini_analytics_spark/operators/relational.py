@@ -151,6 +151,35 @@ def condense_snapshots(df: DataFrame, keys: Sequence[str],
     )
 
 
+def snapshot_intervals(df: DataFrame, keys: Sequence[str],
+                       order_cols: str | Sequence[str],
+                       value_cols: Sequence[str]) -> DataFrame:
+    """Condense snapshots into SCD2-style validity intervals.
+
+    Extends ``condense_snapshots`` (M13) with the slowly-changing-
+    dimension bookkeeping a warehouse keeps: each surviving snapshot
+    carries ``valid_from`` (its own order value), ``valid_to`` (the next
+    surviving snapshot's order value for the key — NULL while current)
+    and ``is_current``.  Point-in-time reconstruction is then a range
+    predicate: ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``
+    yields exactly one row per key.
+
+    Scale shape: the condense lag-window and the validity lead-window
+    share the same partitioning and ordering, so Catalyst plans ONE
+    shuffle + ONE sort for both (the second Window reuses the first's
+    distribution).
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    condensed = condense_snapshots(df, keys, order_cols, value_cols)
+    return (
+        condensed
+        .withColumn("valid_from", F.col(order_cols[0]))
+        .withColumn("valid_to", F.lead(order_cols[0]).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # J13 — FK-violation filtering
 # ---------------------------------------------------------------------------

@@ -199,6 +199,63 @@ def language_id(df: DataFrame, text_col: str = "text",
 # document fingerprinting (md5-derived 56-bit hash)
 # ---------------------------------------------------------------------------
 
+def tfidf_top_terms(tokens: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    word_col: str = "word",
+                    out_col: str = "tfidf_terms") -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords as a ``'|'``-joined digest.
+
+    The classic two-aggregate shape: term frequency per (doc, word), then
+    document frequency per word OVER the tf frame (already distinct per
+    doc, so ``count(*)`` IS the document frequency — no countDistinct
+    expand).  ``N`` comes from a 1-row broadcast aggregate cross-joined
+    in, keeping the plan fully lazy.  Scores are ``round(tf · ln(N/df),
+    6)`` — rounded BEFORE ranking so the (score DESC, word ASC) order is
+    engine-portable (the DuckDB oracle hash-checks the digest inside
+    ``document_token_ngrams``).
+
+    Scale shape: two hash aggregates + one broadcast-keyed join on
+    ``word`` + one per-doc window; nothing is driver-side.
+    """
+    tf = (
+        tokens.filter(F.col(word_col) != "")
+        .groupBy(id_col, word_col).agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy(word_col).agg(F.count("*").alias("__df"))
+    n_docs = tf.agg(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, word_col)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, word_col,
+            F.round(
+                F.col("__tf")
+                * F.log(F.col("__n").cast("double") / F.col("__df")),
+                6,
+            ).alias("__s"),
+        )
+    )
+    from .relational import top_k_per_group
+
+    top = top_k_per_group(
+        scored, [id_col],
+        [F.col("__s").desc(), F.col(word_col).asc()],
+        k=k, rank_col="__rank", keep_rank=True,
+    )
+    return (
+        top.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rank", word_col))),
+                    lambda s: s[word_col],
+                ),
+                "|",
+            ).alias(out_col)
+        )
+    )
+
+
 def hash56(col: Column) -> Column:
     """Deterministic 56-bit integer hash of a string column.
 

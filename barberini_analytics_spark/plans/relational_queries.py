@@ -279,16 +279,27 @@ def user_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_snapshot_deltas",
     oracle="""
-    SELECT event_id, user_id, event_type, ts, value,
-           value - coalesce(prev_value, value) AS delta_value
-    FROM (
-        SELECT *,
-               lag(value) OVER (
-                   PARTITION BY user_id, event_type ORDER BY ts, event_id
-               ) AS prev_value
-        FROM events
+    WITH condensed AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               value - coalesce(prev_value, value) AS delta_value
+        FROM (
+            SELECT *,
+                   lag(value) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ) AS prev_value
+            FROM events
+        )
+        WHERE prev_value IS NULL OR value IS DISTINCT FROM prev_value
     )
-    WHERE prev_value IS NULL OR value IS DISTINCT FROM prev_value
+    SELECT *,
+           ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS valid_to,
+           CAST(lead(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) IS NULL AS INT) AS is_current
+    FROM condensed
     """,
 )
 def event_snapshot_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,11 +317,16 @@ def event_snapshot_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the condense predicate and the delta — the operators
     ``relational.condense_snapshots`` / ``relational.linear_deltas`` pin
     the same semantics individually for library callers.
+
+    The SCD2 half (``valid_from``/``valid_to``/``is_current``, the
+    ``relational.snapshot_intervals`` contract) runs a lead window over
+    the condensed survivors with the SAME partitioning and ordering, so
+    no second shuffle is planned (pinned in tests/test_operators.py).
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     prev = F.lag("value").over(w)
-    return (
+    condensed = (
         ev.withColumn("__prev", prev)
         .filter(F.col("__prev").isNull()
                 | ~F.col("value").eqNullSafe(F.col("__prev")))
@@ -319,6 +335,13 @@ def event_snapshot_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.coalesce("__prev", "value"))
             .alias("delta_value"),
         )
+    )
+    valid_to = F.lead("ts").over(w)
+    return (
+        condensed
+        .withColumn("valid_from", F.col("ts"))
+        .withColumn("valid_to", valid_to)
+        .withColumn("is_current", valid_to.isNull().cast("int"))
     )
 
 

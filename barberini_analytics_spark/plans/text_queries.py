@@ -44,22 +44,51 @@ _SHARD_TARGET_TOKENS = 2000
 @query(
     "document_token_ngrams",
     oracle=f"""
-    WITH {_TOK_CTE}
-    SELECT doc_id, 1 AS n, CAST(word_index AS INT) AS word_index,
-           word AS phrase, CAST(sentence_index AS INT) AS sentence_index,
-           word IN ({_SW_SQL}) AS is_stopword
-    FROM tok WHERE word <> ''
-    UNION ALL
-    SELECT doc_id, 2 AS n, CAST(word_index AS INT) AS word_index,
-           phrase, CAST(sentence_index AS INT) AS sentence_index,
-           FALSE AS is_stopword
-    FROM (
-        SELECT doc_id, word_index, sentence_index,
-               word || ' ' || lead(word) OVER (
-                   PARTITION BY doc_id, sentence_index ORDER BY word_index
-               ) AS phrase
-        FROM tok
-    ) WHERE phrase IS NOT NULL AND phrase LIKE '% %'
+    WITH {_TOK_CTE},
+    grams AS (
+        SELECT doc_id, 1 AS n, CAST(word_index AS INT) AS word_index,
+               word AS phrase, CAST(sentence_index AS INT) AS sentence_index,
+               word IN ({_SW_SQL}) AS is_stopword
+        FROM tok WHERE word <> ''
+        UNION ALL
+        SELECT doc_id, 2 AS n, CAST(word_index AS INT) AS word_index,
+               phrase, CAST(sentence_index AS INT) AS sentence_index,
+               FALSE AS is_stopword
+        FROM (
+            SELECT doc_id, word_index, sentence_index,
+                   word || ' ' || lead(word) OVER (
+                       PARTITION BY doc_id, sentence_index ORDER BY word_index
+                   ) AS phrase
+            FROM tok
+        ) WHERE phrase IS NOT NULL AND phrase LIKE '% %'
+    ),
+    tfidf_tf AS (
+        SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ),
+    tfidf_df AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS dfreq
+        FROM tfidf_tf GROUP BY word
+    ),
+    tfidf_n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM tfidf_tf
+    ),
+    tfidf_scored AS (
+        SELECT t.doc_id, t.word,
+               round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.dfreq), 6) AS s
+        FROM tfidf_tf t JOIN tfidf_df d USING (word) CROSS JOIN tfidf_n n
+    ),
+    tfidf_ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY s DESC, word ASC) AS rn
+        FROM tfidf_scored
+    ),
+    tfidf_top AS (
+        SELECT doc_id, string_agg(word, '|' ORDER BY rn) AS tfidf_top3
+        FROM tfidf_ranked WHERE rn <= 3 GROUP BY doc_id
+    )
+    SELECT g.*, t.tfidf_top3
+    FROM grams g JOIN tfidf_top t USING (doc_id)
     """,
 )
 def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,18 +104,26 @@ def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (post_ngrams.py:149-152) is carried as the hash-checked
     ``is_stopword`` flag so the unigram stream stays the complete token
     table; consumers filter ``NOT is_stopword``.
+
+    The joined ``tfidf_top3`` digest ('|'-joined top-3 keywords by
+    rounded ``tf·ln(N/df)``, word tie-break) hash-checks the
+    training-pipeline keyword extractor ``text.tfidf_top_terms`` — two
+    hash aggregates + a per-doc rank window, N via a 1-row broadcast
+    aggregate so the plan stays lazy.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = X.tokenize(docs, ["doc_id"])
     grams = X.ngrams(tokens, ["doc_id"], [1, 2], stopwords=())
     sw = F.array(*[F.lit(s) for s in _STOPWORDS])
-    return grams.select(
+    out = grams.select(
         "doc_id", F.col("n").cast("int").alias("n"),
         F.col("word_index").cast("int").alias("word_index"),
         "phrase", F.col("sentence_index").cast("int").alias("sentence_index"),
         ((F.col("n") == 1) & F.array_contains(sw, F.col("phrase")))
         .alias("is_stopword"),
     )
+    top3 = X.tfidf_top_terms(tokens, k=3, out_col="tfidf_top3")
+    return out.join(top3, "doc_id")
 
 
 # BPE-ish pre-tokenizer pattern (GPT-2 style, minus the \s+(?!\S) lookahead

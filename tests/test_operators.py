@@ -329,3 +329,70 @@ def test_salted_aggregate_matches_plain(spark):
                   "lo": ("v", "min"), "hi": ("v", "max")},
                   salt=8).collect()}
     assert salted == plain
+
+
+def test_snapshot_intervals_point_in_time_and_one_shuffle(spark):
+    """SCD2 contract: intervals tile the key's history — at any probe
+    time after a key's first snapshot, the range predicate matches
+    exactly one row holding the then-current value; the lead window
+    reuses the condense window's shuffle (one Exchange total)."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.operators.relational import (
+        snapshot_intervals)
+
+    rows = [
+        # key a: value changes at seq 1, 3, 6 (2 and 4,5 are unchanged)
+        ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 20.0),
+        ("a", 4, 20.0), ("a", 5, 20.0), ("a", 6, 15.0),
+        # key b: single snapshot, stays current
+        ("b", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, seq int, v double")
+    iv = snapshot_intervals(df, ["key"], "seq", ["v"])
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+    got = {(r["key"], r["valid_from"]): (r["valid_to"], r["is_current"],
+                                         r["v"])
+           for r in iv.collect()}
+    assert got == {
+        ("a", 1): (3, 0, 10.0),
+        ("a", 3): (6, 0, 20.0),
+        ("a", 6): (None, 1, 15.0),
+        ("b", 2): (None, 1, 7.0),
+    }
+    # point-in-time probes: exactly one interval matches per key
+    for t, expect in [(1, 10.0), (2, 10.0), (4, 20.0), (9, 15.0)]:
+        hit = iv.filter(
+            (F.col("key") == "a") & (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.lit(t) < F.col("valid_to")))
+        ).collect()
+        assert len(hit) == 1 and hit[0]["v"] == expect, (t, hit)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3-doc fixture: 'common' appears in all docs (idf = ln(1) = 0, so
+    it can never outrank a distinctive word); distinctive words rank by
+    tf * ln(3/1); ties break alphabetically."""
+    import math
+
+    from barberini_analytics_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        ("d1", w) for w in ["common", "apple", "apple", "kiwi"]
+    ] + [
+        ("d2", w) for w in ["common", "banana"]
+    ] + [
+        ("d3", w) for w in ["common", "cherry", "date"]
+    ]
+    tok = spark.createDataFrame(rows, "doc_id string, word string")
+    got = {r["doc_id"]: r["tfidf_terms"]
+           for r in tfidf_top_terms(tok, k=2).collect()}
+    # d1: apple tf=2 (2·ln3) > kiwi (1·ln3) > common (0)
+    assert got["d1"] == "apple|kiwi"
+    # d2: banana > common (score 0 still ranks above nothing — k=2 keeps it)
+    assert got["d2"] == "banana|common"
+    # d3: cherry and date tie at 1·ln3 → alphabetical
+    assert got["d3"] == "cherry|date"
+    assert math.isclose(math.log(3), 1.0986, abs_tol=1e-4)  # sanity
