@@ -233,8 +233,12 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = S.ivf_assign(emb.select("vec_id", "embedding"), cents, key_col="label")
 
     cb_rows = _pq_codebook(spark, emb, sf_dir)
-    enc = S.pq_encode(emb.select("vec_id", "embedding"), cb_rows,
-                      m=_PQ_M, k=_PQ_K)
+    # the Arrow encoder is BIT-EQUAL to the pure-expression pq_encode
+    # (sequential cumsum folds — pinned in tests/test_pq.py), so the
+    # oracle hash covers both; it's ~16× faster (janino rejects the
+    # 128-distance expression tree, which then evaluates interpreted)
+    enc = S.pq_encode_arrow(emb.select("vec_id", "embedding"), cb_rows,
+                            m=_PQ_M, k=_PQ_K)
     q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     adc = S.pq_adc_scores(enc, cb_rows, list(q0), m=_PQ_M, k=_PQ_K,
                           out_col="adc_q0")

@@ -100,10 +100,36 @@ def main() -> None:
     run("chunking", X.chunk_documents(docs, "doc_id", max_tokens=32,
                                       overlap=4), n_docs)
     run("quality_profile", X.quality_features(docs), n_docs)
+    run("tfidf_top_terms", X.tfidf_top_terms(
+        X.tokenize(docs, ["doc_id"])), n_docs)
+
+    # SCD2 intervals over the event stream (two windows, one shuffle)
+    run("snapshot_intervals", R.snapshot_intervals(
+        events, ["user_id"], ["ts"], ["value"]), n_events)
+
+    # --- embeddings-shaped corpus: PQ encode is the map-only claim ------
+    from barberini_analytics_spark.operators import similarity as SIM
+
+    n_vecs = max(n_docs, 100_000)
+    # materialize the synthetic vectors first: the generator is an
+    # interpreted HOF whose cost would otherwise dominate the encode
+    # timing (events/docs synthesis above is codegen — cheap in-line)
+    vecs = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: ((F.pmod(F.col("id") * 31 + i * 17, 1009) - 504)
+                       / F.lit(504.0)).cast("float"),
+        ).alias("embedding")).localCheckpoint(eager=True)
+    # production contract: train on a bounded sample, encode the corpus
+    sample = vecs.filter(F.col("vec_id") % max(n_vecs // 10_000, 1) == 0)
+    cb = SIM.pq_train(sample, m=8, k=16, iters=1).collect()
+    run("pq_encode", SIM.pq_encode_arrow(vecs, cb, m=8, k=16), n_vecs)
 
     print(json.dumps({
         "events_rows": n_events,
         "docs_rows": n_docs,
+        "vec_rows": n_vecs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "ops": results,
     }))

@@ -109,6 +109,19 @@ def test_adc_recall_beats_random(spark, emb, codebook):
     assert sum(recalls) / len(recalls) >= 0.15, recalls
 
 
+def test_arrow_encode_bit_equals_expression_encode(spark, emb, codebook):
+    """pq_encode_arrow (the 100 TB path: numpy over Arrow batches, all
+    reductions via sequential cumsum folds) must produce BIT-IDENTICAL
+    packed codes to the pure-expression pq_encode — this equality is
+    what lets the registry entry run the fast path while the DuckDB
+    oracle hash-checks the math."""
+    exact = {r["vec_id"]: r["pq_code"] for r in
+             S.pq_encode(emb, codebook, m=M, k=K).collect()}
+    fast = {r["vec_id"]: r["pq_code"] for r in
+            S.pq_encode_arrow(emb, codebook, m=M, k=K).collect()}
+    assert exact == fast
+
+
 def test_ivf_pq_search_recall_and_shape(spark, emb, codebook):
     """The composite probe → ADC-shortlist → exact-re-rank pipeline.
 
