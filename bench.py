@@ -119,6 +119,25 @@ def main() -> None:
         run_scale("scale_dbscan_lsh", lambda: dbscan_distributed(
             load_table(spark, sf_dir, "embeddings"), eps=0.37,
             min_samples=2))
+    if elapsed() < scale_deadline:
+        # PQ throughput path: train on the real embeddings, encode a
+        # 100k-vector synthetic corpus with the Arrow encoder (the
+        # production contract: bounded training sample, full-corpus
+        # map-only encode)
+        from pyspark.sql import functions as F
+        from barberini_analytics_spark.operators import similarity as SIM
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = SIM.pq_train(emb, m=8, k=16, iters=1).collect()
+        vecs = spark.range(100_000).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: ((F.pmod(F.col("id") * 31 + i * 17, 1009) - 504)
+                           / F.lit(504.0)).cast("float"),
+            ).alias("embedding")).localCheckpoint(eager=True)
+        run_scale("scale_pq_encode_100k",
+                  lambda: SIM.pq_encode_arrow(vecs, cb))
 
     print(json.dumps({
         "metric": "total_query_wall_time",
