@@ -177,6 +177,49 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(_feat, schema)
 
 
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for BMP rows: decode → nearest-neighbor resample
+    → re-encode, Arrow-batched.
+
+    Nearest-neighbor with the floor mapping ``src = floor(i·src_dim /
+    dst_dim)`` — fully deterministic (no float kernels), so resized
+    payloads are byte-stable across runs and engines.  Output rows carry
+    the re-encoded BMP payload plus the new dimensions; non-BMP payloads
+    are filtered out up front (audio/video don't resize — frame-level
+    video handling is :func:`sample_frames`).
+
+    Scale shape: pure map over blob rows — combine with
+    :func:`blob_repartition` so Arrow batches stay memory-bounded.
+    """
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("data", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs as C
+
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data)
+                if C.sniff(b) != "bmp":
+                    continue
+                px = C.decode_bmp(b)["pixels"]
+                src_h, src_w = px.shape[:2]
+                ys = (np.arange(height) * src_h) // height
+                xs = (np.arange(width) * src_w) // width
+                resized = px[ys][:, xs]
+                out.append((mid, C.encode_bmp(resized), width, height))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "data").mapInPandas(_resize, schema)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
     index (0, n, 2n, …) with a per-frame digest.

@@ -169,3 +169,36 @@ def test_sample_frames_slices_real_y4m_payloads(spark):
     expected = {i: hashlib.sha256(frames[i]).hexdigest()[:16]
                 for i in range(0, 25, 10)}
     assert got == expected
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    """8×8 quadrant pattern → 4×4: floor-mapped nearest-neighbor must
+    pick exact source pixels (no interpolation), and the output must be
+    a decodable BMP with the new dimensions; non-BMP rows are dropped."""
+    import numpy as np
+
+    from barberini_analytics_spark.multimodal import codecs as C
+    from barberini_analytics_spark.multimodal.media import resize_images
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:4, :4] = (255, 0, 0)      # top-left red
+    px[:4, 4:] = (0, 255, 0)      # top-right green
+    px[4:, :4] = (0, 0, 255)      # bottom-left blue
+    px[4:, 4:] = (255, 255, 0)    # bottom-right yellow
+    bmp = C.encode_bmp(px)
+    wav = C.encode_wav(np.zeros(16, np.int16))
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav))],
+        "media_id long, data binary")
+    rows = resize_images(df, 4, 4).collect()
+    assert [r["media_id"] for r in rows] == [1]  # WAV filtered out
+    out = C.decode_bmp(bytes(rows[0]["data"]))
+    assert (out["width"], out["height"]) == (4, 4)
+    got = out["pixels"]
+    assert tuple(got[0, 0]) == (255, 0, 0)
+    assert tuple(got[0, 3]) == (0, 255, 0)
+    assert tuple(got[3, 0]) == (0, 0, 255)
+    assert tuple(got[3, 3]) == (255, 255, 0)
+    # determinism: same bytes on a second run
+    again = resize_images(df, 4, 4).collect()[0]["data"]
+    assert bytes(again) == bytes(rows[0]["data"])
