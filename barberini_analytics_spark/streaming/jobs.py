@@ -146,6 +146,41 @@ def sessionized_engagement(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def attribution_stream(views: DataFrame, purchases: DataFrame,
+                       horizon: str = "1 hour",
+                       watermark: str = "2 hours",
+                       user_col: str = "user_id") -> DataFrame:
+    """Watermarked STREAM-STREAM join: attribute each purchase to every
+    view by the same user within ``horizon`` before it.
+
+    The one streaming shape the other jobs don't cover — state on BOTH
+    sides.  Spark buffers each side's rows in state and the time-range
+    predicate ``view_ts <= purchase_ts <= view_ts + horizon`` plus the
+    two watermarks bound how long: view state can be evicted once the
+    purchase-side watermark passes ``view_ts + horizon``, purchase state
+    once the view-side watermark passes ``purchase_ts``.  Without the
+    range condition the state would grow forever — the 100 TB knob is
+    (watermark, horizon), not data volume.
+
+    Inner join; each output row is one (view, purchase) attribution
+    pair.  Batch parity is pinned in tests/test_streaming.py.
+    """
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col(user_col),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col(user_col).alias("__p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts")))
+    cond = (
+        (v[user_col] == p["__p_user"])
+        & (p["purchase_ts"] >= v["view_ts"])
+        & (p["purchase_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, "inner").drop("__p_user")
+
+
 def condense_stream(events: DataFrame, keys: Sequence[str],
                     value_cols: Sequence[str],
                     ts_col: str = "ts") -> DataFrame:

@@ -219,3 +219,36 @@ def test_windowed_distinct_sketch_matches_batch_registers(spark, batch_events):
     assert len(joined) == len(exact)
     rel_err = (joined.n_distinct_est - joined.n).abs() / joined.n
     assert rel_err.mean() < 0.12  # m=256 → ~6.5% canonical error
+
+
+def test_attribution_stream_stream_join_matches_batch(spark, batch_events):
+    """Stream-stream watermarked interval join parity: every (view,
+    purchase) pair by the same user with the purchase ≤ 30 min after the
+    view must match the batch time-range join exactly — state on both
+    sides, bounded by (watermark, horizon)."""
+    views = SJ.stream_events(spark, SF).filter(F.col("event_type") == "view")
+    purchases = SJ.stream_events(spark, SF).filter(
+        F.col("event_type") == "purchase")
+    got = SJ.run_available_now(
+        SJ.attribution_stream(views, purchases, horizon="30 minutes"),
+        "attribution_test")
+    got_set = {(r["user_id"], r["view_id"], r["purchase_id"])
+               for r in got.collect()}
+
+    bv = batch_events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    bp = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    expect = {(r["user_id"], r["view_id"], r["purchase_id"])
+              for r in bv.join(
+                  bp,
+                  (bv["user_id"] == bp["pu"])
+                  & (bp["purchase_ts"] >= bv["view_ts"])
+                  & (bp["purchase_ts"] <= bv["view_ts"]
+                     + F.expr("INTERVAL 30 minutes")),
+                  "inner").collect()}
+    assert got_set == expect
+    assert len(expect) > 0  # the fixture must actually exercise the join
