@@ -330,6 +330,98 @@ def dedup_keep_best(df: DataFrame, id_col: str, score_col: str,
     return scored.join(best, [id_col, "group_id"]).drop("group_id")
 
 
+def segment_documents(df: DataFrame, id_col: str, text_col: str = "text",
+                      sep: str | None = None,
+                      tokens_per_segment: int = 10) -> DataFrame:
+    """Split documents into dedup-grain segments: one row per
+    ``(id, seg_index, segment)``.
+
+    ``sep`` (a regex) splits on explicit boundaries (newlines for web text,
+    the CCNet/C4 "paragraph" unit).  When the corpus has no layout markers
+    (``sep=None``), fixed ``tokens_per_segment``-token blocks of the
+    normalized token stream serve as pseudo-paragraphs — the same
+    fixed-window unit the chunker uses, so boilerplate repeated across
+    documents still collides.
+
+    Map-only: split + ``posexplode`` in one codegen stage, no shuffle.
+    Blank segments are dropped (a run of separators is not content).
+    """
+    if sep is not None:
+        segs = F.split(F.trim(F.col(text_col)), sep)
+    else:
+        k = tokens_per_segment
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        n_blocks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        )
+    return (
+        df.select(id_col, F.posexplode(segs).alias("seg_index", "segment"))
+        .filter(F.trim(F.col("segment")) != "")
+    )
+
+
+def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
+                   sep: str | None = None, tokens_per_segment: int = 10,
+                   min_docs: int = 2) -> DataFrame:
+    """Corpus-level segment dedup (CCNet line dedup / C4 boilerplate
+    removal): fingerprint every segment, keep only each content's FIRST
+    global occurrence (ordered by ``(id, seg_index)``), and reassemble the
+    surviving text per document.
+
+    Returns one row per input document:
+
+    - ``n_segments`` — segments the document split into;
+    - ``n_kept_first`` — segments surviving keep-first global dedup;
+    - ``n_common_segments`` — segments whose content appears in at least
+      ``min_docs`` distinct documents (the boilerplate count; a
+      drop-common policy filters on this instead of keep-first);
+    - ``text_kept_first`` — the document re-joined from its surviving
+      segments in original order ('' when every segment was seen earlier).
+
+    100 TB shape: segments shuffle ONCE on their 56-bit fingerprint; the
+    two-level aggregate (``(fp, id)`` then ``fp``) keeps the
+    distinct-document count out of a count-distinct expand, and the
+    occurrence join reuses the fingerprint hash partitioning from the
+    aggregate, so no segment text is ever compared pairwise.  Reassembly
+    is one shuffle back on the document id.  Reference analogue: the
+    text-cleaning dedup inside post filtering (SURVEY §2.3 P4) lifted
+    from document to segment grain.
+    """
+    segs = segment_documents(df, id_col, text_col, sep, tokens_per_segment)
+    segs = segs.withColumn("seg_fp", hash56(F.col("segment")))
+    per_doc = (
+        segs.groupBy("seg_fp", id_col)
+        .agg(F.min("seg_index").alias("__first_idx"))
+    )
+    occ = (
+        per_doc.groupBy("seg_fp")
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("__first_idx").alias("p"))).alias("__first"),
+        )
+    )
+    joined = segs.join(occ, "seg_fp")
+    kept = (F.col("__first.i") == F.col(id_col)) & \
+        (F.col("__first.p") == F.col("seg_index"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(kept.cast("long")).alias("n_kept_first"),
+            F.sum((F.col("__n_docs") >= min_docs).cast("long"))
+            .alias("n_common_segments"),
+            F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(kept, F.struct(F.col("seg_index").alias("p"),
+                                          F.col("segment").alias("s"))))),
+                lambda x: x["s"])).alias("text_kept_first"),
+        )
+    )
+
+
 def fingerprint_index(corpus: DataFrame, id_col: str,
                       text_col: str = "text",
                       m_bits: int = 1 << 20) -> tuple[DataFrame, DataFrame]:

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.io import load_table
 from ..operators import dedup as D
+from ..operators import text as X
 from .registry import query
 
 _NUM_PERM = 8
@@ -48,26 +49,119 @@ _BAND_UNION = "\n        UNION ALL ".join(
 )
 
 
+_SEG_TOKENS = 10
+
+
 @query(
     "exact_dedup_documents",
-    oracle=r"""
-    SELECT CAST(('0x' || substring(md5(
-               array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
-           ), 1, 14)) AS BIGINT) AS fingerprint,
-           min(doc_id) AS rep_id,
-           CAST(count(*) AS BIGINT) AS n_dups
-    FROM documents
-    GROUP BY 1
+    oracle=rf"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(
+                   array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+               ), 1, 14)) AS BIGINT) AS fingerprint
+        FROM documents
+    ),
+    g AS (
+        SELECT fingerprint, min(doc_id) AS rep_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM f GROUP BY 1
+    ),
+    t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    segarr AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS BIGINT)),
+                   i -> array_to_string(
+                       toks[i*{_SEG_TOKENS}+1 : i*{_SEG_TOKENS}+{_SEG_TOKENS}],
+                       ' ')) AS segs
+        FROM t
+    ),
+    seg AS (
+        SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_index,
+               unnest(segs) AS segment
+        FROM segarr
+    ),
+    segf AS (
+        SELECT *,
+               CAST(('0x' || substring(md5(segment), 1, 14)) AS BIGINT)
+                   AS seg_fp
+        FROM seg WHERE trim(segment) <> ''
+    ),
+    perdoc AS (
+        SELECT seg_fp, doc_id, min(seg_index) AS fidx
+        FROM segf GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT seg_fp, first_doc, first_idx, n_docs FROM (
+            SELECT seg_fp, doc_id AS first_doc, fidx AS first_idx,
+                   count(*) OVER (PARTITION BY seg_fp) AS n_docs,
+                   row_number() OVER (PARTITION BY seg_fp
+                                      ORDER BY doc_id, fidx) AS rn
+            FROM perdoc) WHERE rn = 1
+    ),
+    segd AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(sum(CASE WHEN o.first_doc = s.doc_id
+                              AND o.first_idx = s.seg_index
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_first,
+               CAST(sum(CASE WHEN o.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_common_segments,
+               md5(coalesce(string_agg(
+                   CASE WHEN o.first_doc = s.doc_id
+                         AND o.first_idx = s.seg_index
+                        THEN s.segment END, ' ' ORDER BY s.seg_index), ''))
+                   AS dedup_digest
+        FROM segf s JOIN occ o USING (seg_fp)
+        GROUP BY s.doc_id
+    )
+    SELECT f.doc_id, f.fingerprint, g.rep_id, g.n_dups,
+           f.doc_id = g.rep_id AS is_rep,
+           sd.n_segments, sd.n_kept_first, sd.n_common_segments,
+           sd.dedup_digest
+    FROM f JOIN g USING (fingerprint) JOIN segd sd USING (doc_id)
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content fingerprint: one shuffle on an 8-byte key.
+    """Document-level exact dedup + corpus-level segment dedup, both at
+    document grain.
 
-    Reference analogue: ``drop_duplicates`` on key subsets (SURVEY §2.3 P4)
-    — content-hash grouping is the 100 TB-safe variant.
+    Exact half: content-fingerprint grouping (one shuffle on an 8-byte
+    key), re-joined so every document carries its group's representative
+    and multiplicity.  Reference analogue: ``drop_duplicates`` on key
+    subsets (SURVEY §2.3 P4) — content-hash grouping is the 100 TB-safe
+    variant.
+
+    Segment half (:func:`...operators.dedup.dedup_segments`): CCNet/C4
+    boilerplate removal at pseudo-paragraph grain — 10-token blocks are
+    fingerprinted corpus-wide, each content's first global occurrence
+    survives, and the reassembled surviving text is hash-checked through
+    ``dedup_digest`` (md5 of the re-joined text), so the oracle verifies
+    the actual reconstruction, not just the counts.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(docs, "doc_id")
+    per_doc = X.fingerprint(docs).select("doc_id", "fingerprint")
+    groups = D.exact_dedup(docs, "doc_id")
+    segs = D.dedup_segments(docs, "doc_id",
+                            tokens_per_segment=_SEG_TOKENS, min_docs=2)
+    return (
+        per_doc.join(groups, "fingerprint")
+        .join(segs, "doc_id")
+        .select(
+            "doc_id", "fingerprint", "rep_id",
+            F.col("n_dups").cast("long").alias("n_dups"),
+            (F.col("doc_id") == F.col("rep_id")).alias("is_rep"),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.col("n_kept_first").cast("long").alias("n_kept_first"),
+            F.col("n_common_segments").cast("long")
+            .alias("n_common_segments"),
+            F.md5("text_kept_first").alias("dedup_digest"),
+        )
+    )
 
 
 @query(

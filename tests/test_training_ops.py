@@ -235,3 +235,74 @@ def test_assign_token_shards_no_nulls_at_scale(spark):
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         " - n_tokens) / 10000.0) AS LONG) AS shard").collect()
     assert got == {r.doc_id: r.shard for r in ref}
+
+
+# ---------------------------------------------------------------------------
+# corpus-level segment dedup (CCNet line dedup / C4 boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def _seg_rows(spark, docs, **kw):
+    from barberini_analytics_spark.operators.dedup import dedup_segments
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r.doc_id: r for r in dedup_segments(df, "doc_id", **kw).collect()}
+
+
+def test_dedup_segments_keep_first_and_reassembly(spark):
+    # newline-separated "paragraphs"; "SHARED" appears in all three docs
+    docs = [
+        (1, "alpha one\nSHARED LINE\nbeta two"),
+        (2, "SHARED LINE\ngamma three"),
+        (3, "delta four\nSHARED LINE"),
+    ]
+    out = _seg_rows(spark, docs, sep=r"\n")
+    # first global occurrence of the shared line is (doc 1, index 1)
+    assert out[1].n_segments == 3 and out[1].n_kept_first == 3
+    assert out[1].text_kept_first == "alpha one SHARED LINE beta two"
+    # later occurrences dropped, original order of survivors preserved
+    assert out[2].n_kept_first == 1
+    assert out[2].text_kept_first == "gamma three"
+    assert out[3].n_kept_first == 1
+    assert out[3].text_kept_first == "delta four"
+    # boilerplate counter: only the shared line crosses min_docs=2
+    assert (out[1].n_common_segments, out[2].n_common_segments,
+            out[3].n_common_segments) == (1, 1, 1)
+
+
+def test_dedup_segments_fully_duplicated_doc_empties(spark):
+    docs = [(1, "same line"), (2, "same line")]
+    out = _seg_rows(spark, docs, sep=r"\n")
+    assert out[1].text_kept_first == "same line"
+    assert out[2].n_kept_first == 0
+    assert out[2].text_kept_first == ""
+
+
+def test_dedup_segments_within_doc_repeat_collapses(spark):
+    # the same line twice INSIDE one document: keep-first also dedups
+    # intra-document repetition (second occurrence is not first globally)
+    docs = [(5, "x y\nx y\nz")]
+    out = _seg_rows(spark, docs, sep=r"\n")
+    assert out[5].n_segments == 3
+    assert out[5].n_kept_first == 2
+    assert out[5].text_kept_first == "x y z"
+    # both copies of "x y" count as common within one doc?  No: min_docs
+    # counts DISTINCT documents, so intra-doc repetition is not boilerplate
+    assert out[5].n_common_segments == 0
+
+
+def test_dedup_segments_token_blocks_mode(spark):
+    # 10-token blocks: craft two docs sharing their first block exactly
+    block = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = [(1, block + " tail one"), (2, block + " other words here")]
+    out = _seg_rows(spark, docs)  # sep=None -> 10-token blocks
+    assert out[1].n_segments == 2 and out[1].n_kept_first == 2
+    assert out[2].n_segments == 2 and out[2].n_kept_first == 1
+    assert out[2].text_kept_first == "other words here"
+    assert out[1].n_common_segments == 1 == out[2].n_common_segments
+
+
+def test_dedup_segments_blank_runs_dropped(spark):
+    docs = [(1, "a\n\n\nb")]
+    out = _seg_rows(spark, docs, sep=r"\n")
+    assert out[1].n_segments == 2
+    assert out[1].text_kept_first == "a b"
