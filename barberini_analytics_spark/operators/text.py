@@ -195,6 +195,61 @@ def language_id(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, best["lang"]).drop("__tokens")
 
 
+def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", add_k: float = 1.0,
+                   out_col: str = "lm_score") -> DataFrame:
+    """Character-trigram language-model surprisal per document — the
+    model-free stand-in for the KenLM perplexity filter of CCNet-style
+    quality gating: fluent (corpus-typical) text scores LOW, gibberish
+    and outlier character sequences score HIGH.
+
+    The LM is trained on the scored corpus itself in the same job:
+    ``p(c₃ | c₁c₂) = (C₃(c₁c₂c₃) + k) / (C₂(c₁c₂) + k·V)`` with add-k
+    smoothing, ``C₂`` derived from the trigram table (so the two counts
+    are consistent by construction) and ``V`` = distinct third-character
+    alphabet.  ``lm_score = round(-avg ln p, 6)`` over the document's
+    trigram OCCURRENCES, i.e. its per-character cross-entropy under the
+    corpus model; rounding makes the double portable to the DuckDB
+    oracle.  Documents shorter than 3 characters get NULL.
+
+    100 TB shape: the model is one hash aggregate whose result is
+    bounded by the alphabet cubed — broadcast to the scoring join, so
+    scoring is a map-side join + one per-document aggregate.  No UDFs,
+    no driver-side fit.
+    """
+    txt = F.lower(F.trim(F.col(text_col)))
+    tris = F.when(
+        F.length(txt) >= 3,
+        F.transform(F.sequence(F.lit(1), F.length(txt) - 2),
+                    lambda i: txt.substr(i, F.lit(3))),
+    )
+    doc_tris = df.select(id_col, F.explode(tris).alias("__tri"))
+    c3 = doc_tris.groupBy("__tri").agg(F.count(F.lit(1)).alias("__c3"))
+    c2 = (
+        c3.groupBy(F.substring("__tri", 1, 2).alias("__pre"))
+        .agg(F.sum("__c3").alias("__c2"))
+    )
+    v = c3.agg(
+        F.countDistinct(F.substring("__tri", 3, 1)).alias("__v"))
+    model = (
+        c3.withColumn("__pre", F.substring("__tri", 1, 2))
+        .join(c2, "__pre")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__tri",
+            F.log((F.col("__c3") + F.lit(add_k))
+                  / (F.col("__c2") + F.lit(add_k) * F.col("__v")))
+            .alias("__logp"),
+        )
+    )
+    scores = (
+        doc_tris.join(F.broadcast(model), "__tri")
+        .groupBy(id_col)
+        .agg(F.round(-F.avg("__logp"), 6).alias(out_col))
+    )
+    return df.join(scores, id_col, "left")
+
+
 # ---------------------------------------------------------------------------
 # document fingerprinting (md5-derived 56-bit hash)
 # ---------------------------------------------------------------------------

@@ -86,9 +86,34 @@ _SHARD_TARGET_TOKENS = 2000
     tfidf_top AS (
         SELECT doc_id, string_agg(word, '|' ORDER BY rn) AS tfidf_top3
         FROM tfidf_ranked WHERE rn <= 3 GROUP BY doc_id
+    ),
+    lmtxt AS (
+        SELECT doc_id, lower(trim(text)) AS lt FROM documents
+    ),
+    lmtri AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, length(lt) - 2),
+            i -> substring(lt, CAST(i AS INT), 3))) AS tri
+        FROM lmtxt WHERE length(lt) >= 3
+    ),
+    lmc3 AS (SELECT tri, count(*) AS c3 FROM lmtri GROUP BY tri),
+    lmc2 AS (
+        SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
+        FROM lmc3 GROUP BY 1
+    ),
+    lmv AS (SELECT count(DISTINCT substring(tri, 3, 1)) AS v FROM lmc3),
+    lmmodel AS (
+        SELECT tri, ln((c3 + 1.0) / (c2 + 1.0 * v)) AS logp
+        FROM lmc3 JOIN lmc2 ON substring(lmc3.tri, 1, 2) = lmc2.pre
+        CROSS JOIN lmv
+    ),
+    lmscore AS (
+        SELECT t.doc_id, round(-avg(m.logp), 6) AS lm_score
+        FROM lmtri t JOIN lmmodel m USING (tri) GROUP BY t.doc_id
     )
-    SELECT g.*, t.tfidf_top3
+    SELECT g.*, t.tfidf_top3, l.lm_score
     FROM grams g JOIN tfidf_top t USING (doc_id)
+    LEFT JOIN lmscore l USING (doc_id)
     """,
 )
 def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +134,10 @@ def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded ``tf·ln(N/df)``, word tie-break) hash-checks the
     training-pipeline keyword extractor ``text.tfidf_top_terms`` — two
     hash aggregates + a per-doc rank window, N via a 1-row broadcast
-    aggregate so the plan stays lazy.
+    aggregate so the plan stays lazy.  The joined ``lm_score``
+    hash-checks ``text.ngram_lm_score`` — the char-trigram LM
+    cross-entropy quality gate (add-1 smoothing, self-trained corpus
+    model, rounded to 6 decimals for engine portability).
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = X.tokenize(docs, ["doc_id"])
@@ -123,7 +151,10 @@ def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_stopword"),
     )
     top3 = X.tfidf_top_terms(tokens, k=3, out_col="tfidf_top3")
-    return out.join(top3, "doc_id")
+    # per-doc char-trigram LM cross-entropy (the CCNet perplexity-filter
+    # stand-in): model = one alphabet³-bounded broadcast aggregate
+    lm = X.ngram_lm_score(docs).select("doc_id", "lm_score")
+    return out.join(top3, "doc_id").join(lm, "doc_id", "left")
 
 
 # BPE-ish pre-tokenizer pattern (GPT-2 style, minus the \s+(?!\S) lookahead

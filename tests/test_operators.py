@@ -396,3 +396,34 @@ def test_tfidf_top_terms_hand_computed(spark):
     # d3: cherry and date tie at 1·ln3 → alphabetical
     assert got["d3"] == "cherry|date"
     assert math.isclose(math.log(3), 1.0986, abs_tol=1e-4)  # sanity
+
+
+def test_ngram_lm_score_hand_computed_and_ordering(spark):
+    """Corpus-typical text scores LOW, gibberish HIGH; exact value pinned
+    against a hand-computed add-1 trigram model."""
+    import math
+
+    from barberini_analytics_spark.operators.text import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "aaaaaaaaab"), (3, "xq"),
+         (4, "zzqqkkvvww")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.lm_score
+           for r in ngram_lm_score(df).select("doc_id", "lm_score").collect()}
+    # corpus trigram counts: 'aaa'×15, 'aab'×1, plus doc4's 8 unique tris
+    # → V = {a,b,q,k,v,w} = 6; C2('aa') = 16; p('aaa') = 16/22
+    assert got[1] == round(-math.log(16 / 22), 6)
+    # the all-repeat doc is most typical; gibberish least
+    assert got[1] < got[2] < got[4]
+    assert got[3] is None  # < 3 chars: no trigram evidence
+
+
+def test_ngram_lm_score_model_join_is_broadcast(spark):
+    """The alphabet³-bounded model must reach scoring as a broadcast —
+    a shuffle join there would re-shuffle every trigram occurrence."""
+    from barberini_analytics_spark.operators.text import ngram_lm_score
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    plan = ngram_lm_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
