@@ -548,6 +548,52 @@ def hash_split(df: DataFrame, weights: Sequence[float], key_col: str,
     return df.withColumn(out_col, expr.cast("int"))
 
 
+def mix_sources(df: DataFrame, source_col: str, targets: dict[str, float],
+                key_col: str = "doc_id", seed: int = 7,
+                out_col: str = "n_copies") -> DataFrame:
+    """Deterministic corpus mixing: resample each source to a target
+    share of the corpus (the Pile/Dolma-style mixture step) by assigning
+    every document an integer replication count.
+
+    ``targets`` maps source → desired share (normalized internally).
+    With the corpus size held constant, source ``s`` gets rate
+    ``r_s = share_s · N / N_s``; each document receives
+    ``floor(r_s)`` copies plus one more iff its 48-bit md5 uniform
+    ``u(seed, key) < frac(r_s)`` — so downsampling (r<1) keeps an exact
+    deterministic subset and upsampling (r>1) replicates with a
+    deterministic fractional remainder, reproducible across runs,
+    clusters, and repartitioning (no ``rand()``).  Sources missing from
+    ``targets`` get share 0 (dropped).  In expectation each source lands
+    exactly on its target share; a consumer materializes the copies with
+    ``explode(sequence(1, n_copies))``.
+
+    100 TB shape: one tiny per-source aggregate (rows = #sources,
+    broadcast back), then a map-only projection — no shuffle of the
+    corpus itself.
+    """
+    total_w = float(sum(targets.values()))
+    shares = {s: w / total_w for s, w in targets.items()}
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    grand = df.agg(F.count(F.lit(1)).alias("__n"))
+    share_expr = F.lit(0.0)
+    for s, w in shares.items():
+        share_expr = F.when(F.col(source_col) == s, F.lit(w)) \
+            .otherwise(share_expr)
+    u = (F.conv(F.substring(F.md5(
+        F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))),
+        1, 12), 16, 10).cast("double") / float(16 ** 12))
+    rate = share_expr * F.col("__n") / F.col("__n_s")
+    return (
+        df.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            out_col,
+            (F.floor(rate) + (u < rate - F.floor(rate)).cast("long"))
+            .cast("long"))
+        .drop("__n_s", "__n")
+    )
+
+
 def assign_token_shards(df: DataFrame, token_col: str, order_col: str,
                         target_tokens: int,
                         out_col: str = "shard") -> DataFrame:

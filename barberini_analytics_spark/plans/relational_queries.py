@@ -433,13 +433,31 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (strpos('0123456789abcdef',
                            substring(md5('42|' || CAST(doc_id AS VARCHAR)),
                                      CAST(i + 1 AS INT), 1)) - 1)
-                   * power(16, 11 - i))) / power(16, 12) AS u
+                   * power(16, 11 - i))) / power(16, 12) AS u,
+               list_sum(list_transform(range(0, 12), i ->
+                   (strpos('0123456789abcdef',
+                           substring(md5('7|' || CAST(doc_id AS VARCHAR)),
+                                     CAST(i + 1 AS INT), 1)) - 1)
+                   * power(16, 11 - i))) / power(16, 12) AS mu
         FROM uni
+    ),
+    src_counts AS (SELECT source, count(*) AS n_s FROM uni GROUP BY source),
+    grand AS (SELECT count(*) AS n FROM uni),
+    mixed AS (
+        SELECT h.*,
+               (CASE h.source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                              WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                              ELSE 0.0 END
+                * CAST(g.n AS BIGINT)) / CAST(c.n_s AS BIGINT) AS rate
+        FROM hashed h
+        JOIN src_counts c USING (source) CROSS JOIN grand g
     )
     SELECT doc_id, source, lang,
            CAST(CASE WHEN u < 0.8 THEN 0 WHEN u < 0.9 THEN 1 ELSE 2 END
-                AS INT) AS split
-    FROM hashed
+                AS INT) AS split,
+           CAST(floor(rate) + CASE WHEN mu < rate - floor(rate)
+                                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM mixed
     """,
 )
 def union_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,15 +472,26 @@ def union_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-pipeline splitter oracle-checked: DuckDB re-derives the
     48-bit md5 uniform digit-wise and buckets it with the same
     cumulative weights.
+
+    The ``n_copies`` column hash-checks the corpus-mixing resampler
+    ``text.mix_sources``: a 4-source target mix (0.4/0.3/0.2/0.1, other
+    sources dropped) exercising upsampling (replication counts > 1),
+    fractional downsampling, and the drop path — DuckDB re-derives the
+    rates from its own source counts and the same 48-bit seed-7 uniform.
     """
-    from ..operators.text import hash_split
+    from ..operators.text import hash_split, mix_sources
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     uni = R.union_dedup(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("source") == "src0"),
     )
-    return hash_split(uni, [0.8, 0.1, 0.1], "doc_id", seed=42)
+    split = hash_split(uni, [0.8, 0.1, 0.1], "doc_id", seed=42)
+    return mix_sources(
+        split, "source",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        seed=7,
+    ).select("doc_id", "source", "lang", "split", "n_copies")
 
 
 _WATERMARK_CUTOFF = "2024-01-15 00:00:00"

@@ -306,3 +306,42 @@ def test_dedup_segments_blank_runs_dropped(spark):
     out = _seg_rows(spark, docs, sep=r"\n")
     assert out[1].n_segments == 2
     assert out[1].text_kept_first == "a b"
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus mixing (source reweighting)
+# ---------------------------------------------------------------------------
+
+def test_mix_sources_rates_and_determinism(spark):
+    from barberini_analytics_spark.operators.text import mix_sources
+
+    rows = [(i, "a" if i < 800 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text_source"])
+    targets = {"a": 0.5, "b": 0.5}  # rebalance 800/200 -> 500/500
+    out = mix_sources(df, "text_source", targets, seed=3)
+    got = out.groupBy("text_source").agg(
+        F.sum("n_copies").alias("tot")).collect()
+    tot = {r.text_source: r.tot for r in got}
+    # expectation = 500 per source; hash uniform keeps it within a few %
+    assert abs(tot["a"] - 500) < 50 and abs(tot["b"] - 500) < 50
+    # source b upsamples: rate 2.5 -> every doc gets >= 2 copies
+    assert out.filter("text_source = 'b' AND n_copies < 2").count() == 0
+    # source a downsamples: rate 0.625 -> copies in {0, 1}
+    assert out.filter("text_source = 'a' AND n_copies > 1").count() == 0
+    # partitioning-invariant: same counts after a reshuffle
+    re = mix_sources(df.repartition(13), "text_source", targets, seed=3)
+    assert {(r.doc_id, r.n_copies) for r in re.select("doc_id", "n_copies").collect()} \
+        == {(r.doc_id, r.n_copies) for r in out.select("doc_id", "n_copies").collect()}
+
+
+def test_mix_sources_drops_untargeted_sources(spark):
+    from barberini_analytics_spark.operators.text import mix_sources
+
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "keep"), (3, "drop_me")],
+        ["doc_id", "text_source"])
+    out = mix_sources(df, "text_source", {"keep": 1.0})
+    got = {r.doc_id: r.n_copies for r in out.collect()}
+    assert got[3] == 0
+    # kept source redistributes the full corpus size (rate 3/2 = 1.5)
+    assert got[1] + got[2] >= 2
