@@ -56,3 +56,40 @@ def test_near_dup_groups_transitive(spark):
     assert out[1].group_size == 3
     reps = [i for i, r in out.items() if r.is_representative]
     assert sorted(reps) == [1, 4]              # one survivor per group
+
+
+# ---------------------------------------------------------------------------
+# PageRank (link-centrality quality weighting)
+# ---------------------------------------------------------------------------
+
+def _pr(spark, node_ids, edge_pairs, **kw):
+    from barberini_analytics_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    edges = spark.createDataFrame(edge_pairs, ["id1", "id2"])
+    return {r.id: r.rank for r in pagerank(nodes, edges, **kw).collect()}
+
+
+def test_pagerank_cycle_is_uniform_and_sums_to_one(spark):
+    got = _pr(spark, [1, 2, 3], [(1, 2), (2, 3), (3, 1)])
+    assert all(abs(v - 1 / 3) < 1e-12 for v in got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # two leaves point at a hub; hub dangles (mass redistributed)
+    got = _pr(spark, [1, 2, 3], [(1, 3), (2, 3)], n_iter=30)
+    assert got[3] > got[1] and abs(got[1] - got[2]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_closed_form_two_nodes(spark):
+    # 1 -> 2, 2 -> 1 with a dangling third node: analytic fixed point
+    # (symmetry: r1 = r2; dangling node d keeps base + its share)
+    got = _pr(spark, [1, 2, 3], [(1, 2), (2, 1)], n_iter=60)
+    # node 3 has no in-links: r3 = base + d*(r3/3)... wait: dangling mass
+    # is r3 itself, spread to all 3 nodes; solve r3 = 0.05 + 0.85*r3/3
+    r3 = 0.05 / (1 - 0.85 / 3)
+    assert abs(got[3] - r3) < 1e-9
+    assert abs(got[1] - got[2]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
