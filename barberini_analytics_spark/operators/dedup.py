@@ -389,8 +389,16 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
     text-cleaning dedup inside post filtering (SURVEY §2.3 P4) lifted
     from document to segment grain.
     """
-    segs = segment_documents(df, id_col, text_col, sep, tokens_per_segment)
-    segs = segs.withColumn("seg_fp", hash56(F.col("segment")))
+    from ..core.cache import scoped_persist
+
+    # the segment frame feeds the occurrence aggregate AND the kept-join;
+    # persist it (re-spread first — on an unsplittable single-row-group
+    # input the explode would otherwise run serially, twice)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+    segs = segment_documents(df.repartition(n_part), id_col, text_col,
+                             sep, tokens_per_segment)
+    segs = scoped_persist(segs.withColumn("seg_fp", hash56(F.col("segment"))))
     per_doc = (
         segs.groupBy("seg_fp", id_col)
         .agg(F.min("seg_index").alias("__first_idx"))

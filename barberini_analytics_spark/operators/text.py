@@ -215,16 +215,27 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
     100 TB shape: the model is one hash aggregate whose result is
     bounded by the alphabet cubed — broadcast to the scoring join, so
     scoring is a map-side join + one per-document aggregate.  No UDFs,
-    no driver-side fit.
+    no driver-side fit.  The trigram frame feeds both the model
+    aggregates and the scoring pass, so it is query-scope persisted
+    (and re-spread first: without it Catalyst re-runs the explode per
+    consumer, serially on an unsplittable single-row-group input); the
+    tiny ``c3`` table is persisted too so ``c2``/``V`` don't re-count.
     """
+    from ..core.cache import scoped_persist
+
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
     txt = F.lower(F.trim(F.col(text_col)))
     tris = F.when(
         F.length(txt) >= 3,
         F.transform(F.sequence(F.lit(1), F.length(txt) - 2),
                     lambda i: txt.substr(i, F.lit(3))),
     )
-    doc_tris = df.select(id_col, F.explode(tris).alias("__tri"))
-    c3 = doc_tris.groupBy("__tri").agg(F.count(F.lit(1)).alias("__c3"))
+    doc_tris = scoped_persist(
+        df.repartition(n_part)
+        .select(id_col, F.explode(tris).alias("__tri")))
+    c3 = scoped_persist(
+        doc_tris.groupBy("__tri").agg(F.count(F.lit(1)).alias("__c3")))
     c2 = (
         c3.groupBy(F.substring("__tri", 1, 2).alias("__pre"))
         .agg(F.sum("__c3").alias("__c2"))
@@ -233,7 +244,7 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
         F.countDistinct(F.substring("__tri", 3, 1)).alias("__v"))
     model = (
         c3.withColumn("__pre", F.substring("__tri", 1, 2))
-        .join(c2, "__pre")
+        .join(F.broadcast(c2), "__pre")
         .crossJoin(F.broadcast(v))
         .select(
             "__tri",

@@ -139,8 +139,13 @@ def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy quality gate (add-1 smoothing, self-trained corpus
     model, rounded to 6 decimals for engine portability).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = X.tokenize(docs, ["doc_id"])
+    from ..core.cache import scoped_persist
+    from .ingest_queries import _spread
+
+    # the token explode feeds grams AND the tfidf branch; persist it once
+    # (re-spread first: the single-row-group local parquet is unsplittable)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tokens = scoped_persist(X.tokenize(docs, ["doc_id"]))
     grams = X.ngrams(tokens, ["doc_id"], [1, 2], stopwords=())
     sw = F.array(*[F.lit(s) for s in _STOPWORDS])
     out = grams.select(
