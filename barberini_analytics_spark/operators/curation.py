@@ -1,0 +1,119 @@
+"""End-to-end training-corpus curation: the composition a 100 TB data
+pipeline actually runs, wired from the individually oracle-checked
+operators in this package.
+
+Stage order follows the standard web-corpus recipe (C4 → CCNet →
+RefinedWeb lineage): cheap per-document gates first (each stage only
+pays for the previous stage's survivors), then corpus-level dedup from
+cheapest to most expensive, then mixture/split/packing:
+
+1. quality gates  — token count, alphabetic ratio, char-trigram LM
+   cross-entropy under a corpus quantile (all map-side; the LM model and
+   the quantile are 1-row/alphabet-bounded broadcast aggregates);
+2. exact dedup    — content-fingerprint groups, smallest id survives;
+3. segment dedup  — CCNet/C4 boilerplate removal, documents reassembled
+   from their globally-first segments (empty survivors dropped);
+4. near-dup dedup — MinHash-LSH groups, LONGEST member survives
+   (keep-best, not keep-any);
+5. mixing         — optional source reweighting to target shares with
+   deterministic integer replication;
+6. split + shards — leak-free hash split and token-budgeted shard
+   packing over a unique (id, copy) order.
+
+Every stage is a DataFrame→DataFrame transform: no collects, no UDFs,
+and the whole pipeline is one lazy plan per stage boundary (the dedup
+stages persist their multiply-consumed frames query-scoped).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import dedup_keep_best, dedup_segments
+from .text import (assign_token_shards, fingerprint, hash_split, mix_sources,
+                   ngram_lm_score, quality_features)
+
+
+def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", source_col: str | None = None,
+                  min_tokens: int = 5, min_alpha_ratio: float = 0.0,
+                  lm_quantile: float | None = 0.95,
+                  seg_tokens: int = 10,
+                  near_dup_threshold: float = 0.5,
+                  targets: dict[str, float] | None = None,
+                  split_weights: Sequence[float] = (0.9, 0.05, 0.05),
+                  shard_tokens: int | None = None,
+                  seed: int = 42) -> DataFrame:
+    """Run the full curation recipe; returns one row per surviving
+    document COPY with ``n_tokens``, ``lm_score``, ``split``,
+    ``copy_id`` and (when ``shard_tokens`` is set) ``shard`` attached.
+
+    ``lm_quantile=None`` skips the LM gate, ``targets=None`` skips
+    mixing (every survivor keeps one copy), ``shard_tokens=None`` skips
+    packing.  Determinism: every stochastic-looking step (split, mix
+    remainder) is a pure function of ``(seed, id)``.
+    """
+    base_cols = [id_col, text_col] + ([source_col] if source_col else [])
+
+    # -- 1. quality gates -------------------------------------------------
+    prof = quality_features(docs.select(*base_cols), text_col)
+    gated = prof.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio))
+    gated = ngram_lm_score(gated, id_col, text_col)
+    if lm_quantile is not None:
+        q = gated.agg(
+            F.percentile_approx("lm_score", lm_quantile).alias("__q"))
+        gated = (gated.crossJoin(F.broadcast(q))
+                 .filter(F.col("lm_score") <= F.col("__q")).drop("__q"))
+    gated = gated.select(*base_cols, "n_tokens", "lm_score")
+
+    # -- 2. exact dedup (smallest id per content survives) ----------------
+    fp = fingerprint(gated, text_col)
+    reps = (fp.groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col)))
+    exact = fp.join(reps, ["fingerprint", id_col], "left_semi") \
+        .drop("fingerprint")
+
+    # -- 3. segment-level boilerplate removal ------------------------------
+    segd = dedup_segments(exact, id_col, text_col,
+                          tokens_per_segment=seg_tokens)
+    seg_kept = (
+        exact.drop(text_col)
+        .join(segd.filter(F.col("text_kept_first") != "")
+              .select(id_col, F.col("text_kept_first").alias(text_col)),
+              id_col)
+        # token count changed with the removed segments
+        .withColumn("n_tokens",
+                    F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    )
+
+    # -- 4. near-dup dedup, longest member survives ------------------------
+    deduped = dedup_keep_best(seg_kept, id_col, "n_tokens", text_col,
+                              threshold=near_dup_threshold)
+
+    # -- 5. optional source mixing -----------------------------------------
+    if targets is not None:
+        if source_col is None:
+            raise ValueError("targets given but source_col is None")
+        mixed = mix_sources(deduped, source_col, targets,
+                            key_col=id_col, seed=seed)
+        out = (mixed.filter(F.col("n_copies") > 0)
+               .withColumn("copy_id",
+                           F.explode(F.sequence(F.lit(1),
+                                                F.col("n_copies"))))
+               .drop("n_copies"))
+    else:
+        out = deduped.withColumn("copy_id", F.lit(1))
+
+    # -- 6. leak-free split + token-budgeted shard packing ------------------
+    out = hash_split(out, list(split_weights), id_col, seed=seed)
+    if shard_tokens is not None:
+        out = out.withColumn(
+            "__ord", F.concat_ws("#", F.col(id_col).cast("string"),
+                                 F.col("copy_id").cast("string")))
+        out = assign_token_shards(out, "n_tokens", "__ord",
+                                  shard_tokens).drop("__ord")
+    return out

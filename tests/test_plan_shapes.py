@@ -28,8 +28,12 @@ def _read_schemas(plan: str) -> list[str]:
 
 # (query, max exchanges, column that must NOT be read, table hint)
 PRUNING_CASES = [
-    # exact dedup never needs lang/source/n_chars — only id + text
-    ("exact_dedup_documents", 1, "n_chars"),
+    # exact + segment dedup never needs lang/source/n_chars — only
+    # id + text.  Budget: the explicit re-spread repartition, the
+    # fingerprint group + two joins of the exact half, and the segment
+    # half's (fp,id) aggregate, fp aggregate, occurrence join, and
+    # doc-grain reassembly (each a keyed shuffle of narrow rows)
+    ("exact_dedup_documents", 9, "n_chars"),
     # profile is a map pipeline plus one explicit scan re-spread (the
     # local parquet is a single unsplittable row group) and the shard
     # packer's two exchanges (range partition + the pid-keyed window

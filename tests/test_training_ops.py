@@ -345,3 +345,79 @@ def test_mix_sources_drops_untargeted_sources(spark):
     assert got[3] == 0
     # kept source redistributes the full corpus size (rate 3/2 = 1.5)
     assert got[1] + got[2] >= 2
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+def test_curate_corpus_every_stage_fires(spark):
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    block = " ".join(f"b{i}" for i in range(10))
+    a_text = " ".join(f"a{i}" for i in range(12))
+    docs = spark.createDataFrame([
+        (1, a_text, "s0"),                                   # survives
+        (2, a_text, "s0"),                                   # exact dup of 1
+        (3, block + " c0 c1 c2 c3 c4", "s0"),                # 1st block owner
+        (4, block + " d0 d1 d2 d3 d4 d5", "s1"),             # loses the block
+        (5, " ".join(f"n{i}" for i in range(14)), "s1"),     # near-dup, shorter
+        (6, "m0 " + " ".join(f"n{i}" for i in range(1, 16)), "s1"),  # longest
+        (7, "tiny doc", "s0"),                               # < min_tokens
+    ], ["doc_id", "text", "source"])
+
+    out = curate_corpus(docs, source_col="source", min_tokens=5,
+                        lm_quantile=None, shard_tokens=8).collect()
+    rows = {r.doc_id: r for r in out}
+    assert set(rows) == {1, 3, 4, 6}
+    # boilerplate block stripped from the later doc, kept in the earlier
+    assert rows[4].text == "d0 d1 d2 d3 d4 d5"
+    assert rows[3].text.startswith(block)
+    # n_tokens recomputed after segment removal
+    assert rows[4].n_tokens == 6
+    # near-dup group collapsed to its longest member
+    assert rows[6].group_size == 2
+    # split/shard assigned everywhere
+    assert all(r.split in (0, 1, 2) and r.shard is not None for r in out)
+    assert all(r.copy_id == 1 for r in out)
+
+
+def test_curate_corpus_lm_gate_drops_gibberish(spark):
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    normal = [(i, "the cat sat on the mat and saw the dog", "s0")
+              for i in range(20)]
+    docs = spark.createDataFrame(
+        normal + [(99, "zx qv jq kx wq vz xj qk zv jx", "s0")],
+        ["doc_id", "text", "source"])
+    out = curate_corpus(docs, source_col="source", min_tokens=3,
+                        lm_quantile=0.9, near_dup_threshold=1.01).collect()
+    ids = {r.doc_id for r in out}
+    assert 99 not in ids           # the LM gate rejects the outlier
+    assert 0 in ids                # exact dedup keeps one typical doc
+    # all 20 normal docs are identical -> exact dedup collapses to doc 0
+    assert ids == {0}
+
+
+def test_curate_corpus_mixing_replicates(spark):
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i} with plenty of extra words "
+             + " ".join(f"u{i}x{j}" for j in range(8)),
+          "big" if i < 40 else "small") for i in range(50)],
+        ["doc_id", "text", "source"])
+    out = curate_corpus(docs, source_col="source", min_tokens=3,
+                        lm_quantile=None,
+                        targets={"big": 0.5, "small": 0.5}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # small source (10 docs) upsamples toward 25 copies; big downsamples
+    assert len(by_src["small"]) > 10
+    assert len(by_src["big"]) < 40
+    # copies of one doc share their split (no train/eval leakage)
+    splits = {}
+    for r in out:
+        splits.setdefault(r.doc_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits.values())
