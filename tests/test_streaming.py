@@ -252,3 +252,53 @@ def test_attribution_stream_stream_join_matches_batch(spark, batch_events):
                   "inner").collect()}
     assert got_set == expect
     assert len(expect) > 0  # the fixture must actually exercise the join
+
+
+def test_curate_stream_matches_batch_guard(spark, tmp_path):
+    """Streaming ingestion guard vs its batch equivalent: fingerprint
+    dedup + Bloom novelty + quality gates."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from barberini_analytics_spark.operators.dedup import fingerprint_index
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 8 new docs, one in-stream replay (doc 3 again), one historical dup,
+    # one too-short doc
+    for i in range(8):
+        rows.append((i, t0 + datetime.timedelta(minutes=i),
+                     f"fresh document number {i} with several words d{i}"))
+    rows.append((100, t0 + datetime.timedelta(minutes=20),
+                 "fresh document number 3 with several words d3"))  # replay
+    rows.append((101, t0 + datetime.timedelta(minutes=21),
+                 "historical content already in the corpus index"))
+    rows.append((102, t0 + datetime.timedelta(minutes=22), "too short"))
+    d = tmp_path / "docfeed"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        rows, columns=["doc_id", "ts", "text"])), str(d / "f1.parquet"),
+        coerce_timestamps="us")  # pandas default is NANOS — unreadable
+                                 # by Spark's vectorized reader
+
+    corpus = spark.createDataFrame(
+        [(1, "historical content already in the corpus index")],
+        ["doc_id", "text"])
+    _, bloom = fingerprint_index(corpus, "doc_id")
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (spark.readStream.schema(schema).parquet(str(d))
+              # pandas naive datetimes land as NTZ; watermark needs
+              # session-tz TIMESTAMP (identity under the UTC session tz)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    got = SJ.run_available_now(
+        SJ.curate_stream(stream, bloom, min_tokens=4), "curated",
+        output_mode="append").toPandas()
+    ids = sorted(got["doc_id"].tolist())
+    # 8 fresh docs pass; replay of doc 3's content, the historical dup,
+    # and the short doc are dropped
+    assert ids == list(range(8))
+    assert "fingerprint" in got.columns and "n_tokens" in got.columns
