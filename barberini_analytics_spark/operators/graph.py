@@ -31,7 +31,9 @@ from ..core.cache import scoped_checkpoint
 
 def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
              src: str = "id1", dst: str = "id2", damping: float = 0.85,
-             n_iter: int = 10, out_col: str = "rank") -> DataFrame:
+             n_iter: int = 10, out_col: str = "rank",
+             redistribute_dangling: bool = True,
+             checkpoint_every: int = 1) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the
     link-centrality signal web-scale corpus pipelines use to weight
     crawl quality (a page's rank feeds sampling weight or a quality
@@ -47,36 +49,45 @@ def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
 
     Returns ``(id_col, out_col)`` with raw double ranks; round at the
     call site if hashing across engines.
+
+    ``redistribute_dangling=False`` skips the per-round dangling
+    aggregate — exact (and one broadcast job per round cheaper) when the
+    caller knows every node has out-edges, e.g. a symmetrized undirected
+    graph.  ``checkpoint_every=0`` never checkpoints: for small
+    ``n_iter`` the whole iteration then folds into ONE lazy plan with no
+    per-round jobs at all; keep the default cadence for long runs, where
+    the accumulated lineage would otherwise blow up plan optimization.
     """
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("__deg"))
-    e = scoped_checkpoint(e.join(deg, "e_src"))
+    e = e.join(deg, "e_src")
+    if checkpoint_every:
+        e = scoped_checkpoint(e)
     n_nodes = nodes.count()  # scalar bound of the rank vector, not data
     ranks = nodes.select(F.col(id_col).alias("id"),
                          F.lit(1.0 / n_nodes).alias("__r"))
     base = (1.0 - damping) / n_nodes
-    for _ in range(n_iter):
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(deg, ranks.id == deg.e_src, "left_anti")
-            .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
-        )
+    for it in range(n_iter):
         contrib = (
             e.join(ranks, e.e_src == ranks.id)
             .groupBy("e_dst")
             .agg(F.sum(F.col("__r") / F.col("__deg")).alias("__c"))
         )
-        ranks = scoped_checkpoint(
-            ranks.join(contrib, ranks.id == contrib.e_dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (F.lit(base)
-                 + F.lit(damping)
-                 * (F.coalesce("__c", F.lit(0.0))
-                    + F.col("__dm") / F.lit(float(n_nodes))))
-                .alias("__r"))
-        )
+        new_mass = F.coalesce("__c", F.lit(0.0))
+        step = ranks.join(contrib, ranks.id == contrib.e_dst, "left")
+        if redistribute_dangling:
+            # dangling mass: rank held by nodes with no out-edges
+            dangling = (
+                ranks.join(deg, ranks.id == deg.e_src, "left_anti")
+                .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dm"))
+            )
+            step = step.crossJoin(F.broadcast(dangling))
+            new_mass = new_mass + F.col("__dm") / F.lit(float(n_nodes))
+        ranks = step.select(
+            "id",
+            (F.lit(base) + F.lit(damping) * new_mass).alias("__r"))
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = scoped_checkpoint(ranks)
     return ranks.select(F.col("id").alias(id_col),
                         F.col("__r").alias(out_col))
 

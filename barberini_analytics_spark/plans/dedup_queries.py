@@ -164,6 +164,27 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 2
+
+# fixed-iteration PageRank as chained CTEs — one per power-iteration
+# round, mirroring operators/graph.pagerank exactly (no dangling mass:
+# the pair graph is symmetrized, every node has out-edges)
+_PR_ITERS_SQL = "\n    ".join(
+    f"""it{k} AS (
+        SELECT pr_nodes.id AS id,
+               (1.0 - {_PR_DAMP}) / nn.n
+               + {_PR_DAMP} * coalesce(agg.c, 0.0) AS r
+        FROM pr_nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.b AS id, sum(p.r / d.deg) AS c
+            FROM dir_edges e JOIN it{k - 1} p ON p.id = e.a
+            JOIN deg d ON d.a = e.a
+            GROUP BY e.b) agg USING (id)
+    ),"""
+    for k in range(1, _PR_ITERS + 1))
+
+
 @query(
     "minhash_near_duplicates",
     oracle=rf"""
@@ -211,9 +232,16 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grp AS (
         SELECT a AS id, least(a, min(b)) AS gid FROM reach GROUP BY a
-    )
-    SELECT v.id_a, v.id_b, v.jaccard, g.gid AS group_id
+    ),
+    pr_nodes AS (SELECT DISTINCT a AS id FROM dir_edges),
+    nn AS (SELECT count(*) AS n FROM pr_nodes),
+    deg AS (SELECT a, count(*) AS deg FROM dir_edges GROUP BY a),
+    it0 AS (SELECT id, 1.0 / nn.n AS r FROM pr_nodes CROSS JOIN nn),
+    {_PR_ITERS_SQL}
+    ranked AS (SELECT id, round(r, 6) AS rank_a FROM it{_PR_ITERS})
+    SELECT v.id_a, v.id_b, v.jaccard, g.gid AS group_id, p.rank_a
     FROM verified v JOIN grp g ON g.id = v.id_a
+    JOIN ranked p ON p.id = v.id_a
     """,
 )
 def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,8 +261,15 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     with corpus size, and its key is (band, 56-bit hash).  The component
     table is pair-graph-sized (near-dup ids only), broadcast back onto
     the pairs.
+
+    ``rank_a`` hash-checks ``operators/graph.pagerank``: a fixed
+    2-round power iteration over the symmetrized pair graph (duplicate
+    centrality — the member most connected within its dup cluster); the
+    oracle re-derives the identical rounds as chained CTEs.  The round
+    count bounds bench latency (each lazy round is two tiny shuffle
+    stages), not fidelity — the per-round arithmetic is what's checked.
     """
-    from ..operators.graph import connected_components
+    from ..operators.graph import connected_components, pagerank
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
@@ -244,16 +279,29 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.cache import scoped_persist
 
     pairs = scoped_persist(pairs)  # reused: node list + closure + final join
-    nodes = (pairs.select(F.col("id_a").alias("id"))
-             .union(pairs.select("id_b")).distinct())
+    nodes = scoped_persist(        # reused: CC init, rank init, node count
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select("id_b")).distinct())
     comp = connected_components(
         nodes, pairs.select(F.col("id_a").alias("id1"),
                             F.col("id_b").alias("id2")),
         id_col="id", symmetrize=True)
-    return pairs.join(
-        F.broadcast(comp.select(F.col("id").alias("id_a"),
-                                F.col("label").alias("group_id"))),
-        "id_a")
+    sym_edges = (pairs.select(F.col("id_a").alias("id1"),
+                              F.col("id_b").alias("id2"))
+                 .union(pairs.select(F.col("id_b"), F.col("id_a"))))
+    # symmetrized graph → no dangling nodes; 3 lazy rounds fold into the
+    # final join's single job (no per-round checkpoints)
+    pr = pagerank(nodes, sym_edges, n_iter=_PR_ITERS, damping=_PR_DAMP,
+                  redistribute_dangling=False, checkpoint_every=0)
+    return (
+        pairs.join(
+            F.broadcast(comp.select(F.col("id").alias("id_a"),
+                                    F.col("label").alias("group_id"))),
+            "id_a")
+        .join(F.broadcast(pr.select(F.col("id").alias("id_a"),
+                                    F.round("rank", 6).alias("rank_a"))),
+              "id_a")
+    )
 
 
 _SIMHASH_BITS = 16
