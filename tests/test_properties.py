@@ -208,3 +208,81 @@ def test_shuffle_sample_invariant_to_partitioning(spark, seed, parts):
                        key_cols=["id"]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 20
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 12), st.integers(1, 8))
+def test_dedup_segments_partition_invariants(spark, seed, n_docs, vocab):
+    """Keep-first segment dedup invariants on random corpora:
+
+    - every distinct segment content survives EXACTLY once corpus-wide;
+    - per doc, kept + dropped = total;
+    - a segment is counted common iff >= 2 distinct docs contain it."""
+    from barberini_analytics_spark.operators.dedup import dedup_segments
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        lines = [" ".join(f"w{rng.integers(vocab)}"
+                          for _ in range(rng.integers(1, 4)))
+                 for _ in range(rng.integers(1, 5))]
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dedup_segments(df, "doc_id", sep=r"\n").collect()
+
+    # python reference
+    per_doc: dict[int, list[str]] = {}
+    doc_sets: dict[str, set[int]] = {}
+    for i, text in docs:
+        per_doc[i] = [s for s in text.split("\n") if s.strip()]
+        for s in per_doc[i]:
+            doc_sets.setdefault(s, set()).add(i)
+    total_kept = 0
+    for r in out:
+        segs = per_doc[r.doc_id]
+        assert r.n_segments == len(segs)
+        total_kept += r.n_kept_first
+        assert r.n_common_segments == sum(
+            1 for s in segs if len(doc_sets[s]) >= 2)
+    distinct_contents = {s for segs in per_doc.values() for s in segs}
+    assert total_kept == len(distinct_contents)
+    # reconstruct global keep-first per doc and compare text
+    claimed = {r.doc_id: r.text_kept_first for r in out}
+    first_owner: dict[str, tuple[int, int]] = {}
+    for i in sorted(per_doc):
+        for pos, s in enumerate(per_doc[i]):
+            if s not in first_owner:
+                first_owner[s] = (i, pos)
+    for i in sorted(per_doc):
+        ref = " ".join(s for pos, s in enumerate(per_doc[i])
+                       if first_owner[s] == (i, pos))
+        assert claimed[i] == ref, (i, claimed[i], ref)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 5))
+def test_mix_sources_copy_counts_bound_by_rate(spark, seed, n_sources):
+    """Every document's copy count is floor(rate) or ceil(rate) of its
+    source, and dropped sources get exactly zero."""
+    import math
+
+    from barberini_analytics_spark.operators.text import mix_sources
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, f"s{rng.integers(n_sources + 1)}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    targets = {f"s{i}": float(rng.integers(1, 4))
+               for i in range(n_sources)}  # source s{n_sources} dropped
+    out = mix_sources(df, "src", targets, seed=seed % 1000).collect()
+    n_total = len(rows)
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    tw = sum(targets.values())
+    for r in out:
+        if r.src not in targets:
+            assert r.n_copies == 0
+            continue
+        rate = (targets[r.src] / tw) * n_total / counts[r.src]
+        assert r.n_copies in (math.floor(rate), math.ceil(rate)), (
+            r.src, rate, r.n_copies)
