@@ -1,12 +1,15 @@
-"""Real, dependency-free media codecs (BMP / WAV / Y4M).
+"""Real, dependency-free media codecs (BMP / PNG / WAV / Y4M).
 
-The container has no PIL/ffmpeg, but three real production formats are
-fully decodable with nothing beyond ``struct`` + NumPy, so the decode step
-of the multimodal pipeline is genuinely implemented for them — not
-stubbed:
+The container has no PIL/ffmpeg, but four real production formats are
+fully decodable with nothing beyond ``struct`` + ``zlib`` + NumPy, so the
+decode step of the multimodal pipeline is genuinely implemented for them
+— not stubbed:
 
 - **BMP** (image): uncompressed 24-bit ``BI_RGB`` Windows bitmaps —
   the standard interchange bitmap every image library reads.
+- **PNG** (image): 8-bit gray/RGB/RGBA, deflate-compressed with the full
+  five-filter scanline transform — the web's lossless image format,
+  decoded end-to-end with stdlib ``zlib``.
 - **WAV** (audio): RIFF/WAVE PCM — parsed chunk-by-chunk by hand (the
   encoder uses the stdlib ``wave`` module, so encode and decode are
   independent implementations).
@@ -192,18 +195,165 @@ def decode_y4m(b: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PNG — deflate-compressed, filtered scanlines (stdlib zlib only)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit, non-interlaced support)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w, 3)`` RGB or ``(h, w)`` grayscale uint8 array as
+    a real 8-bit PNG (zlib deflate; every viewer opens it).
+
+    Rows deliberately cycle through ALL five filter types (None, Sub,
+    Up, Average, Paeth), so a round-trip through :func:`decode_png`
+    exercises every unfilter branch — encode applies the spec's forward
+    filter transform, decode must invert it exactly.
+    """
+    import zlib
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    ch = 1 if gray else pixels.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = pixels.reshape(h, w * ch).astype(np.int32)
+    zero = np.zeros(w * ch, dtype=np.int32)
+    raw = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        prior = flat[y - 1] if y else zero
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]])
+        f = y % 5
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prior
+        elif f == 3:
+            out = cur - (left + prior) // 2
+        else:
+            pred = np.array([_paeth(int(a), int(b2), int(c)) for a, b2, c
+                             in zip(left, prior, upleft)], dtype=np.int32)
+            out = cur - pred
+        raw += bytes([f]) + (out % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(b: bytes) -> dict:
+    """Real PNG decode with stdlib zlib: chunk walk → IHDR validation →
+    IDAT concatenation → inflate → per-scanline unfilter (all five
+    filter types) → pixel array + mean luma.
+
+    Supports the 8-bit non-interlaced color types (gray, gray+alpha,
+    RGB, RGBA) — palette and 16-bit variants raise ``ValueError``.
+    """
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
+    while pos + 8 <= len(b):
+        size, ctype = struct.unpack_from(">I4s", b, pos)
+        body = b[pos + 8: pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size                 # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color_type, compression, filt, interlace = ihdr
+    if depth != 8 or compression != 0 or filt != 0 or interlace != 0 \
+            or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant depth={depth} color={color_type} "
+            f"interlace={interlace}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = np.frombuffer(raw, np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1).astype(np.int32)
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:
+            rec = (cur + prior) % 256
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + prior[x]) // 2
+                else:
+                    upleft = int(prior[x - ch]) if x >= ch else 0
+                    pred = _paeth(int(left), int(prior[x]), upleft)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f} in row {y}")
+        out[y] = rec
+    pixels = out.astype(np.uint8).reshape(h, w, ch)
+    if ch <= 2:          # gray / gray+alpha: channel 0 IS the luma
+        luma = pixels[..., 0].astype(np.float64)
+    else:
+        rgb = pixels[..., :3].astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] \
+            + 0.114 * rgb[..., 2]
+    return {"width": w, "height": h, "n_channels": ch,
+            "pixels": pixels if ch > 1 else pixels[..., 0],
+            "mean_luma": float(luma.mean()),
+            "n_payload_bytes": len(raw) - h}
+
+
+# ---------------------------------------------------------------------------
 # container sniffing
 # ---------------------------------------------------------------------------
 
 def sniff(b: bytes) -> str | None:
     """Identify a payload's container by magic: 'bmp' | 'wav' | 'y4m' |
-    'synm' (the documented synthetic header) | None."""
+    'png' | 'synm' (the documented synthetic header) | None."""
     if b[:2] == b"BM":
         return "bmp"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
     if b.startswith(_Y4M_MAGIC):
         return "y4m"
+    if b.startswith(_PNG_SIG):
+        return "png"
     if b[:4] == b"SYNM":
         return "synm"
     return None

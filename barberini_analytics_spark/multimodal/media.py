@@ -119,14 +119,18 @@ def _decode_one(mid: int, b: bytes) -> tuple:
         return (mid, "y4m", "video", d["width"], d["height"],
                 d["n_frames"], None, None, d["n_payload_bytes"],
                 d["mean_luma"])
+    if container == "png":
+        d = C.decode_png(b)
+        return (mid, "png", "image", d["width"], d["height"], 1,
+                None, None, d["n_payload_bytes"], d["mean_luma"])
     if container == "synm":
         w, h, nf = struct.unpack(">HHH", b[5:11])
         return (mid, "synm", _SYNM_KINDS[b[4]], w, h, nf,
                 None, None, len(b) - 11, None)
     raise NotImplementedError(
         f"unsupported media container (magic {b[:4]!r}); supported "
-        "lib-free: BMP, WAV PCM, YUV4MPEG2, SYNM — JPEG/MP4/… need "
-        "external codec libraries")
+        "lib-free: BMP, PNG (8-bit), WAV PCM, YUV4MPEG2, SYNM — "
+        "JPEG/MP4/… need external codec libraries")
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -178,13 +182,13 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for BMP rows: decode → nearest-neighbor resample
-    → re-encode, Arrow-batched.
+    """REAL image resize for BMP and PNG rows: decode → nearest-neighbor
+    resample → re-encode in the same container, Arrow-batched.
 
     Nearest-neighbor with the floor mapping ``src = floor(i·src_dim /
     dst_dim)`` — fully deterministic (no float kernels), so resized
     payloads are byte-stable across runs and engines.  Output rows carry
-    the re-encoded BMP payload plus the new dimensions; non-BMP payloads
+    the re-encoded payload plus the new dimensions; non-image payloads
     are filtered out up front (audio/video don't resize — frame-level
     video handling is :func:`sample_frames`).
 
@@ -207,14 +211,17 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 b = bytes(data)
-                if C.sniff(b) != "bmp":
+                kind = C.sniff(b)
+                if kind not in ("bmp", "png"):
                     continue
-                px = C.decode_bmp(b)["pixels"]
+                dec = C.decode_bmp(b) if kind == "bmp" else C.decode_png(b)
+                px = dec["pixels"]
                 src_h, src_w = px.shape[:2]
                 ys = (np.arange(height) * src_h) // height
                 xs = (np.arange(width) * src_w) // width
                 resized = px[ys][:, xs]
-                out.append((mid, C.encode_bmp(resized), width, height))
+                enc = C.encode_bmp if kind == "bmp" else C.encode_png
+                out.append((mid, enc(resized), width, height))
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return df.select("media_id", "data").mapInPandas(_resize, schema)

@@ -202,3 +202,77 @@ def test_resize_images_nearest_neighbor_exact(spark):
     # determinism: same bytes on a second run
     again = resize_images(df, 4, 4).collect()[0]["data"]
     assert bytes(again) == bytes(rows[0]["data"])
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib-zlib deflate + five-filter scanlines)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_exercises_all_filters():
+    # encoder cycles filter types per row; >=6 rows covers all five
+    rng = np.random.default_rng(0)
+    for shape, ch in (((7, 5, 3), 3), ((6, 4), 1), ((6, 4, 4), 4),
+                      ((6, 4, 2), 2)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = C.decode_png(C.encode_png(img))
+        assert (d["pixels"] == img).all()
+        assert d["n_channels"] == ch
+
+
+def test_png_hand_assembled_fixture():
+    """A PNG built byte-by-byte in the test (not via encode_png) — the
+    decoder is checked against the spec, not against its own encoder."""
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x2 gray, row filters: None then Sub (second row [10, +30] -> 10,40)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x05\x07" + b"\x01\x0a\x1e")
+    png = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) \
+        + chunk(b"IEND", b"")
+    d = C.decode_png(png)
+    assert d["pixels"].tolist() == [[5, 7], [10, 40]]
+    assert C.sniff(png) == "png"
+
+
+def test_png_rejects_unsupported_variants():
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError):
+        C.decode_png(b"\x89PNG\r\n\x1a\njunk")
+    # 16-bit depth must be refused, not mis-decoded
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        C.decode_png(png16)
+
+
+def test_png_resize_and_dispatch(spark):
+    from barberini_analytics_spark.multimodal.media import (decode_media,
+                                                            resize_images)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    png = C.encode_png(img)
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, data binary")
+    meta = decode_media(df).collect()[0]
+    assert (meta["container"], meta["kind"]) == ("png", "image")
+    assert (meta["width"], meta["height"]) == (8, 8)
+    rows = resize_images(df, 4, 4).collect()
+    assert rows[0]["width"] == 4
+    out = C.decode_png(bytes(rows[0]["data"]))
+    # nearest-neighbor floor mapping picks even-indexed pixels
+    assert (out["pixels"] == img[::2, ::2]).all()
