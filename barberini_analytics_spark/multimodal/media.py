@@ -181,6 +181,97 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.select("media_id", "data").mapInPandas(_feat, schema)
 
 
+def audio_features(df: DataFrame, n_bands: int = 8,
+                   frame: int = 512) -> DataFrame:
+    """REAL audio features from decoded WAV payloads: framed Hann-window
+    power spectra folded into log-spaced band energies (a mel-style
+    filterbank without the mel lookup tables), Arrow-batched.
+
+    Per row: decode PCM → frame into ``frame``-sample windows → ``rfft``
+    power → geometric band edges over [1, frame/2] → log10 of summed
+    band energy, averaged over frames.  Pure numpy — this is the actual
+    DSP, not a digest; the hash stand-in :func:`extract_features`
+    remains the oracle-checkable path.  Non-WAV rows are skipped.
+    """
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("band_log_energy", ArrayType(FloatType())),
+    ])
+
+    def _bands(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs as C
+
+        edges = np.unique(np.geomspace(1, frame // 2,
+                                       n_bands + 1).astype(int))
+        win = np.hanning(frame)
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data)
+                if C.sniff(b) != "wav":
+                    continue
+                pcm = C.decode_wav(b)["samples"].astype(np.float64) / 32768.0
+                n_fr = len(pcm) // frame
+                if n_fr == 0:
+                    out.append((mid, 0, [0.0] * n_bands))
+                    continue
+                frames = pcm[: n_fr * frame].reshape(n_fr, frame) * win
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                bands = [
+                    float(np.log10(power[:, lo:hi].sum(axis=1).mean()
+                                   + 1e-12))
+                    for lo, hi in zip(edges[:-1], edges[1:])
+                ]
+                bands += [bands[-1]] * (n_bands - len(bands))
+                out.append((mid, n_fr, bands))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "data").mapInPandas(_bands, schema)
+
+
+def image_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
+    """REAL image features from decoded BMP/PNG payloads: normalized
+    luma histogram + mean/std — the content summary a curation pipeline
+    filters on (flat/blank images have degenerate histograms)."""
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("luma_mean", FloatType()),
+        StructField("luma_std", FloatType()),
+        StructField("luma_hist", ArrayType(FloatType())),
+    ])
+
+    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from . import codecs as C
+
+        for pdf in it:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data)
+                kind = C.sniff(b)
+                if kind not in ("bmp", "png"):
+                    continue
+                dec = C.decode_bmp(b) if kind == "bmp" else C.decode_png(b)
+                px = dec["pixels"]
+                if px.ndim == 3 and px.shape[2] >= 3:
+                    luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                            + 0.114 * px[..., 2])
+                else:
+                    luma = px.reshape(px.shape[0], px.shape[1], -1)[..., 0] \
+                        .astype(np.float64)
+                hist, _ = np.histogram(luma, bins=n_bins, range=(0, 256))
+                hist = hist / max(luma.size, 1)
+                out.append((mid, float(luma.mean()), float(luma.std()),
+                            [float(x) for x in hist]))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.select("media_id", "data").mapInPandas(_hist, schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL image resize for BMP and PNG rows: decode → nearest-neighbor
     resample → re-encode in the same container, Arrow-batched.
