@@ -1,0 +1,62 @@
+"""Versioned snapshot tables: time travel, commit atomicity, change feed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from barberini_analytics_spark.core import versioning as V
+
+
+def _write(spark, path, rows):
+    df = spark.createDataFrame(rows, ["k", "val"])
+    return V.write_version(df, str(path))
+
+
+def test_time_travel_reads_each_committed_snapshot(spark, tmp_path):
+    p = tmp_path / "t"
+    p.mkdir()
+    assert V.latest_version(str(p)) is None
+    v1 = _write(spark, p, [(1, "a"), (2, "b")])
+    v2 = _write(spark, p, [(1, "a2"), (3, "c")])
+    assert (v1, v2) == (1, 2)
+    assert V.latest_version(str(p)) == 2
+    assert V.list_versions(str(p)) == [1, 2]
+    old = {r.k: r.val for r in V.read_version(spark, str(p), 1).collect()}
+    new = {r.k: r.val for r in V.read_version(spark, str(p)).collect()}
+    assert old == {1: "a", 2: "b"}
+    assert new == {1: "a2", 3: "c"}
+
+
+def test_orphaned_snapshot_is_not_readable(spark, tmp_path):
+    p = tmp_path / "t"
+    p.mkdir()
+    _write(spark, p, [(1, "a")])
+    # simulate a crashed writer: snapshot dir exists, marker not swapped
+    df = spark.createDataFrame([(9, "orphan")], ["k", "val"])
+    df.write.parquet(os.path.join(str(p), "_versions", "v=000002"))
+    assert V.latest_version(str(p)) == 1            # commit point unmoved
+    with pytest.raises(ValueError):
+        V.read_version(spark, str(p), 2)
+    # the next commit overwrites the orphan and moves the marker
+    v = _write(spark, p, [(1, "b")])
+    assert v == 2
+    assert {r.val for r in V.read_version(spark, str(p)).collect()} == {"b"}
+
+
+def test_change_feed_insert_update_delete_and_null_flip(spark, tmp_path):
+    p = tmp_path / "t"
+    p.mkdir()
+    _write(spark, p, [(1, "same"), (2, "gone"), (3, "old"), (4, None)])
+    _write(spark, p, [(1, "same"), (3, "new"), (4, "notnull"), (5, "born")])
+    feed = {r.k: (r.change, r.val)
+            for r in V.change_feed(spark, str(p), ["k"], 1, 2).collect()}
+    assert feed == {
+        2: ("delete", None),
+        3: ("update", "new"),
+        4: ("update", "notnull"),   # NULL -> value counts as update
+        5: ("insert", "born"),
+    }
+    # unchanged key 1 is absent from the feed
+    assert 1 not in feed
