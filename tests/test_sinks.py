@@ -126,3 +126,19 @@ def test_upsert_property_matches_dict_merge(spark, tbl):
             spark, spark.createDataFrame(rows, ["id", "step", "v"]),
             tbl, ["id"])
     assert _rows(spark, tbl) == set(state.values())
+
+
+def test_upsert_schema_evolution_adds_column(spark, tmp_path):
+    """A batch carrying a NEW column merges cleanly: stored-only rows get
+    NULL for it, batch rows carry their values, and a subsequent read
+    sees the widened schema."""
+    from barberini_analytics_spark.core.sinks import upsert_by_pk
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]) \
+        .write.parquet(p)
+    batch = spark.createDataFrame([(2, "b2", "extra"), (3, "c", "more")],
+                                  ["k", "v", "tag"])
+    upsert_by_pk(spark, batch, p, ["k"])
+    got = {r.k: (r.v, r.tag) for r in spark.read.parquet(p).collect()}
+    assert got == {1: ("a", None), 2: ("b2", "extra"), 3: ("c", "more")}
