@@ -10,6 +10,10 @@ decode step of the multimodal pipeline is genuinely implemented for them
 - **PNG** (image): 8-bit gray/RGB/RGBA, deflate-compressed with the full
   five-filter scanline transform — the web's lossless image format,
   decoded end-to-end with stdlib ``zlib``.
+- **GIF** (image): 87a/89a indexed color with a hand-implemented LZW
+  decoder (variable code width, CLEAR resets, the KwKwK case) and
+  four-pass de-interlacing; animated frame counting, first frame
+  decoded to RGB.
 - **WAV** (audio): RIFF/WAVE PCM — parsed chunk-by-chunk by hand (the
   encoder uses the stdlib ``wave`` module, so encode and decode are
   independent implementations).
@@ -340,6 +344,206 @@ def decode_png(b: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# GIF — LZW-compressed indexed color (real LZW, hand-implemented)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """LSB-first variable-width code reader over GIF data sub-blocks."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+        self._bits = 0
+        self._n_bits = 0
+
+    def read(self, width: int) -> int | None:
+        while self._n_bits < width:
+            if self._pos >= len(self._data):
+                return None
+            self._bits |= self._data[self._pos] << self._n_bits
+            self._n_bits += 8
+            self._pos += 1
+        code = self._bits & ((1 << width) - 1)
+        self._bits >>= width
+        self._n_bits -= width
+        return code
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW: variable code width, CLEAR resets the dictionary,
+    and the KwKwK case (a code one past the dictionary) emits
+    ``prev + prev[0]``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    reader = _BitReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    width = prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < n_pixels:
+        code = reader.read(width)
+        if code is None or code == end:
+            break
+        if code == clear:
+            reset()
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]      # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} "
+                             f"with table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream ended before the image was complete")
+    return bytes(out[:n_pixels])
+
+
+_GIF_DEINTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> dict:
+    """Real GIF87a/89a decode: logical screen + color tables + LZW
+    decompression of every image block (interlaced rows reordered per
+    the four-pass scheme).  Returns the FIRST frame as RGB pixels plus
+    the total frame count (animated GIFs)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos) \
+            .reshape(n, 3)
+        pos += 3 * n
+    first = None
+    n_frames = 0
+    while pos < len(b):
+        marker = b[pos]
+        pos += 1
+        if marker == 0x3B:               # trailer
+            break
+        if marker == 0x21:               # extension: skip sub-blocks
+            pos += 1                     # label
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(b, np.uint8, count=3 * n, offset=pos) \
+                .reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos]:
+            size = b[pos]
+            data += b[pos + 1: pos + 1 + size]
+            pos += 1 + size
+        pos += 1                         # sub-block terminator
+        n_frames += 1
+        if first is None:
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code, w * h), np.uint8)
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:           # interlaced: 4-pass row order
+                out_rows = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_DEINTERLACE:
+                    for y in range(start, h, step):
+                        out_rows[y] = rows[src]
+                        src += 1
+                rows = out_rows
+            first = table[rows]          # palette lookup → (h, w, 3)
+    if first is None:
+        raise ValueError("GIF contains no image block")
+    rgb = first.astype(np.float64)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return {"width": int(first.shape[1]), "height": int(first.shape[0]),
+            "screen_width": sw, "screen_height": sh,
+            "n_frames": n_frames, "pixels": first,
+            "mean_luma": float(luma.mean()),
+            "n_payload_bytes": first.size}
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an ``(h, w)`` uint8 index array + ``(n, 3)`` palette as an
+    uncompressed-style GIF: literal LZW codes with a CLEAR emitted
+    before the code width would grow — a valid stream any decoder reads
+    (and an implementation independent of :func:`decode_gif`'s
+    dictionary handling, which real compressed streams exercise)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = indices.shape
+    n_colors = len(palette)
+    size_field = max(1, (n_colors - 1).bit_length() - 1)
+    table_n = 2 << size_field
+    pal = np.zeros((table_n, 3), np.uint8)
+    pal[:n_colors] = palette
+    min_code = max(2, size_field + 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    bits = bitpos = 0
+    payload = bytearray()
+
+    def emit(code: int):
+        nonlocal bits, bitpos
+        bits |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            payload.append(bits & 0xFF)
+            bits >>= 8
+            bitpos -= 8
+
+    emit(clear)
+    budget = clear - 2                   # codes until width would grow
+    for v in indices.ravel():
+        if budget == 0:
+            emit(clear)
+            budget = clear - 2
+        emit(int(v))
+        budget -= 1
+    emit(end)
+    if bitpos:
+        payload.append(bits & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_field & 7) |
+                       ((size_field & 7) << 4), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(payload), 255):
+        block = payload[i: i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # container sniffing
 # ---------------------------------------------------------------------------
 
@@ -354,6 +558,8 @@ def sniff(b: bytes) -> str | None:
         return "y4m"
     if b.startswith(_PNG_SIG):
         return "png"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if b[:4] == b"SYNM":
         return "synm"
     return None

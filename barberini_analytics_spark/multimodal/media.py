@@ -123,14 +123,19 @@ def _decode_one(mid: int, b: bytes) -> tuple:
         d = C.decode_png(b)
         return (mid, "png", "image", d["width"], d["height"], 1,
                 None, None, d["n_payload_bytes"], d["mean_luma"])
+    if container == "gif":
+        d = C.decode_gif(b)
+        return (mid, "gif", "image", d["width"], d["height"],
+                d["n_frames"], None, None, d["n_payload_bytes"],
+                d["mean_luma"])
     if container == "synm":
         w, h, nf = struct.unpack(">HHH", b[5:11])
         return (mid, "synm", _SYNM_KINDS[b[4]], w, h, nf,
                 None, None, len(b) - 11, None)
     raise NotImplementedError(
         f"unsupported media container (magic {b[:4]!r}); supported "
-        "lib-free: BMP, PNG (8-bit), WAV PCM, YUV4MPEG2, SYNM — "
-        "JPEG/MP4/… need external codec libraries")
+        "lib-free: BMP, PNG (8-bit), GIF (LZW), WAV PCM, YUV4MPEG2, "
+        "SYNM — JPEG/MP4/… need external codec libraries")
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -253,9 +258,10 @@ def image_features(df: DataFrame, n_bins: int = 8) -> DataFrame:
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 b = bytes(data)
                 kind = C.sniff(b)
-                if kind not in ("bmp", "png"):
+                if kind not in ("bmp", "png", "gif"):
                     continue
-                dec = C.decode_bmp(b) if kind == "bmp" else C.decode_png(b)
+                dec = {"bmp": C.decode_bmp, "png": C.decode_png,
+                       "gif": C.decode_gif}[kind](b)
                 px = dec["pixels"]
                 if px.ndim == 3 and px.shape[2] >= 3:
                     luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]

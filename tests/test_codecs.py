@@ -315,3 +315,96 @@ def test_image_features_histogram_of_known_image(spark):
     assert abs(hist[0] - 0.5) < 1e-6 and abs(hist[-1] - 0.5) < 1e-6
     assert sum(hist) == 1.0
     assert abs(row["luma_mean"] - 127.5) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# GIF (hand-implemented LZW)
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_indexed_palette():
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, 8, size=(10, 7), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    gif = C.encode_gif(idx, pal)
+    d = C.decode_gif(gif)
+    assert (d["pixels"] == pal[idx]).all()
+    assert (d["width"], d["height"], d["n_frames"]) == (7, 10, 1)
+    assert C.sniff(gif) == "gif"
+
+
+def test_gif_hand_assembled_compressed_stream():
+    """A truly COMPRESSED LZW stream built code-by-code in the test:
+    exercises dictionary growth, the width transition at table size 8,
+    and the KwKwK special case — none of which the uncompressed-style
+    encoder emits."""
+    import struct
+
+    def pack_codes(codes, widths):
+        bits = bitpos = 0
+        out = bytearray()
+        for c, w in zip(codes, widths):
+            bits |= c << bitpos
+            bitpos += w
+            while bitpos >= 8:
+                out.append(bits & 0xFF)
+                bits >>= 8
+                bitpos -= 8
+        if bitpos:
+            out.append(bits & 0xFF)
+        return bytes(out)
+
+    # min_code=2 -> clear=4, end=5. Codes 4,0,6,7,5 decode to six 0-index
+    # pixels: 0 -> [0]; 6 (KwKwK) -> [0,0]; 7 (KwKwK again) -> [0,0,0].
+    # Table hits size 8 after adding entry 7, so END is read at width 4.
+    payload = pack_codes([4, 0, 6, 7, 5], [3, 3, 3, 3, 4])
+    pal = np.zeros((4, 3), np.uint8)
+    pal[0] = (255, 0, 0)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 6, 1, 0x80 | 0x01, 0, 0)
+    gif += pal.tobytes()
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 6, 1, 0)
+    gif.append(2)
+    gif.append(len(payload))
+    gif += payload
+    gif += b"\x00\x3b"
+    d = C.decode_gif(bytes(gif))
+    assert d["pixels"].shape == (1, 6, 3)
+    assert (d["pixels"][0, :, 0] == 255).all()
+    assert d["mean_luma"] == pytest.approx(0.299 * 255)
+
+
+def test_gif_interlaced_rows_reordered():
+    """Interlace flag set: rows must come back in display order (the
+    four-pass scheme), checked against a per-row-unique image."""
+    idx = np.arange(8, dtype=np.uint8).repeat(4).reshape(8, 4) % 4
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170],
+                    [255, 255, 255]], np.uint8)
+    plain = C.encode_gif(idx, pal)
+    # rewrite the image descriptor with the interlace bit and the rows
+    # stored in interlace order (passes: 0,8.. / 4,8.. / 2,4.. / 1,2..)
+    order = [0] * 0 + [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                       for y in range(start, 8, step)]
+    inter = C.encode_gif(idx[order], pal)
+    inter = bytearray(inter)
+    # image descriptor starts after header(6)+lsd(7)+gct(4*3): flags byte
+    # is 9 bytes past the 0x2C marker (marker + left2 top2 w2 h2)
+    flags_at = 6 + 7 + 12 + 9
+    assert inter[flags_at - 9] == 0x2C
+    inter[flags_at] |= 0x40
+    d = C.decode_gif(bytes(inter))
+    assert (d["pixels"] == pal[idx]).all()
+
+
+def test_gif_dispatch_and_features(spark):
+    from barberini_analytics_spark.multimodal.media import (decode_media,
+                                                            image_features)
+
+    idx = np.zeros((4, 4), np.uint8)
+    pal = np.array([[255, 255, 255]], np.uint8)
+    gif = C.encode_gif(idx, pal)
+    df = spark.createDataFrame([(1, bytearray(gif))],
+                               "media_id long, data binary")
+    meta = decode_media(df).collect()[0]
+    assert (meta["container"], meta["kind"]) == ("gif", "image")
+    feat = image_features(df).collect()[0]
+    assert feat["luma_mean"] == pytest.approx(255.0)
