@@ -23,6 +23,7 @@ pre-transformed, e.g. log, or bucketed by rank at write time).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -72,6 +73,34 @@ def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode("overwrite").parquet(path))
+
+
+def compact_files(spark, path: str,
+                  target_bytes: int = 128 << 20) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files — the maintenance pass
+    every streaming/micro-batch sink needs (each micro-batch lands its
+    own files; a month of 5-minute batches is ~8,600 files per
+    partition, and open/plan overhead starts dominating the scan).
+
+    ``coalesce`` (no shuffle) merges read-splits into the reduced task
+    count, and the rewrite goes through the staging-swap ``overwrite``
+    so a failed compaction never truncates the table.  Returns the
+    file count written.  At 100 TB run per partition (pass the
+    partition dir) so compaction parallelizes across partitions and
+    never rewrites cold history.
+    """
+    import math
+
+    from .sinks import overwrite
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files if f.endswith(".parquet"))
+    n_out = max(1, math.ceil(total / target_bytes))
+    overwrite(spark.read.parquet(path).coalesce(n_out), path)
+    return n_out
 
 
 def rowgroup_ranges(path: str, cols: Sequence[str]) -> dict[str, float]:

@@ -71,3 +71,26 @@ def test_zordered_read_roundtrip_and_pushdown(spark, tmp_path):
     plan = back.filter("x < 10.0")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(x,10.0)" in plan
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from barberini_analytics_spark.core.layout import compact_files
+
+    p = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS g") \
+        .repartition(16).write.parquet(p)
+    import os
+
+    def parts(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(parts(p)) == 16
+    before = spark.read.parquet(p)
+    total = before.count()
+    checksum = before.agg({"id": "sum"}).collect()[0][0]
+    n_out = compact_files(spark, p, target_bytes=1 << 30)
+    assert n_out == 1
+    assert len(parts(p)) == 1
+    after = spark.read.parquet(p)
+    assert after.count() == total
+    assert after.agg({"id": "sum"}).collect()[0][0] == checksum
