@@ -71,10 +71,18 @@ def main() -> None:
     # entries to keep total wall time predictable.
     first_run = dict(timings)  # pre-repeat timings, kept for transparency
     heavy = sorted(timings, key=timings.get, reverse=True)[:24]
-    for name in heavy:
-        for _ in range(2):
-            if timings[name] <= 1.2 or elapsed() > repeat_deadline:
+    # two SWEEPS rather than two back-to-back retries per entry: the
+    # interference bursts last multiple seconds, so consecutive reruns of
+    # one entry tend to land inside the same burst — spacing a given
+    # entry's attempts apart in time dodges bursts far more often
+    for _sweep in range(2):
+        if elapsed() > repeat_deadline:
+            break
+        for name in heavy:
+            if elapsed() > repeat_deadline:
                 break
+            if timings[name] <= 1.2:
+                continue
             timings[name] = min(timings[name], run_once(name))
     # transparency: for entries whose reported min differs noticeably from
     # the first measurement (warm caches, JIT, host-noise dodging), also
