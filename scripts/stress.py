@@ -140,6 +140,20 @@ def main() -> None:
         n_docs * 4)
     release_scoped()
 
+    # BPE merge discovery: cost is vocabulary-bounded (64-word synthetic
+    # vocab here), NOT corpus-bounded — the whole point of training on
+    # the word-frequency table; timed over 5 rounds incl. the corpus
+    # word-count aggregate
+    from barberini_analytics_spark.operators.bpe import train_bpe_merges
+
+    t_bpe = time.perf_counter()
+    n_merges = len(train_bpe_merges(docs, 5))
+    dt_bpe = time.perf_counter() - t_bpe
+    results["bpe_train_5"] = {"sec": round(dt_bpe, 2), "rows_in": n_docs,
+                              "rows_per_sec": int(n_docs / dt_bpe),
+                              "merges": n_merges}
+    release_scoped()
+
     # SCD2 intervals over the event stream (two windows, one shuffle)
     run("snapshot_intervals", R.snapshot_intervals(
         events, ["user_id"], ["ts"], ["value"]), n_events)
