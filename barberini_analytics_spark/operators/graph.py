@@ -118,16 +118,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             bi.join(labels, bi.id1 == labels.id)
             .groupBy("id2").agg(F.min("label").alias("nlabel"))
         )
+        # carry the previous label through the checkpoint so the
+        # convergence probe is a FILTER over materialized rows — not a
+        # join back to the previous round (which costs a shuffle job
+        # per round)
         new_labels = scoped_checkpoint(
             labels.join(neighbor_min, labels.id == neighbor_min.id2, "left")
-            .select("id", F.least("label", F.coalesce("nlabel", "label"))
+            .select("id", F.col("label").alias("__prev"),
+                    F.least("label", F.coalesce("nlabel", "label"))
                     .alias("label")))
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter("n.label <> o.label").limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("label <> __prev").limit(1).count()
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     if changed != 0:
