@@ -89,10 +89,54 @@ def compact_files(spark, path: str,
     file count written.  At 100 TB run per partition (pass the
     partition dir) so compaction parallelizes across partitions and
     never rewrites cold history.
+
+    A hive-partitioned table ROOT is handled, not flattened: ``key=value``
+    subdirectories are detected, partition discovery turns them into
+    columns, and the rewrite re-``partitionBy``s the same columns so
+    downstream partition pruning survives compaction (``target_bytes``
+    then applies per partition, since files can't span partitions).
+    Byte sizing walks the local filesystem — on a real lake, drive this
+    from the catalog's file listing instead.
     """
     import math
+    import re as _re
 
     from .sinks import overwrite
+
+    part_cols = []
+    probe = path
+    while True:   # nested partition dirs: year=2024/month=05/...
+        subdirs = [d for d in sorted(os.listdir(probe))
+                   if os.path.isdir(os.path.join(probe, d))]
+        hits = [m for d in subdirs
+                if (m := _re.fullmatch(r"([^=/]+)=[^/]*", d))]
+        if not hits:
+            break
+        part_cols.append(hits[0].group(1))
+        probe = os.path.join(probe, subdirs[0])
+
+    if part_cols:
+        sizes = {}   # per-partition-dir bytes → per-partition file budget
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    sizes[root] = sizes.get(root, 0) \
+                        + os.path.getsize(os.path.join(root, f))
+        n_parts = max(1, len(sizes))
+        # worst partition's budget; a deterministic salt splits oversized
+        # partitions into that many tasks while small ones still collapse
+        # to one file each (each (partition, salt) pair → one task → one
+        # file under partitionBy)
+        n_per = max((max(1, math.ceil(s / target_bytes))
+                     for s in sizes.values()), default=1)
+        df = spark.read.option("basePath", path).parquet(path)
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                      F.lit(n_per))
+        overwrite(df.withColumn("__salt", salt)
+                    .repartition(n_parts * n_per, *part_cols, "__salt")
+                    .drop("__salt"),
+                  path, partition_cols=part_cols)
+        return n_per
 
     total = sum(
         os.path.getsize(os.path.join(root, f))

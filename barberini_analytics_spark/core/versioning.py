@@ -78,14 +78,36 @@ def write_version(df: DataFrame, path: str) -> int:
     ``v=N`` dir before ``_LATEST`` is atomically swapped, so concurrent
     readers keep resolving the previous committed snapshot until the
     commit point.
+
+    Concurrent writers are safe on a POSIX filesystem: each writer
+    RESERVES its snapshot dir with an atomic ``os.mkdir`` (two writers
+    can never interleave files inside one ``v=N``), and the ``_LATEST``
+    swap is serialized by an ``flock`` and only ever advances — a slow
+    writer committing an older version cannot move the marker backwards
+    past a newer commit (its snapshot stays readable via time travel).
+    On object stores without atomic mkdir/flock semantics this module
+    must be fronted by an external lock (or replaced by Delta/Iceberg,
+    as the module docstring notes).
     """
-    current = latest_version(path)
-    version = (current or 0) + 1
+    os.makedirs(os.path.join(path, _VDIR), exist_ok=True)
+    version = max([latest_version(path) or 0, *list_versions(path)]) + 1
+    while True:
+        try:
+            os.mkdir(_vpath(path, version))
+            break
+        except FileExistsError:   # another writer reserved it — skip past
+            version += 1
     df.write.mode("overwrite").parquet(_vpath(path, version))
-    fd, tmp = tempfile.mkstemp(dir=path, prefix=".latest_")
-    with os.fdopen(fd, "w", encoding="ascii") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(path, _LATEST))
+    import fcntl
+
+    with open(os.path.join(path, ".commit_lock"), "w",
+              encoding="ascii") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if version > (latest_version(path) or 0):   # monotonic marker
+            fd, tmp = tempfile.mkstemp(dir=path, prefix=".latest_")
+            with os.fdopen(fd, "w", encoding="ascii") as fh:
+                fh.write(str(version))
+            os.replace(tmp, os.path.join(path, _LATEST))
     return version
 
 

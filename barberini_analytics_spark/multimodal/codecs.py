@@ -423,6 +423,16 @@ def decode_gif(b: bytes) -> dict:
     the total frame count (animated GIFs)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF payload")
+
+    def _byte(p: int) -> int:
+        # every raw index is range-checked so truncated payloads raise
+        # the documented ValueError, never IndexError
+        if p >= len(b):
+            raise ValueError("truncated GIF payload")
+        return b[p]
+
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
     pos = 13
     gct = None
@@ -440,12 +450,14 @@ def decode_gif(b: bytes) -> dict:
             break
         if marker == 0x21:               # extension: skip sub-blocks
             pos += 1                     # label
-            while b[pos]:
+            while _byte(pos):
                 pos += 1 + b[pos]
             pos += 1
             continue
         if marker != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(b):
+            raise ValueError("truncated GIF payload")
         _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
         pos += 9
         table = gct
@@ -456,11 +468,13 @@ def decode_gif(b: bytes) -> dict:
             pos += 3 * n
         if table is None:
             raise ValueError("GIF image without a color table")
-        min_code = b[pos]
+        min_code = _byte(pos)
         pos += 1
         data = bytearray()
-        while b[pos]:
+        while _byte(pos):
             size = b[pos]
+            if pos + 1 + size > len(b):
+                raise ValueError("truncated GIF payload")
             data += b[pos + 1: pos + 1 + size]
             pos += 1 + size
         pos += 1                         # sub-block terminator
@@ -501,6 +515,11 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     n_colors = len(palette)
     size_field = max(1, (n_colors - 1).bit_length() - 1)
     table_n = 2 << size_field
+    if indices.size and int(indices.max()) >= table_n:
+        # an index past the color table would emit a code width the
+        # decoder rejects — fail at encode time, not decode time
+        raise ValueError(
+            f"index {int(indices.max())} >= color table size {table_n}")
     pal = np.zeros((table_n, 3), np.uint8)
     pal[:n_colors] = palette
     min_code = max(2, size_field + 1)

@@ -218,7 +218,15 @@ def audio_features(df: DataFrame, n_bands: int = 8,
                 b = bytes(data)
                 if C.sniff(b) != "wav":
                     continue
-                pcm = C.decode_wav(b)["samples"].astype(np.float64) / 32768.0
+                wav = C.decode_wav(b)
+                pcm = wav["samples"].astype(np.float64) / 32768.0
+                # stereo/multi-channel payloads arrive interleaved;
+                # framing them as one stream would alternate channels and
+                # shift energy into high bands — downmix to mono first
+                nch = wav["n_channels"]
+                if nch > 1:
+                    pcm = pcm[: (len(pcm) // nch) * nch] \
+                        .reshape(-1, nch).mean(axis=1)
                 n_fr = len(pcm) // frame
                 if n_fr == 0:
                     out.append((mid, 0, [0.0] * n_bands))

@@ -66,8 +66,14 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     if lm_quantile is not None:
         q = gated.agg(
             F.percentile_approx("lm_score", lm_quantile).alias("__q"))
+        # NULL lm_score means "too short to score" (under 3 chars, only
+        # reachable with a lowered min_tokens) — the LM gate filters
+        # scoreable docs only, so NULLs pass through rather than being
+        # dropped by NULL <= q three-valued logic
         gated = (gated.crossJoin(F.broadcast(q))
-                 .filter(F.col("lm_score") <= F.col("__q")).drop("__q"))
+                 .filter(F.col("lm_score").isNull()
+                         | (F.col("lm_score") <= F.col("__q")))
+                 .drop("__q"))
     gated = gated.select(*base_cols, "n_tokens", "lm_score")
 
     # -- 2. exact dedup (smallest id per content survives) ----------------

@@ -160,10 +160,23 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str,
 
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
                             k: int = 3, num_perm: int = 8, bands: int = 4,
-                            threshold: float = 0.5) -> DataFrame:
+                            threshold: float = 0.5,
+                            min_sig_matches: int = 0) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
 
     Returns ``(id_a, id_b, jaccard)`` for verified pairs above threshold.
+
+    ``min_sig_matches > 1`` inserts the standard estimate-gate between
+    banding and exact verification: candidates must agree on that many of
+    the ``num_perm`` signature rows (estimated Jaccard ≥ matches/num_perm)
+    before the shingle-intersection join runs.  The gate joins the
+    signature table (``num_perm`` longs per doc), so spurious bucket
+    collisions are discarded without ever shuffling shingle strings —
+    at 100 TB the exact verify then touches only plausibly-similar pairs.
+    Part of the operator contract, not an approximation knob: a true
+    near-dup pair can land below the gate only with probability
+    ``P(Binom(num_perm, j) < min_sig_matches)`` (≈3.5% at j=0.5 for
+    2-of-8), the usual LSH recall trade.
     """
     # persist the two frames the plan reuses (shingles: signature build +
     # both sides of the intersection join; signatures: both sides of the
@@ -176,6 +189,19 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
     sh = scoped_persist(word_shingles(df, id_col, text_col, k))
     sigs = scoped_persist(minhash_signatures(sh, id_col, num_perm))
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    if min_sig_matches > 1:
+        sa = sigs.select(F.col(id_col).alias("id_a"),
+                         *[F.col(f"mh_{j}").alias(f"__a_{j}")
+                           for j in range(num_perm)])
+        sb = sigs.select(F.col(id_col).alias("id_b"),
+                         *[F.col(f"mh_{j}").alias(f"__b_{j}")
+                           for j in range(num_perm)])
+        matches = sum(
+            F.when(F.col(f"__a_{j}") == F.col(f"__b_{j}"), 1).otherwise(0)
+            for j in range(num_perm))
+        cand = (cand.join(sa, "id_a").join(sb, "id_b")
+                .filter(matches >= min_sig_matches)
+                .select("id_a", "id_b"))
     return jaccard_pairs(sh, cand, id_col).filter(F.col("jaccard") >= threshold)
 
 

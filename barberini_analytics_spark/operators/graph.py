@@ -96,19 +96,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                          id_col: str = "id",
                          src: str = "id1", dst: str = "id2",
                          symmetrize: bool = True,
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         checkpoint_edges: bool = True) -> DataFrame:
     """Label every node with the smallest node id reachable from it.
 
     ``nodes``: one row per node (``id_col``); isolated nodes keep their
     own id as label.  ``edges``: (src, dst) pairs; pass
     ``symmetrize=False`` when the edge list already contains both
-    directions.  Returns ``(id_col, label)``.
+    directions.  Returns ``(id_col, label)``.  Pass
+    ``checkpoint_edges=False`` when ``edges`` is already persisted by
+    the caller — skips one redundant materialization job.
     """
     bi = edges.select(F.col(src).alias("id1"), F.col(dst).alias("id2"))
     if symmetrize:
         bi = bi.union(
             bi.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
-    bi = scoped_checkpoint(bi)
+    if checkpoint_edges:
+        bi = scoped_checkpoint(bi)
 
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("label"))

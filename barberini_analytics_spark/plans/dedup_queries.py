@@ -167,6 +167,15 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_DAMP = 0.85
 _PR_ITERS = 2
 
+#: estimate-gate for the LSH verify: candidates must agree on ≥2 of the 8
+#: signature rows (estimated Jaccard ≥ 0.25) before exact verification —
+#: mirrored in the oracle, part of the operator contract (see
+#: operators/dedup.minhash_near_duplicates)
+_MIN_SIG_MATCHES = 2
+_SIG_MATCH_SUM = " + ".join(
+    f"(CASE WHEN ma.mh_{j} = mb.mh_{j} THEN 1 ELSE 0 END)"
+    for j in range(_NUM_PERM))
+
 # fixed-iteration PageRank as chained CTEs — one per power-iteration
 # round, mirroring operators/graph.pagerank exactly (no dangling mass:
 # the pair graph is symmetrized, every node has out-edges)
@@ -197,10 +206,17 @@ _PR_ITERS_SQL = "\n    ".join(
     banded AS (
         {_BAND_UNION}
     ),
-    cand AS (
+    cand0 AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b USING (band, band_hash)
         WHERE a.doc_id < b.doc_id
+    ),
+    cand AS (
+        SELECT c.id_a, c.id_b
+        FROM cand0 c
+        JOIN mh ma ON ma.doc_id = c.id_a
+        JOIN mh mb ON mb.doc_id = c.id_b
+        WHERE ({_SIG_MATCH_SUM}) >= {_MIN_SIG_MATCHES}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -274,21 +290,21 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(
         docs, "doc_id", k=_SHINGLE_K, num_perm=_NUM_PERM, bands=_NUM_PERM,
-        threshold=_JACCARD_THRESHOLD,
+        threshold=_JACCARD_THRESHOLD, min_sig_matches=_MIN_SIG_MATCHES,
     )
     from ..core.cache import scoped_persist
 
-    pairs = scoped_persist(pairs)  # reused: node list + closure + final join
-    nodes = scoped_persist(        # reused: CC init, rank init, node count
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select("id_b")).distinct())
-    comp = connected_components(
-        nodes, pairs.select(F.col("id_a").alias("id1"),
-                            F.col("id_b").alias("id2")),
-        id_col="id", symmetrize=True)
-    sym_edges = (pairs.select(F.col("id_a").alias("id1"),
-                              F.col("id_b").alias("id2"))
-                 .union(pairs.select(F.col("id_b"), F.col("id_a"))))
+    pairs = scoped_persist(pairs)  # reused: sym edges + final join
+    # ONE persisted symmetric edge table feeds the closure, the rank
+    # iteration, AND the node list — CC and PageRank share it instead of
+    # each re-deriving (and re-checkpointing) its own copy
+    sym_edges = scoped_persist(
+        pairs.select(F.col("id_a").alias("id1"), F.col("id_b").alias("id2"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a"))))
+    nodes = scoped_persist(sym_edges.select(F.col("id1").alias("id"))
+                           .distinct())
+    comp = connected_components(nodes, sym_edges, id_col="id",
+                                symmetrize=False, checkpoint_edges=False)
     # symmetrized graph → no dangling nodes; 3 lazy rounds fold into the
     # final join's single job (no per-round checkpoints)
     pr = pagerank(nodes, sym_edges, n_iter=_PR_ITERS, damping=_PR_DAMP,

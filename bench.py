@@ -31,16 +31,25 @@ def main() -> None:
     spark = get_spark("barberini-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # hard wall-clock envelope: host-interference bursts can double every
-    # measurement, and an external harness may kill a long-running bench;
-    # optional passes (repeats, scale paths) yield before these marks so
-    # the JSON line ALWAYS lands
+    # wall-clock envelope: host-interference bursts can double every
+    # measurement, and an external harness may kill a long-running bench.
+    # The FIRST repeat sweep is GUARANTEED (a min-of-one cold sweep under
+    # host load is worse than no artifact — it misrepresents the engine);
+    # the deadline bounds only ADDITIONAL sweeps and the scale paths.
     bench_start = time.perf_counter()
     repeat_deadline = float(os.environ.get("BENCH_REPEAT_DEADLINE", "300"))
     scale_deadline = float(os.environ.get("BENCH_SCALE_DEADLINE", "420"))
 
     def elapsed() -> float:
         return time.perf_counter() - bench_start
+
+    def loadavg() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:  # pragma: no cover - getloadavg always works on linux
+            return []
+
+    load_samples = {"start": loadavg()}
 
     # JVM/codegen warm-up so the alphabetically-first query doesn't absorb
     # executor spin-up time into its measurement
@@ -69,29 +78,38 @@ def main() -> None:
     # inside the same burst as the first measurement; stop early once a
     # run comes in under the repeat threshold.  Bounded to the slowest 24
     # entries to keep total wall time predictable.
-    first_run = dict(timings)  # pre-repeat timings, kept for transparency
+    first_run = {k: round(v, 3) for k, v in timings.items()}
+    load_samples["after_base"] = loadavg()
     heavy = sorted(timings, key=timings.get, reverse=True)[:24]
     # two SWEEPS rather than two back-to-back retries per entry: the
     # interference bursts last multiple seconds, so consecutive reruns of
     # one entry tend to land inside the same burst — spacing a given
-    # entry's attempts apart in time dodges bursts far more often
-    for _sweep in range(2):
-        if elapsed() > repeat_deadline:
+    # entry's attempts apart in time dodges bursts far more often.
+    # Sweep 0 runs UNCONDITIONALLY: if the base sweep alone ate the
+    # deadline (host contention), min-of-one cold numbers are exactly the
+    # artifact we must not record.  Only sweep 1+ yields to the deadline.
+    for sweep in range(2):
+        if sweep > 0 and elapsed() > repeat_deadline:
             break
         for name in heavy:
-            if elapsed() > repeat_deadline:
+            if sweep > 0 and elapsed() > repeat_deadline:
                 break
             if timings[name] <= 1.2:
                 continue
             timings[name] = min(timings[name], run_once(name))
-    # transparency: for entries whose reported min differs noticeably from
-    # the first measurement (warm caches, JIT, host-noise dodging), also
-    # report what the first run cost
-    first_run = {k: round(v, 3) for k, v in first_run.items()
-                 if v - timings[k] > 0.5}
+    load_samples["after_repeats"] = loadavg()
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
+    # contamination self-diagnosis: if the cold base sweep cost far more
+    # than the min-of-repeats story, the host was loaded during it — the
+    # repeated minimums are still trustworthy, but flag it in the record
+    base_total = sum(first_run.values())
+    contaminated = base_total > 2.5 * total
+    if contaminated:
+        print(f"WARNING: base sweep {base_total:.1f}s vs repeated-min "
+              f"{total:.1f}s — host interference during cold sweep",
+              file=sys.stderr)
 
     # Scale-path timings (NOT part of the 50-entry registry or the total,
     # so round-over-round totals stay comparable): the distributed
@@ -147,12 +165,16 @@ def main() -> None:
         run_scale("scale_pq_encode_100k",
                   lambda: SIM.pq_encode_arrow(vecs, cb))
 
+    load_samples["end"] = loadavg()
     print(json.dumps({
         "metric": "total_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "first_run": first_run,
+        "base_sweep_total": round(base_total, 3),
+        "contaminated_base_sweep": contaminated,
+        "loadavg": load_samples,
         "scale_paths": scale_timings,
         "sf": sf_num,
     }))

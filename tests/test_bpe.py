@@ -47,3 +47,85 @@ def test_bpe_apply_is_partitioning_invariant(spark):
     b = {r.doc_id: tuple(r.bpe_tokens)
          for r in apply_bpe(df.repartition(5), merges).collect()}
     assert a == b and len(set(a.values())) == 1
+
+
+def test_bpe_batched_matches_exact_on_random_corpora(spark):
+    """The distributed batched trainer must reproduce the exact
+    (one-pick-at-a-time Sennrich) merge sequence — the batch selection
+    rule's whole job is to make batching invisible."""
+    import random
+
+    from barberini_analytics_spark.operators.bpe import (
+        _train_exact, _word_table, train_bpe_merges_batched)
+
+    rng = random.Random(7)
+    for trial in range(4):
+        vocab = ["".join(rng.choices("abcdef", k=rng.randint(2, 7)))
+                 for _ in range(30)]
+        text = " ".join(rng.choices(vocab, k=300))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        words = _word_table(df, "text")
+        exact = _train_exact(
+            sorted((r["w"], r["n"]) for r in words.collect()), 25)
+        batched = train_bpe_merges_batched(words, 25, batch_size=8)
+        assert batched == exact, f"trial {trial} diverged"
+
+
+def test_bpe_exact_trainer_is_the_gated_default(spark):
+    """Below the word gate train_bpe_merges must use the driver trainer
+    and still produce the Sennrich answer (same as the classic test)."""
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = train_bpe_merges(df, 6, max_driver_words=10_000)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"),
+                      ("lo", "w"), ("e", "w"), ("ew", "est")]
+    # forcing the gate DOWN routes through the distributed batched path
+    # and must agree
+    assert train_bpe_merges(df, 6, max_driver_words=0) == merges
+
+
+def test_bpe_arrow_apply_matches_expression_apply(spark):
+    """Past arrow_threshold the single-pass mapInPandas encoder takes
+    over; on a learned merge list it must tokenize identically to the
+    in-order expression replay."""
+    import random
+
+    from barberini_analytics_spark.operators.bpe import apply_bpe_arrow
+
+    rng = random.Random(11)
+    vocab = ["".join(rng.choices("abcde", k=rng.randint(2, 6)))
+             for _ in range(25)]
+    text = " ".join(rng.choices(vocab, k=200))
+    df = spark.createDataFrame(
+        [(1, text), (2, "aaaa aaa"), (3, None)],
+        "doc_id long, text string")
+    merges = train_bpe_merges(df, 20)
+    expr = {r.doc_id: r.bpe_tokens
+            for r in apply_bpe(df, merges, arrow_threshold=1000).collect()}
+    arrow = {r.doc_id: r.bpe_tokens
+             for r in apply_bpe_arrow(df, merges).collect()}
+    assert expr == arrow
+    assert arrow[3] is None
+    # and the dispatcher routes long lists to the arrow path
+    routed = {r.doc_id: r.bpe_tokens
+              for r in apply_bpe(df, merges, arrow_threshold=5).collect()}
+    assert routed == expr
+
+
+def test_bpe_batched_self_chaining_pair_stays_exact(spark):
+    """An l==r pair inside a round must close its batch: runs of 'a'
+    create (aa, a) pairs whose count is bounded by the pair itself, not
+    by any skipped candidate."""
+    from barberini_analytics_spark.operators.bpe import (
+        _train_exact, _word_table, train_bpe_merges_batched)
+
+    # 'aaa'x30 -> (a,a)=60; 'cd'x25 -> (c,d)=25; after merging (a,a)
+    # the new pair (aa,a)=30 must be picked BEFORE (c,d)
+    text = " ".join(["aaa"] * 30 + ["cd"] * 25)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    words = _word_table(df, "text")
+    exact = _train_exact(
+        sorted((r["w"], r["n"]) for r in words.collect()), 3)
+    assert exact[:2] == [("a", "a"), ("aa", "a")]
+    assert train_bpe_merges_batched(words, 3, batch_size=8) == exact

@@ -408,3 +408,56 @@ def test_gif_dispatch_and_features(spark):
     assert (meta["container"], meta["kind"]) == ("gif", "image")
     feat = image_features(df).collect()[0]
     assert feat["luma_mean"] == pytest.approx(255.0)
+
+
+def test_audio_features_stereo_downmixed(spark):
+    """Interleaved stereo must be downmixed before framing: a 4 kHz
+    tone on BOTH channels must land in the same band as its mono
+    rendition — NOT smeared into the top band by channel alternation."""
+    from barberini_analytics_spark.multimodal.media import audio_features
+
+    sr, f0 = 16_000, 2_000
+    t = np.arange(sr) / sr
+    tone = (np.sin(2 * np.pi * f0 * t) * 20_000).astype(np.int16)
+    stereo = np.empty(2 * len(tone), np.int16)
+    stereo[0::2] = tone          # L
+    stereo[1::2] = tone          # R
+    df = spark.createDataFrame(
+        [(1, bytearray(C.encode_wav(tone, sample_rate=sr))),
+         (2, bytearray(C.encode_wav(stereo, sample_rate=sr,
+                                    n_channels=2)))],
+        "media_id long, data binary")
+    rows = {r["media_id"]: r for r in
+            audio_features(df, n_bands=8, frame=512).collect()}
+    mono_b = rows[1]["band_log_energy"]
+    ster_b = rows[2]["band_log_energy"]
+    assert int(np.argmax(ster_b)) == int(np.argmax(mono_b))
+    # identical L/R content -> near-identical spectra after downmix
+    assert np.allclose(mono_b, ster_b, atol=0.1)
+
+
+def test_gif_truncated_payloads_raise_valueerror():
+    """Truncated GIFs must raise the documented ValueError (not
+    IndexError) at every cut point in the block walk."""
+    idx = np.arange(8, dtype=np.uint8).reshape(2, 4) % 4
+    pal = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170],
+                    [255, 255, 255]], np.uint8)
+    full = C.encode_gif(idx, pal)
+    # also cover the extension path (encode_gif emits none)
+    with_ext = full[:13 + 12] + b"\x21\xfe\x05hello\x00" + full[13 + 12:]
+    for payload in (full, bytes(with_ext)):
+        for cut in range(7, len(payload) - 1):
+            try:
+                C.decode_gif(payload[:cut])
+            except ValueError:
+                pass   # the documented failure
+            except struct.error:
+                raise AssertionError(
+                    f"struct.error leaked at cut={cut}")
+
+
+def test_encode_gif_rejects_indices_past_palette():
+    idx = np.full((2, 2), 9, np.uint8)   # table size for 4 colors is 4
+    pal = np.zeros((4, 3), np.uint8)
+    with pytest.raises(ValueError, match="color table"):
+        C.encode_gif(idx, pal)

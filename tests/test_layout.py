@@ -94,3 +94,32 @@ def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
     after = spark.read.parquet(p)
     assert after.count() == total
     assert after.agg({"id": "sum"}).collect()[0][0] == checksum
+
+
+def test_compact_files_preserves_hive_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table ROOT must keep the key=value
+    layout (and partition pruning) instead of flattening it."""
+    import os
+
+    from barberini_analytics_spark.core.layout import compact_files
+
+    p = str(tmp_path / "part")
+    spark.range(1_000).selectExpr("id", "id % 3 AS g") \
+        .repartition(8).write.partitionBy("g").parquet(p)
+    before = spark.read.parquet(p)
+    total, checksum = before.count(), \
+        before.agg({"id": "sum"}).collect()[0][0]
+    compact_files(spark, p, target_bytes=1 << 30)
+    part_dirs = sorted(d for d in os.listdir(p) if d.startswith("g="))
+    assert part_dirs == ["g=0", "g=1", "g=2"]
+    # one file per partition at this size, not 8
+    for d in part_dirs:
+        files = [f for f in os.listdir(os.path.join(p, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    after = spark.read.parquet(p)
+    assert after.count() == total
+    assert after.agg({"id": "sum"}).collect()[0][0] == checksum
+    # pruning still works: a partition filter reads one dir
+    assert after.filter("g = 1").count() == \
+        before.filter("g = 1").count()

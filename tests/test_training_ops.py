@@ -421,3 +421,20 @@ def test_curate_corpus_mixing_replicates(spark):
     for r in out:
         splits.setdefault(r.doc_id, set()).add(r.split)
     assert all(len(s) == 1 for s in splits.values())
+
+
+def test_curate_corpus_lm_gate_passes_unscoreable_docs(spark):
+    """NULL lm_score means "too short to score", not "bad": with
+    min_tokens lowered so a 2-char doc reaches the LM gate, it must
+    survive (NULL <= q three-valued logic must not silently drop it)."""
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "a"),
+         (2, "a clean and fluent sentence about the museum hall", "a"),
+         (3, "ab", "a")],   # 1 token, 2 chars -> lm_score NULL
+        "doc_id long, text string, source string")
+    out = curate_corpus(docs, source_col="source", min_tokens=1,
+                        lm_quantile=0.99, targets=None).toPandas()
+    assert 3 in set(out["doc_id"])
+    assert out.loc[out["doc_id"] == 3, "lm_score"].isna().all()

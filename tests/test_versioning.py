@@ -39,9 +39,11 @@ def test_orphaned_snapshot_is_not_readable(spark, tmp_path):
     assert V.latest_version(str(p)) == 1            # commit point unmoved
     with pytest.raises(ValueError):
         V.read_version(spark, str(p), 2)
-    # the next commit overwrites the orphan and moves the marker
+    # the next commit SKIPS the orphan (it may be a live concurrent
+    # writer's reservation, not a crash) and moves the marker past it
     v = _write(spark, p, [(1, "b")])
-    assert v == 2
+    assert v == 3
+    assert V.latest_version(str(p)) == 3
     assert {r.val for r in V.read_version(spark, str(p)).collect()} == {"b"}
 
 
@@ -60,3 +62,22 @@ def test_change_feed_insert_update_delete_and_null_flip(spark, tmp_path):
     }
     # unchanged key 1 is absent from the feed
     assert 1 not in feed
+
+
+def test_write_version_skips_reserved_snapshot_dirs(spark, tmp_path):
+    """A concurrently-reserved (or crashed-writer) v=N dir must not be
+    reused: the next writer skips past it, and the marker still only
+    advances to what was actually committed."""
+    import os
+
+    from barberini_analytics_spark.core import versioning as V
+
+    p = str(tmp_path / "tbl")
+    assert V.write_version(spark.range(3), p) == 1
+    # simulate another writer that reserved v=2 but has not committed
+    os.mkdir(os.path.join(p, "_versions", "v=000002"))
+    v = V.write_version(spark.range(5), p)
+    assert v == 3
+    assert V.latest_version(p) == 3
+    assert V.read_version(spark, p).count() == 5
+    assert V.read_version(spark, p, 1).count() == 3
