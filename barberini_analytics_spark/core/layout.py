@@ -113,7 +113,11 @@ def compact_files(spark, path: str,
         if not hits:
             break
         part_cols.append(hits[0].group(1))
-        probe = os.path.join(probe, subdirs[0])
+        # descend into the dir that PRODUCED the matched key, not
+        # blindly into subdirs[0] — a stray non-key=value dir sorting
+        # first (e.g. ".stage_x") would otherwise derail nested-key
+        # discovery
+        probe = os.path.join(probe, hits[0].group(0))
 
     if part_cols:
         sizes = {}   # per-partition-dir bytes → per-partition file budget
@@ -136,7 +140,11 @@ def compact_files(spark, path: str,
                     .repartition(n_parts * n_per, *part_cols, "__salt")
                     .drop("__salt"),
                   path, partition_cols=part_cols)
-        return n_per
+        # report what actually landed (consistent with the non-partitioned
+        # branch), not the per-partition budget
+        return sum(
+            1 for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet"))
 
     total = sum(
         os.path.getsize(os.path.join(root, f))

@@ -81,15 +81,20 @@ def write_version(df: DataFrame, path: str) -> int:
 
     Concurrent writers are safe on a POSIX filesystem: each writer
     RESERVES its snapshot dir with an atomic ``os.mkdir`` (two writers
-    can never interleave files inside one ``v=N``), and the ``_LATEST``
-    swap is serialized by an ``flock`` and only ever advances — a slow
-    writer committing an older version cannot move the marker backwards
-    past a newer commit (its snapshot stays readable via time travel).
-    On object stores without atomic mkdir/flock semantics this module
-    must be fronted by an external lock (or replaced by Delta/Iceberg,
-    as the module docstring notes).
+    can never interleave files inside one ``v=N``), and the reservation
+    stays alive through the Spark write — the snapshot is materialized
+    into a private staging dir and ``os.rename``d over the (still-empty)
+    reserved dir in one atomic step, so the reserved path never passes
+    through a deleted state a competing ``mkdir`` could slip into.  The
+    ``_LATEST`` swap is serialized by an ``flock`` and only ever
+    advances — a slow writer committing an older version cannot move the
+    marker backwards past a newer commit (its snapshot stays readable
+    via time travel).  On object stores without atomic mkdir/rename/flock
+    semantics this module must be fronted by an external lock (or
+    replaced by Delta/Iceberg, as the module docstring notes).
     """
-    os.makedirs(os.path.join(path, _VDIR), exist_ok=True)
+    vdir = os.path.join(path, _VDIR)
+    os.makedirs(vdir, exist_ok=True)
     version = max([latest_version(path) or 0, *list_versions(path)]) + 1
     while True:
         try:
@@ -97,7 +102,21 @@ def write_version(df: DataFrame, path: str) -> int:
             break
         except FileExistsError:   # another writer reserved it — skip past
             version += 1
-    df.write.mode("overwrite").parquet(_vpath(path, version))
+    # Never write INTO the reserved dir: mode('overwrite') deletes the
+    # target first, which would momentarily un-reserve v=N and let a
+    # concurrent writer's mkdir claim the same version.  Stage privately
+    # (dotted prefix — invisible to the v=(\d+) listing), then atomically
+    # rename over the still-empty reservation.
+    staging = tempfile.mkdtemp(dir=vdir, prefix=".stage_")
+    os.rmdir(staging)               # Spark wants to create the dir itself
+    try:
+        df.write.mode("error").parquet(staging)
+        os.rename(staging, _vpath(path, version))
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     import fcntl
 
     with open(os.path.join(path, ".commit_lock"), "w",
@@ -114,8 +133,11 @@ def write_version(df: DataFrame, path: str) -> int:
 def read_version(spark: SparkSession, path: str,
                  version: int | None = None) -> DataFrame:
     """Time travel: open a specific snapshot (default: the committed
-    latest).  Orphaned snapshots (> latest) are refused — they were
-    never committed."""
+    latest).  Uncommitted snapshots are refused in both directions:
+    versions above ``_LATEST`` were never committed, and versions below
+    it may be a crashed writer's empty reservation (skip-past version
+    allocation can leave those behind), so the snapshot dir must also
+    carry Spark's ``_SUCCESS`` marker before it is opened."""
     committed = latest_version(path)
     if committed is None:
         raise FileNotFoundError(f"no committed version at {path}")
@@ -124,7 +146,12 @@ def read_version(spark: SparkSession, path: str,
     if version > committed or version < 1:
         raise ValueError(
             f"version {version} not committed (latest is {committed})")
-    return spark.read.parquet(_vpath(path, version))
+    vpath = _vpath(path, version)
+    if not os.path.exists(os.path.join(vpath, "_SUCCESS")):
+        raise ValueError(
+            f"version {version} reserved but never committed "
+            f"(no _SUCCESS in {vpath})")
+    return spark.read.parquet(vpath)
 
 
 def change_feed(spark: SparkSession, path: str, pk: Sequence[str],

@@ -106,10 +106,17 @@ def test_compact_files_preserves_hive_partition_layout(spark, tmp_path):
     p = str(tmp_path / "part")
     spark.range(1_000).selectExpr("id", "id % 3 AS g") \
         .repartition(8).write.partitionBy("g").parquet(p)
+    # a stray non-key=value dir that sorts FIRST must not derail
+    # partition discovery (it used to: discovery descended subdirs[0])
+    os.mkdir(os.path.join(p, ".stage_leftover"))
     before = spark.read.parquet(p)
     total, checksum = before.count(), \
         before.agg({"id": "sum"}).collect()[0][0]
-    compact_files(spark, p, target_bytes=1 << 30)
+    # capture BEFORE compaction: the `before` plan holds a file listing
+    # that the rewrite invalidates
+    before_g1 = before.filter("g = 1").count()
+    n_out = compact_files(spark, p, target_bytes=1 << 30)
+    assert n_out == 3   # actual files written, one per partition
     part_dirs = sorted(d for d in os.listdir(p) if d.startswith("g="))
     assert part_dirs == ["g=0", "g=1", "g=2"]
     # one file per partition at this size, not 8
@@ -121,5 +128,4 @@ def test_compact_files_preserves_hive_partition_layout(spark, tmp_path):
     assert after.count() == total
     assert after.agg({"id": "sum"}).collect()[0][0] == checksum
     # pruning still works: a partition filter reads one dir
-    assert after.filter("g = 1").count() == \
-        before.filter("g = 1").count()
+    assert after.filter("g = 1").count() == before_g1

@@ -81,3 +81,25 @@ def test_write_version_skips_reserved_snapshot_dirs(spark, tmp_path):
     assert V.latest_version(p) == 3
     assert V.read_version(spark, p).count() == 5
     assert V.read_version(spark, p, 1).count() == 3
+    # the skipped reservation now sits BELOW latest; time-traveling to it
+    # must be refused (no _SUCCESS — it was never committed)
+    with pytest.raises(ValueError, match="never committed"):
+        V.read_version(spark, p, 2)
+
+
+def test_snapshot_write_stages_then_renames(spark, tmp_path):
+    """The reserved v=N dir is never deleted mid-write (the staging dir
+    is renamed over it), and a failed write leaves no stray staging dir
+    visible to the version listing."""
+    p = str(tmp_path / "tbl")
+    V.write_version(spark.range(3), p)
+    vdir = os.path.join(p, "_versions")
+    assert os.path.exists(os.path.join(vdir, "v=000001", "_SUCCESS"))
+    # no leftover staging dirs after a successful commit
+    assert [d for d in os.listdir(vdir) if d.startswith(".stage_")] == []
+    # a failing write (unserializable plan) must clean its staging dir
+    bad = spark.range(3).selectExpr("assert_true(id < 1) as x", "id")
+    with pytest.raises(Exception):
+        V.write_version(bad, p)
+    assert [d for d in os.listdir(vdir) if d.startswith(".stage_")] == []
+    assert V.latest_version(p) == 1
