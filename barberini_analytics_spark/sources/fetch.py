@@ -196,6 +196,41 @@ def fetch_thumbnails(posts: DataFrame, transport_factory: TransportFactory,
                         id_cols=[id_col], **fetch_kwargs)
 
 
+def urllib_transport_factory(headers: dict | None = None,
+                             timeout: float = 60.0) -> TransportFactory:
+    """Stdlib transport: ``urllib.request`` with redirect-following and
+    an opener per partition — no third-party dependency, so the fetch
+    layer runs against real sockets even in runtimes without
+    ``requests`` (exercised end-to-end against a loopback HTTP server in
+    tests/test_fetch.py).  HTTP error statuses come back as normal
+    ``FetchResponse``s (status, body), matching the requests-based
+    transport's no-raise contract; transport-level failures (refused
+    connection, timeout) raise and hit ``fetch_binary``'s retry path.
+    """
+
+    def factory() -> Transport:
+        import urllib.error
+        import urllib.request
+
+        opener = urllib.request.build_opener()   # follows redirects
+        if headers:
+            opener.addheaders = list(headers.items())
+
+        def transport(url: str) -> FetchResponse:
+            try:
+                with opener.open(url, timeout=timeout) as resp:
+                    return FetchResponse(status=resp.status,
+                                         content=resp.read(),
+                                         final_url=resp.geturl())
+            except urllib.error.HTTPError as err:   # 4xx/5xx: a response
+                return FetchResponse(status=err.code, content=err.read(),
+                                     final_url=err.geturl() or url)
+
+        return transport
+
+    return factory
+
+
 def http_transport_factory(headers: dict | None = None,
                            cookies: dict | None = None,
                            timeout: float = 60.0) -> TransportFactory:

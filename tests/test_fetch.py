@@ -131,3 +131,120 @@ def test_fetched_thumbnail_decodes_end_to_end(spark):
     luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
             + 0.114 * img[..., 2]).mean()
     assert r.content_stat == pytest.approx(luma, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# loopback HTTP integration: real sockets through the stdlib transport
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def loopback_server():
+    """A stdlib HTTP server on 127.0.0.1 exercising the fetch layer over
+    REAL sockets (Spark python workers are separate processes — they
+    reach the test-process server via loopback): flaky endpoints that
+    recover, an auth redirect chain, cursor pagination, and a 404."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, status, body=b"", headers=()):
+            self.send_response(status)
+            for k, v in headers:
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            p = self.path
+            if p.startswith("/ok/"):
+                self._send(200, f"payload:{p.rsplit('/', 1)[1]}".encode())
+            elif p.startswith("/flaky/"):
+                with lock:
+                    hits[p] = hits.get(p, 0) + 1
+                    n = hits[p]
+                if n < 3:
+                    self._send(503, b"try later")
+                else:
+                    self._send(200, b"recovered:" + p.encode())
+            elif p == "/auth":
+                self._send(302, b"", [("Location", "/login")])
+            elif p == "/login":
+                self._send(200, b"<html>sign in</html>")
+            elif p.startswith("/page/"):
+                _, _, key, i = p.split("/")
+                i = int(i)
+                nxt = (f"http://{self.server.server_address[0]}:"
+                       f"{self.server.server_address[1]}/page/{key}/{i + 1}"
+                       if i < 2 else None)
+                self._send(200, json.dumps(
+                    {"item": f"{key}-{i}", "next": nxt}).encode())
+            else:
+                self._send(404, b"nope")
+
+        def log_message(self, *a):   # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_fetch_binary_over_real_sockets(spark, loopback_server):
+    """S12 end-to-end without any injected fake: retries ride through
+    real 503s, ignored statuses surface as error rows, content lands."""
+    base = loopback_server
+    urls = [(1, f"{base}/ok/alpha"), (2, f"{base}/flaky/one"),
+            (3, f"{base}/missing")]
+    df = spark.createDataFrame(urls, "id long, url string").coalesce(1)
+    rows = {r.id: r for r in FX.fetch_binary(
+        df, "url", FX.urllib_transport_factory(),
+        id_cols=["id"], max_attempts=4,
+        ignored_status=[404]).collect()}
+    assert rows[1].status == 200
+    assert bytes(rows[1].content) == b"payload:alpha"
+    assert rows[1].n_attempts == 1
+    assert rows[2].status == 200                   # recovered on retry
+    assert bytes(rows[2].content).startswith(b"recovered:")
+    assert rows[2].n_attempts == 3                 # two 503s then 200
+    assert rows[3].status == 404 and rows[3].content is None
+
+
+def test_fetch_auth_redirect_over_real_sockets(spark, loopback_server):
+    """The real redirect chain (302 → /login) must fail the job loudly,
+    not store the login page."""
+    df = spark.createDataFrame(
+        [(1, f"{loopback_server}/auth")], "id long, url string")
+    with pytest.raises(Exception, match="(?i)redirect|credentials"):
+        FX.fetch_binary(df, "url", FX.urllib_transport_factory(),
+                        id_cols=["id"],
+                        auth_redirect_suffix="/login").collect()
+
+
+def test_fetch_paged_over_real_sockets(spark, loopback_server):
+    """S7-style cursor pagination against the live server: each page's
+    payload carries the next URL; two keys page independently."""
+    base = loopback_server
+    keys = spark.createDataFrame(
+        [("a", f"{base}/page/a/0"), ("b", f"{base}/page/b/0")],
+        "key string, first_url string")
+
+    def next_url(content: bytes):
+        return json.loads(content.decode())["next"]
+
+    pages = FX.fetch_paged(keys, "first_url",
+                           FX.urllib_transport_factory(),
+                           next_url).collect()
+    got = {(r.key, r.page_index): json.loads(bytes(r.content).decode())
+           for r in pages}
+    assert len(got) == 6       # 3 pages per key
+    assert got[("a", 0)]["item"] == "a-0"
+    assert got[("b", 2)]["item"] == "b-2" and got[("b", 2)]["next"] is None
