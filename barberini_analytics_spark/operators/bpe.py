@@ -57,7 +57,14 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-_WS = re.compile(r"\s+")
+# Pinned to SPARK's tokenization semantics, not Python's: Java regex \s
+# is ASCII-only ([ \t\n\x0b\f\r]) while Python \s is unicode-aware, and
+# Spark `trim` strips only ASCII spaces while str.strip() strips all
+# unicode whitespace — the Arrow encoder must split words exactly like
+# the expression path and `_word_table` or apply_bpe's output silently
+# differs across the arrow_threshold route for text containing e.g.
+# \xa0 (non-breaking space).
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _sql_str(s: str) -> str:
@@ -198,11 +205,18 @@ def train_bpe_merges_batched(words: DataFrame, n_merges: int,
                              batch_size: int = 32) -> list[tuple[str, str]]:
     """Distributed rounds over a ``(w, n)`` word table: one pair-count
     job + one candidate collect (≤ ~4·batch_size rows) + one fold per
-    round — O(n_merges / batch_size) jobs, O(rounds) chained persists."""
-    from ..core.cache import scoped_persist
+    round — O(n_merges / batch_size) jobs.  Each round's folded table is
+    ``localCheckpoint``ed, not merely persisted: a chain of persists
+    keeps the FULL logical plan alive, so Catalyst re-analyzes a plan
+    that grows by one fold per round (quadratic analysis time — measured
+    as the dominant cost of a many-round fit), while the checkpoint
+    truncates lineage and keeps every round's plan O(1).  The table is
+    vocabulary-bounded, so executor-local checkpoint storage holds even
+    for a 100 TB corpus (tens of millions of (syms, n) rows)."""
+    from ..core.cache import scoped_checkpoint
 
     top_k = max(4 * batch_size, 64)
-    table = scoped_persist(
+    table = scoped_checkpoint(
         words.select(F.expr("split(w, '')").alias("syms"), "n"))
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
@@ -224,7 +238,7 @@ def train_bpe_merges_batched(words: DataFrame, n_merges: int,
                                          n_merges - len(merges)),
                               truncated=len(cands) == top_k)
         merges.extend(batch)
-        table = scoped_persist(
+        table = scoped_checkpoint(
             table.select(_batch_fold(batch, "syms").alias("syms"), "n"))
     return merges
 
@@ -237,7 +251,12 @@ def train_bpe_merges(df: DataFrame, n_merges: int, text_col: str = "text",
     order.  Deterministic: pair ties break on (left, right) ascending.
     Gated exact driver fit below ``max_driver_words`` distinct words,
     distributed batched rounds above (module docstring)."""
-    words = _word_table(df, text_col)
+    from ..core.cache import scoped_persist
+
+    # persist BEFORE the gate probe: the probe and the subsequent
+    # collect (or batched rounds) would otherwise each recompute the
+    # full corpus explode+groupBy — two corpus scans for "one job"
+    words = scoped_persist(_word_table(df, text_col))
     probe = words.limit(max_driver_words + 1).count()   # gate+1 probe
     if probe <= max_driver_words:
         rows = words.collect()
@@ -306,7 +325,7 @@ def apply_bpe_arrow(df: DataFrame, merges: list[tuple[str, str]],
                     toks.append(None)
                     continue
                 out: list[str] = []
-                for w in _WS.split(str(text).strip().lower()):
+                for w in _WS.split(str(text).strip(" ").lower()):
                     if w:
                         out.extend(_encode_word(w, rk, cache))
                 toks.append(out)

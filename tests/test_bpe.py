@@ -98,7 +98,11 @@ def test_bpe_arrow_apply_matches_expression_apply(spark):
              for _ in range(25)]
     text = " ".join(rng.choices(vocab, k=200))
     df = spark.createDataFrame(
-        [(1, text), (2, "aaaa aaa"), (3, None)],
+        # row 4: non-ASCII whitespace (\xa0,  ) — Java \s does NOT
+        # split on these while Python \s does; both paths must agree on
+        # Spark's (Java) semantics: "ab\xa0ba" is ONE word
+        [(1, text), (2, "aaaa aaa"), (3, None),
+         (4, " ab\xa0ba cd \t ae ")],
         "doc_id long, text string")
     merges = train_bpe_merges(df, 20)
     expr = {r.doc_id: r.bpe_tokens
