@@ -57,21 +57,40 @@ GERMAN_POS_LEXICON: tuple[tuple[str, tuple[str, ...]], ...] = (
              "wieder", "hier", "dort", "heute", "gestern", "leider",
              "wirklich", "absolut", "total", "ziemlich", "besonders",
              "dann", "jetzt", "oft", "nie", "mal", "so", "ganz")),
-    # common (museum-review domain) adjectives incl. inflected forms that
-    # no suffix rule can recover
-    ("ADJ", ("schön", "schöne", "schöner", "schönes", "schönen", "gut",
-             "gute", "guter", "gutes", "guten", "toll", "tolle", "toller",
-             "tolles", "tollen", "super", "großartig", "großartige",
-             "großartigen", "wunderbar", "wunderbare", "wunderbaren",
-             "beeindruckend", "beeindruckende", "interessant",
-             "interessante", "interessanten", "langweilig", "langweilige",
-             "langweiliger", "schlecht", "schlechte", "schlechter",
-             "teuer", "teure", "teuren", "günstig", "günstige", "modern",
-             "moderne", "moderner", "alt", "alte", "alter", "neu", "neue",
-             "neuer", "klein", "kleine", "kleiner", "groß", "große",
-             "großer", "voll", "volle", "laut", "laute", "leise", "hell",
-             "helle", "dunkel", "dunkle", "lang", "lange", "kurz",
-             "kurze")),
+    # common (museum-review domain) adjectives that no suffix rule can
+    # recover — stems expanded through the full German strong/weak
+    # inflection paradigm below (``_adj_forms``), so every case/gender
+    # form (-e/-er/-es/-en/-em) is covered systematically instead of by
+    # ad-hoc listing (an ad-hoc list missed e.g. dative 'schlechtem')
+    ("ADJ", ()),   # filled right after _adj_forms is defined
+)
+
+#: adjective STEMS; 'teuer'/'dunkel' also list their e-elided variants
+#: ('teur-', 'dunkl-') because German drops the schwa before endings
+_ADJ_STEMS = (
+    "schön", "gut", "toll", "super", "großartig", "wunderbar",
+    "beeindruckend", "interessant", "langweilig", "schlecht", "teuer",
+    "teur", "günstig", "modern", "alt", "neu", "klein", "groß", "voll",
+    "laut", "leise", "leis", "hell", "dunkel", "dunkl", "lang", "kurz",
+)
+
+
+def _adj_forms(stems) -> tuple[str, ...]:
+    seen: dict[str, None] = {}
+    for stem in stems:
+        for infl in ("", "e", "er", "es", "en", "em"):
+            form = stem + infl
+            # skip doubled-vowel artifacts like 'leisee'
+            if form not in seen and not (infl and stem.endswith("e")):
+                seen[form] = None
+        if stem.endswith("e") and stem not in seen:
+            seen[stem] = None
+    return tuple(seen)
+
+
+GERMAN_POS_LEXICON = tuple(
+    (tag, _adj_forms(_ADJ_STEMS) if tag == "ADJ" and not words else words)
+    for tag, words in GERMAN_POS_LEXICON
 )
 
 #: suffix → tag, checked after the lexicon and capitalization rules;
