@@ -37,6 +37,9 @@ def get_spark(app_name: str = "barberini_analytics_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # \r-progress bars interleave with (and can swallow) the one JSON
+        # line the bench driver parses from a merged stdout/stderr tail
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()

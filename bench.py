@@ -166,7 +166,15 @@ def main() -> None:
                   lambda: SIM.pq_encode_arrow(vecs, cb))
 
     load_samples["end"] = loadavg()
-    print(json.dumps({
+
+    # The driver that records this line keeps only the LAST ~2000 chars of
+    # output and parses the JSON line out of that window — round 6's line
+    # (with the full first_run dict inline) outgrew the window and the
+    # round recorded NO metric at all.  So: the printed line carries only
+    # the required fields plus small scalars, and the full diagnostic
+    # record (per-query first_run, loadavg samples, scale paths) goes to
+    # bench_detail.json next to this script.
+    detail = {
         "metric": "total_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
@@ -177,7 +185,29 @@ def main() -> None:
         "loadavg": load_samples,
         "scale_paths": scale_timings,
         "sf": sf_num,
-    }))
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "base_sweep_total": round(base_total, 1),
+        "contaminated_base_sweep": contaminated,
+        "loadavg_start": (load_samples["start"] or [None])[0],
+        "loadavg_end": (load_samples["end"] or [None])[0],
+        "detail": "bench_detail.json",
+        "sf": sf_num,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guard: never outgrow the capture window
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
