@@ -56,7 +56,8 @@ def _social_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "ELSE 'CAROUSEL_ALBUM' END AS media_type",
             "CAST(doc_id % 50 AS INT) AS likes",
             "CAST(doc_id % 20 AS INT) AS comments",
-            "'ig://' || CAST(doc_id AS STRING) AS permalink",
+            "'https://www.instagram.com/p/' || CAST(doc_id AS STRING)"
+            " || '/' AS permalink",
             "CAST(NULL AS STRING) AS thumbnail_uri"),
         "ig_post_performance": events.filter("event_type = 'signup'")
         .selectExpr(
@@ -142,7 +143,8 @@ _FIXTURE_CTES = f"""
                     ELSE 'CAROUSEL_ALBUM' END AS media_type,
                CAST(doc_id % 50 AS INT) AS likes,
                CAST(doc_id % 20 AS INT) AS comments,
-               'ig://' || CAST(doc_id AS VARCHAR) AS permalink,
+               'https://www.instagram.com/p/' || CAST(doc_id AS VARCHAR)
+               || '/' AS permalink,
                CAST(NULL AS VARCHAR) AS thumbnail_uri
         FROM pd WHERE doc_id % 5 = 3),
     ig_perf AS (

@@ -1,0 +1,86 @@
+"""End-to-end ``FillDb`` pipeline: both cadences, run twice, idempotent.
+
+Mirrors the reference's post-run schema assertions
+(``tests/schema/check_posts.py:20-103``): expected sources present,
+(source, post_id) unique, permalinks present and URL-shaped — plus the
+table-level idempotence the sink design promises (re-running a cadence
+leaves every warehouse table value-identical).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from barberini_analytics_spark.pipeline import (
+    fill_db, fill_db_daily, fill_db_hourly)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table_state(spark, warehouse: str) -> dict[str, tuple[int, int]]:
+    """(row count, order-independent value checksum) per warehouse table."""
+    state = {}
+    for name in sorted(os.listdir(warehouse)):
+        df = spark.read.parquet(os.path.join(warehouse, name))
+        row_hash = F.xxhash64(*[F.col(c).cast("string") for c in
+                                sorted(df.columns)])
+        agg = df.agg(F.count(F.lit(1)),
+                     F.sum(row_hash.cast("decimal(38,0)"))).first()
+        state[name] = (agg[0], agg[1])
+    return state
+
+
+def test_fill_db_both_cadences_twice_is_idempotent(spark, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    os.makedirs(wh)
+
+    first = fill_db(spark, SF_DIR, wh)
+    assert first and all(n > 0 for n in first.values()), first
+    state_1 = _table_state(spark, wh)
+
+    # second full run: hourly + daily again, same inputs
+    second = fill_db(spark, SF_DIR, wh)
+    assert second == first
+    state_2 = _table_state(spark, wh)
+    assert state_2 == state_1
+
+    # and each cadence alone is also a no-op on re-run
+    fill_db_hourly(spark, SF_DIR, wh)
+    fill_db_daily(spark, SF_DIR, wh)
+    assert _table_state(spark, wh) == state_1
+
+    # every stage's output table actually landed
+    expected_tables = {
+        "post", "post_aspect", "post_sentiment", "post_topic",
+        "visitor_prediction", "pipeline_diagnostics",
+        "fb_post", "fb_post_performance", "gomus_customer", "gomus_order",
+    }
+    assert expected_tables <= set(state_1)
+
+    # ---- reference check_posts.py invariants over the built warehouse
+    post = spark.read.parquet(os.path.join(wh, "post"))
+
+    # test_post_sources: the expected platforms all reached the view
+    sources = {r.source for r in post.select("source").distinct().collect()}
+    assert {"Facebook Post", "Instagram", "Twitter",
+            "Google Play", "Apple Appstore", "Google Maps"} <= sources
+
+    # test_post_unique: (source, post_id) is a key
+    dupes = (post.groupBy("source", "post_id").count()
+             .filter("count <> 1").count())
+    assert dupes == 0
+
+    # test_permalink_missing / _valid: permalinks present and URL-shaped
+    assert post.filter(F.col("permalink").isNull()).count() == 0
+    bad = post.filter(~F.col("permalink").rlike(r"^https?://\S+$")).count()
+    assert bad == 0
+
+    # diagnostics table is keyed by (cadence, table): re-runs updated in
+    # place, never appended
+    diag = spark.read.parquet(os.path.join(wh, "pipeline_diagnostics"))
+    assert (diag.groupBy("cadence", "table_name").count()
+            .filter("count <> 1").count()) == 0
+    assert {r.cadence for r in diag.select("cadence").distinct().collect()} \
+        == {"daily", "hourly"}
