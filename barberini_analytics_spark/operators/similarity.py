@@ -639,3 +639,55 @@ def kmeans_refine(vectors: DataFrame, init_centroids: DataFrame,
             .withColumnRenamed("assigned_cell", key_col) \
             .localCheckpoint(eager=True)
     return cents
+
+
+def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", cluster_col: str = "label",
+                   threshold: float = 0.95) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster, documents whose embedding
+    cosine exceeds ``threshold`` are semantic duplicates; keep the
+    lowest-id member of every duplicate set, drop the rest.
+
+    Shape: L2-normalize once, then self-join **within a cluster only**
+    (``id_a < id_b``) — the cluster assignment (from k-means /
+    :func:`ivf_assign` at real scale; the synthetic ``label`` here)
+    bounds every pairwise comparison to one cell, which is the entire
+    point of the SemDeDup construction: at 100 TB the all-pairs cost is
+    ``Σ |cell|²``, controlled by the number of clusters, never ``N²``.
+    The join shuffles on the cluster key alone; skewed cells are the
+    clustering step's responsibility (cap cell size upstream).
+
+    Keep policy: a vector is dropped iff some LOWER id in its cell is
+    within ``threshold`` — a deterministic, partitioning-invariant rule
+    (no dependence on comparison order), re-derivable in plain SQL.
+    Returns the total map ``(id, kept, dup_of, max_cosine)`` where
+    ``dup_of`` is the smallest dominating id and ``max_cosine`` the
+    rounded best similarity (NULL for kept rows).
+    """
+    nrm = _norm2(F.col(vec_col))
+    nv = vectors.select(
+        F.col(id_col), F.col(cluster_col),
+        F.transform(vec_col, lambda x: x.cast("double") / nrm).alias("__nv"))
+    a = nv.select(F.col(cluster_col),
+                  F.col(id_col).alias("__id_a"), F.col("__nv").alias("__va"))
+    b = nv.select(F.col(cluster_col),
+                  F.col(id_col).alias("__id_b"), F.col("__nv").alias("__vb"))
+    pairs = (
+        a.join(b, cluster_col)
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b",
+                F.round(_dot(F.col("__va"), F.col("__vb")), 6)
+                .alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+    )
+    dominated = pairs.groupBy(F.col("__id_b").alias(id_col)).agg(
+        F.min("__id_a").alias("dup_of"),
+        F.max("__cos").alias("max_cosine"))
+    return (
+        vectors.select(id_col)
+        .join(dominated, id_col, "left")
+        .select(F.col(id_col),
+                F.col("dup_of").isNull().alias("kept"),
+                "dup_of", "max_cosine")
+    )

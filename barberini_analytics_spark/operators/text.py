@@ -656,3 +656,47 @@ def assign_token_shards(df: DataFrame, token_col: str, order_col: str,
             .withColumn(out_col, F.floor(
                 (cum - F.col(token_col)) / target_tokens).cast("long"))
             .drop("__pid"))
+
+
+def temperature_mixture(df: DataFrame, source_col: str, token_col: str,
+                        alpha: float = 0.5,
+                        token_budget: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled sampling plan per source (the multilingual /
+    multi-source mixture rule of mBERT/XLM-R and Pile-style corpora):
+    source ``s`` with ``T_s`` tokens gets sampling weight
+    ``T_s^alpha / Σ T_s^alpha`` — ``alpha < 1`` flattens the natural
+    distribution so small sources are not drowned out, without the
+    fixed hand-tuned shares of :func:`mix_sources`.
+
+    Returns one row per source: document/token counts, the temperature
+    weight, the token allocation under ``token_budget``, and
+    ``epochs`` (allocation / available tokens — >1 means the source
+    repeats, the standard "epochs over source" diagnostic).
+
+    Shape: ONE per-source aggregate (rows = #sources) plus a broadcast
+    total — nothing corpus-sized moves.  ``alpha = 0.5`` is computed as
+    ``sqrt`` (bit-identical across engines, unlike ``pow``); doubles
+    aggregated across sources are rounded to 6 decimals because the
+    fold order of the tiny normalization sum is engine-specific.
+    """
+    if alpha != 0.5:  # pragma: no cover - pow() is not bit-portable
+        raise NotImplementedError(
+            "alpha != 0.5 requires pow(), which is not bit-identical "
+            "across engines; extend with a rounded pow if needed")
+    per_src = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"))
+    tot = per_src.agg(
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("__z"))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            source_col, "n_docs", "n_tokens",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("__z"),
+                    6).alias("weight"),
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("__z")
+                    * token_budget, 3).alias("target_tokens"),
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("__z")
+                    * token_budget / F.col("n_tokens"), 6).alias("epochs"),
+        )
+    )

@@ -20,5 +20,8 @@ from . import interval_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import media_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
+# registered after the long-standing 50 so a driver that windows the
+# first N entries keeps recording the same 50 it has tracked since r01
+from . import curation_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

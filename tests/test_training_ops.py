@@ -438,3 +438,47 @@ def test_curate_corpus_lm_gate_passes_unscoreable_docs(spark):
                         lm_quantile=0.99, targets=None).toPandas()
     assert 3 in set(out["doc_id"])
     assert out.loc[out["doc_id"] == 3, "lm_score"].isna().all()
+
+
+def test_semantic_dedup_domination_policy(spark):
+    """Chain a~b~c (but a!~c): the keep-minimal policy keeps only a —
+    b is dominated by a, c by b — and cross-cluster pairs never meet."""
+    from barberini_analytics_spark.operators.similarity import semantic_dedup
+
+    # 2-d vectors, cluster 0: three unit vectors at 0°, 25°, 50° —
+    # cos(25°)≈0.906 ≥ 0.9, cos(50°)≈0.643 < 0.9.  cluster 1: a copy of
+    # vector a that must NOT dominate anything in cluster 0.
+    import math
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [math.cos(math.radians(25)), math.sin(math.radians(25))], 0),
+        (3, [math.cos(math.radians(50)), math.sin(math.radians(50))], 0),
+        (4, [1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.9).collect()}
+    assert out[1]["kept"] and out[4]["kept"]
+    assert not out[2]["kept"] and out[2]["dup_of"] == 1
+    assert not out[3]["kept"] and out[3]["dup_of"] == 2
+    assert out[1]["dup_of"] is None and out[1]["max_cosine"] is None
+
+
+def test_temperature_mixture_flattens_and_sums_to_one(spark):
+    """α=0.5 weights ∝ sqrt(tokens): a 100×-larger source gets only
+    10× the weight; weights sum to 1; epochs = alloc/available."""
+    from barberini_analytics_spark.operators.text import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [("big", 10000), ("small", 100)], "source string, n_tok int")
+    out = {r["source"]: r for r in
+           temperature_mixture(docs, "source", "n_tok",
+                               token_budget=1000).collect()}
+    assert abs(out["big"]["weight"] / out["small"]["weight"] - 10.0) < 1e-4
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-5
+    assert abs(out["small"]["epochs"]
+               - out["small"]["target_tokens"] / 100) < 1e-6
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        temperature_mixture(docs, "source", "n_tok", alpha=0.3)
