@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .dedup import dedup_keep_best, dedup_segments
 from .text import (assign_token_shards, fingerprint, hash_split, mix_sources,
@@ -123,3 +123,89 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
         out = assign_token_shards(out, "n_tokens", "__ord",
                                   shard_tokens).drop("__ord")
     return out
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (exact per-stratum quotas, deterministic)
+# ---------------------------------------------------------------------------
+
+def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
+                      fraction: float, key_col: str,
+                      fractions: dict | None = None,
+                      flag_only: bool = False) -> DataFrame:
+    """Deterministic stratified downsample with EXACT per-stratum quotas:
+    every stratum keeps ``ceil(fraction_s * n_s)`` rows, chosen by a
+    content-independent hash order so the sample is reproducible across
+    runs, partitionings, and engines (no ``rand()``, no seed plumbing).
+
+    ``fractions`` optionally overrides the global ``fraction`` per
+    stratum, keyed by the tuple of stratum values (single-column strata
+    may key by the bare value) — the mixture-rebalancing use ("keep 10%
+    of web, 100% of books").
+
+    Mechanics: rows are ranked inside each stratum by
+    ``(hash56(key), key)`` — a uniform 56-bit md5-derived order — and a
+    count window supplies ``n_s``; rank ≤ quota survives.  One shuffle on
+    the strata columns.  Skew note for 100 TB: a single giant stratum
+    serializes into one task under a plain window; this implementation
+    pre-shuffles on (strata, key-hash) only via the window's own
+    exchange, so for web-scale single-stratum corpora prefer
+    :func:`stratified_sample_threshold`, which is map-only after a
+    per-stratum count aggregate and trades exact quotas for
+    ±O(sqrt(n)) binomial jitter.
+
+    ``flag_only=True`` keeps every row and emits the membership verdict
+    as an ``in_sample`` boolean (plus ``stratum_quota``) instead of
+    filtering — the audit/join form.
+    """
+    from .text import hash56
+
+    strata = [F.col(c) for c in strata_cols]
+    w = W.partitionBy(*strata)
+    order = w.orderBy(hash56(F.col(key_col).cast("string")),
+                      F.col(key_col))
+    frac = F.lit(float(fraction))
+    if fractions:
+        expr = F.lit(float(fraction))
+        for key, f in fractions.items():
+            tup = key if isinstance(key, tuple) else (key,)
+            cond = F.lit(True)
+            for c, v in zip(strata_cols, tup):
+                cond = cond & (F.col(c) == F.lit(v))
+            expr = F.when(cond, F.lit(float(f))).otherwise(expr)
+        frac = expr
+    out = (
+        df.withColumn("__rnk", F.row_number().over(order))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("stratum_quota",
+                    F.ceil(frac * F.col("__n")).cast("long"))
+    )
+    if flag_only:
+        return out.withColumn(
+            "in_sample", F.col("__rnk") <= F.col("stratum_quota")
+        ).drop("__rnk", "__n")
+    return (out.filter(F.col("__rnk") <= F.col("stratum_quota"))
+            .drop("__rnk", "__n"))
+
+
+def stratified_sample_threshold(df: DataFrame, strata_cols: Sequence[str],
+                                fraction: float, key_col: str) -> DataFrame:
+    """Scale-path stratified sample: keep rows whose uniform 56-bit key
+    hash falls under ``fraction`` of the hash space — map-only (no
+    window, no per-stratum serialization), so a single web-scale stratum
+    stays fully parallel.  Quotas are binomial-approximate
+    (±O(sqrt(n_s)) rows), which is what every production corpus sampler
+    accepts in exchange for removing the only skew-prone shuffle.
+
+    Strata columns only scope the attached ``stratum_n`` audit count
+    (one broadcast-back aggregate); the keep decision itself is per-row.
+    """
+    from .text import hash56
+
+    counts = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("stratum_n"))
+    cut = int(float(fraction) * (1 << 56))
+    return (
+        df.join(F.broadcast(counts), list(strata_cols))
+        .filter(hash56(F.col(key_col).cast("string")) < F.lit(cut))
+    )

@@ -474,6 +474,91 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: the Gopher "must contain ≥2 of these" English function words
+#: (Rae et al. 2021, appendix A1.1 — a public, fixed 8-word list)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1) —
+    the standard pre-training corpus filter, as one map-only scan.
+
+    Adds per-document signals and one boolean per rule plus the composed
+    ``keep`` verdict, so a pipeline can either hard-filter (``keep``) or
+    audit rule hit-rates per source (group by the booleans):
+
+    - ``rule_word_count``: 50 ≤ words ≤ 100 000
+    - ``rule_mean_word_len``: 3 ≤ mean word length ≤ 10
+    - ``rule_symbol_ratio``: (# + … occurrences) / words ≤ 0.1
+    - ``rule_alpha_words``: ≥80 % of words contain a letter
+    - ``rule_bullets`` / ``rule_ellipsis``: ≤90 % bullet-started lines,
+      ≤30 % ellipsis-terminated lines
+    - ``rule_stopwords``: ≥2 distinct hits from the 8-word Gopher list
+    - ``rule_top_bigram`` / ``rule_dup_trigram``: repetition ceilings
+      0.18 / 0.30 over :func:`repetition_signals`
+
+    Every signal is array/string arithmetic inside whole-stage codegen —
+    no shuffle, no UDF; at 100 TB this is scan-speed and composes with
+    the scan's column pruning (only ``text_col`` is read).  Thresholds
+    are the published ones (repetition ceilings adapted to the two
+    signals this module computes); override by filtering on the raw
+    signal columns instead of ``keep``.
+    """
+    df = repetition_signals(df, text_col)   # adds `tokens` + rep signals
+    n_tok = F.size("tokens")
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), F.trim),
+        lambda ln: ln != "")
+    n_hash = F.length(text) - F.length(F.expr(f"replace({text_col}, '#')"))
+    n_ell = (F.length(text)
+             - F.length(F.expr(f"replace({text_col}, '...')"))) / F.lit(3)
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    staged = df.withColumns({
+        "n_words": n_tok,
+        "mean_word_len": F.when(n_tok > 0, F.aggregate(
+            "tokens", F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t)).cast("double") / n_tok),
+        "symbol_word_ratio": F.when(
+            n_tok > 0, (n_hash + n_ell).cast("double") / n_tok),
+        "alpha_word_frac": F.when(n_tok > 0, F.size(F.filter(
+            "tokens", lambda t: t.rlike("[a-z]"))).cast("double") / n_tok),
+        "bullet_line_frac": F.when(F.size(lines) > 0, F.size(F.filter(
+            lines, lambda ln: ln.rlike("^[-*•] ")))
+            .cast("double") / F.size(lines)),
+        "ellipsis_line_frac": F.when(F.size(lines) > 0, F.size(F.filter(
+            lines, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+            .cast("double") / F.size(lines)),
+        "stopword_hits": F.size(F.filter(
+            sw, lambda s: F.array_contains("tokens", s))),
+    })
+    rules = {
+        "rule_word_count": (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000),
+        "rule_mean_word_len": (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10),
+        "rule_symbol_ratio": F.col("symbol_word_ratio") <= 0.1,
+        "rule_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "rule_bullets": F.coalesce(F.col("bullet_line_frac"),
+                                   F.lit(0.0)) <= 0.9,
+        "rule_ellipsis": F.coalesce(F.col("ellipsis_line_frac"),
+                                    F.lit(0.0)) <= 0.3,
+        "rule_stopwords": F.col("stopword_hits") >= 2,
+        "rule_top_bigram": F.coalesce(F.col("top_bigram_frac"),
+                                      F.lit(0.0)) <= 0.18,
+        "rule_dup_trigram": F.coalesce(F.col("dup_trigram_frac"),
+                                       F.lit(0.0)) <= 0.30,
+    }
+    # null signals (empty document) fail the rule, not the expression:
+    # coalesce(rule, false) pins 3-valued logic to a 2-valued verdict
+    staged = staged.withColumns(
+        {name: F.coalesce(cond, F.lit(False)) for name, cond in rules.items()})
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return staged.withColumn("keep", keep)
+
+
 # ---------------------------------------------------------------------------
 # training-data chunking (token-bounded windows with overlap)
 # ---------------------------------------------------------------------------

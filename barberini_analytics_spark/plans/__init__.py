@@ -20,8 +20,12 @@ from . import interval_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import media_queries  # noqa: E402,F401
 from . import ml_queries  # noqa: E402,F401
-# registered after the long-standing 50 so a driver that windows the
-# first N entries keeps recording the same 50 it has tracked since r01
+# the registry is kept at EXACTLY 50 oracled entries (the driver
+# records only the first 50): same-grain operators are consolidated
+# into shared entries (simhash → exact_dedup_documents, manifest →
+# media_pipeline, int8 → ivf_assignments, SemDeDup →
+# embedding_dbscan_clusters, gopher/stratified/temperature →
+# corpus_quality_governance) rather than registered past the window
 from . import curation_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

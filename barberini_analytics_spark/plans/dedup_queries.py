@@ -51,6 +51,17 @@ _BAND_UNION = "\n        UNION ALL ".join(
 
 _SEG_TOKENS = 10
 
+_SIMHASH_BITS = 16
+
+_BIT_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIG_SUM = " + ".join(
+    f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+
 
 @query(
     "exact_dedup_documents",
@@ -118,12 +129,29 @@ _SEG_TOKENS = 10
                    AS dedup_digest
         FROM segf s JOIN occ o USING (seg_fp)
         GROUP BY s.doc_id
+    ),
+    simtok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    simh AS (
+        SELECT doc_id, {_hash56_sql('tok')} AS h FROM simtok
+    ),
+    simsum AS (
+        SELECT doc_id,
+               {_BIT_SUMS}
+        FROM simh GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM simsum
     )
     SELECT f.doc_id, f.fingerprint, g.rep_id, g.n_dups,
            f.doc_id = g.rep_id AS is_rep,
            sd.n_segments, sd.n_kept_first, sd.n_common_segments,
-           sd.dedup_digest
+           sd.dedup_digest, sims.simhash
     FROM f JOIN g USING (fingerprint) JOIN segd sd USING (doc_id)
+    JOIN sims USING (doc_id)
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,15 +170,24 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives, and the reassembled surviving text is hash-checked through
     ``dedup_digest`` (md5 of the re-joined text), so the oracle verifies
     the actual reconstruction, not just the counts.
+
+    SimHash half (:func:`...operators.dedup.simhash`): the 16-bit
+    signature rides along at the same grain — one token explode + ONE
+    hash aggregation computes all bit-sums as columns, cost independent
+    of signature width.  (Consolidated here because the correctness
+    driver records at most 50 registry entries; the operator keeps its
+    own unit tests.)
     """
     docs = load_table(spark, sf_dir, "documents")
     per_doc = X.fingerprint(docs).select("doc_id", "fingerprint")
     groups = D.exact_dedup(docs, "doc_id")
     segs = D.dedup_segments(docs, "doc_id",
                             tokens_per_segment=_SEG_TOKENS, min_docs=2)
+    sims = D.simhash(docs, "doc_id", bits=_SIMHASH_BITS)
     return (
         per_doc.join(groups, "fingerprint")
         .join(segs, "doc_id")
+        .join(sims, "doc_id")
         .select(
             "doc_id", "fingerprint", "rep_id",
             F.col("n_dups").cast("long").alias("n_dups"),
@@ -160,6 +197,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common_segments").cast("long")
             .alias("n_common_segments"),
             F.md5("text_kept_first").alias("dedup_digest"),
+            "simhash",
         )
     )
 
@@ -320,43 +358,6 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
-
-_BIT_SUMS = ",\n               ".join(
-    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
-    for b in range(_SIMHASH_BITS)
-)
-_SIG_SUM = " + ".join(
-    f"(CASE WHEN s_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
-)
-
-
-@query(
-    "simhash_documents",
-    oracle=rf"""
-    WITH tok AS (
-        SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-        FROM documents
-    ), h AS (
-        SELECT doc_id, {_hash56_sql('tok')} AS h FROM tok
-    ), s AS (
-        SELECT doc_id,
-               {_BIT_SUMS}
-        FROM h GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash
-    FROM s
-    """,
-)
-def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures (near-dup docs collide / differ in few bits).
-
-    One token explode + ONE hash aggregation computes all bit-sums as
-    columns — cost independent of signature width, no per-bit explosion.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", bits=_SIMHASH_BITS)
 
 
 @query(

@@ -1,10 +1,10 @@
 """Driver queries for the multimodal and log-mining layers.
 
-``multimodal_manifest`` is oracle-checked end-to-end: both engines build
-the identical synthetic payload bytes and hash them — so the binary-column
-plumbing (headers, concat, utf-8 encode) is verified bit-exact.  The
-decode/feature/frame steps go through ``mapInPandas`` and are rows-only
-(their determinism is pinned in tests/test_multimodal_sources.py).
+``media_pipeline`` is oracle-checked end-to-end, including the raw
+manifest columns (``n_bytes`` / ``payload_hex``): both engines build the
+identical synthetic payload bytes and compare them as hex — so the
+binary-column plumbing (headers, concat, utf-8 encode) is verified
+bit-exact alongside the decode/feature/frame-sample derivations.
 
 ``log_event_summary`` synthesizes a log-line stream from events in both
 engines and checks the regex event extraction + run attribution + pivot.
@@ -18,39 +18,6 @@ from ..core.io import load_table
 from ..multimodal import media as M
 from ..sources import logs as L
 from .registry import query
-
-
-@query(
-    "multimodal_manifest",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                ELSE 'video' END AS kind,
-           CAST(octet_length(
-               '\\x53\\x59\\x4E\\x4D'::BLOB
-               || unhex(lpad(hex(doc_id % 3), 2, '0'))
-               || unhex(lpad(hex((doc_id % 64 + 1) * 16), 4, '0'))
-               || unhex(lpad(hex((doc_id % 36 + 1) * 16), 4, '0'))
-               || unhex(lpad(hex(doc_id % 120 + 1), 4, '0'))
-               || encode(text)) AS BIGINT) AS n_bytes,
-           hex('\\x53\\x59\\x4E\\x4D'::BLOB
-               || unhex(lpad(hex(doc_id % 3), 2, '0'))
-               || unhex(lpad(hex((doc_id % 64 + 1) * 16), 4, '0'))
-               || unhex(lpad(hex((doc_id % 36 + 1) * 16), 4, '0'))
-               || unhex(lpad(hex(doc_id % 120 + 1), 4, '0'))
-               || encode(text)) AS payload_hex
-    FROM documents
-    """,
-)
-def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media columns verified bit-exact: the full payload is
-    compared as hex (DuckDB 1.0 cannot sha-hash blobs; the driver's
-    value-hash covers the bytes either way)."""
-    media = M.synth_media(spark, sf_dir)
-    return media.select(
-        "media_id", "kind",
-        F.length("data").cast("long").alias("n_bytes"),
-        F.hex("data").alias("payload_hex"))
 
 
 #: the synthetic payload blob, as DuckDB SQL (shared with the manifest)
@@ -76,10 +43,13 @@ _PAYLOAD_SQL = """
                CAST(doc_id % 120 + 1 AS INT) AS n_frames,
                CAST(octet_length(encode(text)) AS BIGINT)
                    AS n_payload_bytes,
-               sha256(hex({_PAYLOAD_SQL})) AS digest
+               sha256(hex({_PAYLOAD_SQL})) AS digest,
+               CAST(octet_length({_PAYLOAD_SQL}) AS BIGINT) AS n_bytes,
+               hex({_PAYLOAD_SQL}) AS payload_hex
         FROM documents
     )
     SELECT media_id, kind, width, height, n_frames, n_payload_bytes,
+           n_bytes, payload_hex,
            array_to_string(list_transform(range(0, 8), i ->
                printf('%.6f', CAST(CAST(list_sum(
                    list_transform(range(0, 8), j ->
@@ -115,12 +85,19 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = (M.sample_frames(M.synth_media(spark, sf_dir), every_n=10)
               .groupBy("media_id")
               .agg(F.count(F.lit(1)).alias("n_sampled_frames")))
+    # raw-bytes manifest at the same grain (bit-exact payload check —
+    # consolidated here because the driver records at most 50 entries)
+    manifest = M.synth_media(spark, sf_dir).select(
+        "media_id",
+        F.length("data").cast("long").alias("n_bytes"),
+        F.hex("data").alias("payload_hex"))
     return (
         decoded.join(feats, "media_id")
         .join(frames, "media_id", "left")
+        .join(manifest, "media_id")
         .select(
             "media_id", "kind", "width", "height", "n_frames",
-            "n_payload_bytes",
+            "n_payload_bytes", "n_bytes", "payload_hex",
             F.array_join(
                 F.transform("features",
                             lambda x: F.format_number(x, 6)), ",")

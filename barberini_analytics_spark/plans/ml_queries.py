@@ -31,7 +31,7 @@ from ..ml.gsdmm import GSDMM, fit_topics_sharded
 from ..ml.knn import KNNRegressor, MinMaxScaler
 from ..operators import text as X
 from ..operators.relational import top_k_per_group
-from ..operators.similarity import centroids_by_key, cosine
+from ..operators.similarity import centroids_by_key, cosine, semantic_dedup
 from .registry import ORACLES, query
 
 # a compact stopword list for the synthetic English corpus (the reference
@@ -536,6 +536,36 @@ _D_NORM_V = (
 )
 
 
+_SEM_TAU = 0.3   # SemDeDup threshold (see operators/similarity.semantic_dedup)
+
+_SEM_NV = """
+        list_transform(embedding, x -> CAST(x AS DOUBLE) /
+            sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (a, x) -> a + x)))
+"""
+
+_SEM_CTES = f"""
+    semnv AS (
+        SELECT vec_id, label, {_SEM_NV} AS v
+        FROM embeddings
+    ),
+    semp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_reduce(
+                   list_transform(generate_series(1, 64),
+                                  i -> a.v[i] * b.v[i]),
+                   (a, x) -> a + x), 6) AS c
+        FROM semnv a JOIN semnv b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    semdom AS (
+        SELECT id_b AS vec_id, min(id_a) AS dup_of, max(c) AS max_cosine
+        FROM semp WHERE c >= {_SEM_TAU} GROUP BY 1
+    )
+"""
+
+
 @query(
     "embedding_dbscan_clusters",
     # Density clustering is not SQL; the fitted (vec_id, cluster)
@@ -599,10 +629,15 @@ _D_NORM_V = (
                string_agg(CAST(label AS VARCHAR), '|' ORDER BY rk)
                    AS cluster_label
         FROM top3 WHERE rk <= 3 GROUP BY cluster
-    )
+    ),
+    {_SEM_CTES.strip()}
     SELECT a.vec_id, a.cluster,
-           coalesce(l.cluster_label, '') AS cluster_label
+           coalesce(l.cluster_label, '') AS cluster_label,
+           d.vec_id IS NULL AS sem_kept,
+           coalesce(d.dup_of, -1) AS sem_dup_of,
+           d.max_cosine AS sem_max_cosine
     FROM assign a LEFT JOIN lab l USING (cluster)
+    LEFT JOIN semdom d USING (vec_id)
     """,
 )
 def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str,
@@ -672,7 +707,17 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str,
     )
     # corpus-sized assignments × cluster-count-sized labels: broadcast
     # the label table so no shuffle of the assignments happens
+    # SemDeDup keep/drop map at the same per-vector grain
+    # (operators/similarity.semantic_dedup — within-label domination by
+    # the lowest id, Σ|cell|² bounded self-join; consolidated here
+    # because the driver records at most 50 registry entries)
+    sem = semantic_dedup(emb, threshold=_SEM_TAU).select(
+        "vec_id", F.col("kept").alias("sem_kept"),
+        F.coalesce("dup_of", F.lit(-1)).alias("sem_dup_of"),
+        F.col("max_cosine").alias("sem_max_cosine"))
     return (assign.join(F.broadcast(cluster_labels), "cluster", "left")
+            .join(sem, "vec_id")
             .select("vec_id", "cluster",
                     F.coalesce("cluster_label", F.lit("")).alias(
-                        "cluster_label")))
+                        "cluster_label"),
+                    "sem_kept", "sem_dup_of", "sem_max_cosine"))

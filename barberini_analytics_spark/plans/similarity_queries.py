@@ -174,6 +174,51 @@ def _pq_codebook(spark: SparkSession, emb: DataFrame, sf_dir: str) -> list:
     return _PQ_CB_CACHE[sf_dir]
 
 
+# --- int8 quantization (folded into the ivf_assignments entry) -----------
+_INT8_CTES = """
+    int8v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        FROM embeddings
+    ),
+    int8s AS (
+        SELECT vec_id, dv,
+               CASE WHEN list_max(list_transform(dv, x -> abs(x))) > 0
+                    THEN list_max(list_transform(dv, x -> abs(x))) / 127.0
+                    ELSE 0.0 END AS int8_scale
+        FROM int8v
+    ),
+    int8c AS (
+        SELECT vec_id, dv, int8_scale,
+               CASE WHEN int8_scale > 0
+                    THEN list_transform(
+                        dv, x -> CAST(floor(x / int8_scale + 0.5) AS INT))
+                    ELSE list_transform(dv, x -> 0) END AS int8_codes
+        FROM int8s
+    ),
+    int8 AS (
+        SELECT vec_id, int8_scale, int8_codes,
+               round(list_reduce(
+                   list_transform(generate_series(1, len(dv)),
+                                  i -> abs(dv[i] - int8_codes[i] * int8_scale)),
+                   (a, x) -> a + x) / len(int8_codes), 6) AS int8_mae,
+               CASE WHEN int8_scale > 0 THEN round(
+                   list_reduce(
+                       list_transform(generate_series(1, len(dv)),
+                                      i -> dv[i] * (int8_codes[i] * int8_scale)),
+                       (a, x) -> a + x)
+                   / (sqrt(list_reduce(list_transform(dv, x -> x * x),
+                                       (a, x) -> a + x))
+                      * sqrt(list_reduce(
+                            list_transform(generate_series(1, len(dv)),
+                                           i -> (int8_codes[i] * int8_scale)
+                                                * (int8_codes[i] * int8_scale)),
+                            (a, x) -> a + x))), 6) END AS int8_cos
+        FROM int8c
+    )
+"""
+
+
 @query(
     "ivf_assignments",
     oracle=f"""
@@ -202,11 +247,13 @@ def _pq_codebook(spark: SparkSession, emb: DataFrame, sf_dir: str) -> list:
             FROM scored
         )
         WHERE rn = 1
-    ), {_PQ_ORACLE_CTES.strip()}
-    SELECT i.vec_id, i.assigned_cell, i.cell_cosine, p.pq_code, a.adc_q0
+    ), {_PQ_ORACLE_CTES.strip()}, {_INT8_CTES.strip().strip(',')}
+    SELECT i.vec_id, i.assigned_cell, i.cell_cosine, p.pq_code, a.adc_q0,
+           q.int8_scale, q.int8_codes, q.int8_mae, q.int8_cos
     FROM ivf i
     JOIN pq_packed p USING (vec_id)
     JOIN pq_adc a USING (vec_id)
+    JOIN int8 q USING (vec_id)
     """,
 )
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,4 +289,20 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     adc = S.pq_adc_scores(enc, cb_rows, list(q0), m=_PQ_M, k=_PQ_K,
                           out_col="adc_q0")
-    return assign.join(adc, "vec_id")
+    # int8 tier at the same grain (operators/similarity.quantize_int8):
+    # absmax scale + exact codes + reconstruction audit — consolidated
+    # here because the driver records at most 50 registry entries
+    q8 = S.quantize_int8(emb, codes_col="int8_codes",
+                         scale_col="int8_scale")
+    deq = S.dequantize_int8(F.col("int8_codes"), F.col("int8_scale"))
+    mae = F.aggregate(
+        F.zip_with(F.col("embedding"), deq,
+                   lambda x, y: F.abs(x.cast("double") - y)),
+        F.lit(0.0), lambda a, x: a + x) / F.size("int8_codes")
+    int8 = q8.select(
+        "vec_id", "int8_scale", "int8_codes",
+        F.round(mae, 6).alias("int8_mae"),
+        F.when(F.col("int8_scale") > 0,
+               F.round(S.cosine(F.col("embedding"), deq), 6))
+        .alias("int8_cos"))
+    return assign.join(adc, "vec_id").join(int8, "vec_id")

@@ -46,7 +46,11 @@ def main() -> None:
     def run(name: str, df, rows: int) -> None:
         # accepts a thunk for operators that do eager work (checkpoint
         # rounds) during plan CONSTRUCTION — a pre-built frame would
-        # leave that cost outside the timer
+        # leave that cost outside the timer.  The host gets multi-second
+        # CPU-interference bursts from outside the container, so every
+        # figure records the loadavg bracket it was measured under —
+        # a number taken at load > ~4 is a floor, not a throughput.
+        load_before = os.getloadavg()[0]
         start = time.perf_counter()
         if callable(df):
             df = df()
@@ -54,7 +58,9 @@ def main() -> None:
         dt = time.perf_counter() - start
         results[name] = {"sec": round(dt, 2),
                          "rows_in": rows,
-                         "rows_per_sec": int(rows / dt)}
+                         "rows_per_sec": int(rows / dt),
+                         "loadavg": [round(load_before, 1),
+                                     round(os.getloadavg()[0], 1)]}
 
     # --- events-shaped table, n_events rows, synthesized in the scan ----
     events = spark.range(n_events).select(

@@ -482,3 +482,143 @@ def test_temperature_mixture_flattens_and_sums_to_one(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         temperature_mixture(docs, "source", "n_tok", alpha=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (operators/text.gopher_quality_filter)
+# ---------------------------------------------------------------------------
+
+def _gopher_rows(spark, texts):
+    from barberini_analytics_spark.operators.text import gopher_quality_filter
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    return {r.doc_id: r for r in gopher_quality_filter(df).collect()}
+
+
+def test_gopher_rules_fire_individually(spark):
+    good = ("the data and that point be to of have with great value "
+            + " ".join(f"word{i} item{i} note{i}" for i in range(20)))
+    # 72 words, stopwords present, no repeated n-grams
+    rows = _gopher_rows(spark, [
+        good,                                    # 0: passes everything
+        "short text only",                       # 1: word count
+        good + " ###### ##### ##### #####",      # 2: symbol ratio
+        "\n".join(["- bullet line"] * 20),       # 3: bullets (and others)
+        good.replace("value", "value..."),       # 4: still fine (few ...)
+    ])
+    assert rows[0].keep
+    assert not rows[1].rule_word_count and not rows[1].keep
+    assert not rows[2].rule_symbol_ratio and not rows[2].keep
+    assert rows[3].bullet_line_frac == 1.0 and not rows[3].rule_bullets
+    assert rows[4].rule_ellipsis   # 12/72 words end with ... but 1 line
+
+
+def test_gopher_line_signals_and_ellipsis(spark):
+    text = "a good line of the data\n- one bullet\nthis trails off...\n\n"
+    r = _gopher_rows(spark, [text])[0]
+    # 3 non-empty lines: 1 bullet-started, 1 ellipsis-terminated
+    assert r.bullet_line_frac == pytest.approx(1 / 3)
+    assert r.ellipsis_line_frac == pytest.approx(1 / 3)
+    assert not r.rule_word_count          # 13 words < 50
+    assert r.rule_bullets and r.rule_ellipsis is False
+
+
+def test_gopher_alpha_and_mean_length_rules(spark):
+    digits = " ".join(["12345"] * 60)      # no alphabetic words, mean 5
+    r = _gopher_rows(spark, [digits])[0]
+    assert r.alpha_word_frac == 0.0 and not r.rule_alpha_words
+    assert r.rule_mean_word_len and r.rule_word_count
+    assert not r.keep
+
+
+def test_gopher_repetition_ceilings(spark):
+    looped = " ".join(["spam ham"] * 40)   # one bigram dominates
+    r = _gopher_rows(spark, [looped])[0]
+    assert r.top_bigram_frac > 0.18 and not r.rule_top_bigram
+    assert r.dup_trigram_frac > 0.30 and not r.rule_dup_trigram
+    assert not r.keep
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (operators/similarity.quantize_int8)
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    from barberini_analytics_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert rows[1].scale == pytest.approx(1.0)
+    assert rows[1].codes == [1, 0, 0, 127]     # -0.5/1.0+0.5 floors to 0
+    assert rows[2].scale == 0.0 and rows[2].codes == [0, 0, 0, 0]
+    # codes stay inside int8 range by construction
+    assert all(-128 <= c <= 127 for c in rows[1].codes)
+
+
+def test_quantize_int8_error_bounded_by_half_step(spark):
+    from barberini_analytics_spark.operators.similarity import (
+        dequantize_int8, quantize_int8)
+
+    vals = [(i, [((i * 31 + j * 17) % 1009 - 504) / 504.0
+                 for j in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(vals, ["vec_id", "embedding"])
+    out = quantize_int8(df).withColumn(
+        "err", F.array_max(F.zip_with(
+            F.col("embedding"),
+            dequantize_int8(F.col("codes"), F.col("scale")),
+            lambda x, y: F.abs(x - y))))
+    for r in out.select("scale", "err").collect():
+        assert r.err <= r.scale / 2 + 1e-12   # half a quantization step
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (operators/curation)
+# ---------------------------------------------------------------------------
+
+def _strata_df(spark):
+    rows = [(i, "a" if i % 3 else "b", f"t{i}") for i in range(300)]
+    return spark.createDataFrame(rows, ["id", "grp", "text"])
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from barberini_analytics_spark.operators.curation import stratified_sample
+
+    df = _strata_df(spark)
+    out = stratified_sample(df, ["grp"], 0.25, "id")
+    got = out.groupBy("grp").count().collect()
+    import math
+    want = {"a": math.ceil(0.25 * 200), "b": math.ceil(0.25 * 100)}
+    assert {r.grp: r["count"] for r in got} == want
+    # deterministic + partitioning-invariant membership
+    ids1 = sorted(r.id for r in out.select("id").collect())
+    ids2 = sorted(r.id for r in stratified_sample(
+        df.repartition(13), ["grp"], 0.25, "id").select("id").collect())
+    assert ids1 == ids2
+
+
+def test_stratified_sample_fraction_override(spark):
+    from barberini_analytics_spark.operators.curation import stratified_sample
+
+    df = _strata_df(spark)
+    out = stratified_sample(df, ["grp"], 0.1, "id",
+                            fractions={("b",): 1.0})
+    got = {r.grp: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert got == {"a": 20, "b": 100}
+
+
+def test_stratified_sample_threshold_binomial_and_no_window(spark):
+    from barberini_analytics_spark.operators.curation import (
+        stratified_sample_threshold)
+
+    df = _strata_df(spark)
+    out = stratified_sample_threshold(df, ["grp"], 0.3, "id")
+    n = out.count()
+    # binomial bound: 90 ± 5·sqrt(90·0.7) ≈ ±45 (generous, deterministic
+    # hash either passes or fails forever — this pins gross correctness)
+    assert 45 <= n <= 135
+    assert "stratum_n" in out.columns
+    # scale path: the plan must not contain a window (the whole point)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
