@@ -209,3 +209,50 @@ def stratified_sample_threshold(df: DataFrame, strata_cols: Sequence[str],
         df.join(F.broadcast(counts), list(strata_cols))
         .filter(hash56(F.col(key_col).cast("string")) < F.lit(cut))
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch ordering (training-run shuffle without rand())
+# ---------------------------------------------------------------------------
+
+def epoch_order(df: DataFrame, key_col: str, epoch: int,
+                out_col: str = "epoch_rank") -> DataFrame:
+    """Deterministic per-epoch training order: rank every row by
+    ``hash56(epoch || key)`` — a full reshuffle between epochs (the
+    permutations of different epochs are as independent as the hash),
+    yet exactly reproducible for a given (corpus, epoch) pair, with no
+    ``rand()``/seed plumbing and no driver state.
+
+    At 100 TB nobody materializes a global rank: shard writers sort
+    within partitions after a hash repartition on the same key (see
+    :func:`epoch_shards`), which realizes the same global order
+    distribution without a total sort.  This operator is the exact/audit
+    form (one global rank — a range-partitioned sort, Spark's scalable
+    total order).
+    """
+    from .text import hash56
+
+    h = hash56(F.concat_ws("|", F.lit(str(epoch)),
+                           F.col(key_col).cast("string")))
+    w = W.orderBy(h, F.col(key_col))
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def epoch_shards(df: DataFrame, key_col: str, epoch: int, n_shards: int,
+                 shard_col: str = "shard",
+                 pos_col: str = "shard_pos") -> DataFrame:
+    """Scale path of :func:`epoch_order`: assign each row to one of
+    ``n_shards`` buckets by the epoch-salted hash and rank *within* the
+    shard — one hash shuffle + per-shard sort, no global total order.
+    Readers consume shards round-robin; because the hash is uniform, the
+    concatenated stream is statistically indistinguishable from the
+    global permutation while every stage stays fully parallel.
+    """
+    from .text import hash56
+
+    h = hash56(F.concat_ws("|", F.lit(str(epoch)),
+                           F.col(key_col).cast("string")))
+    out = df.withColumn(shard_col,
+                        F.pmod(h, F.lit(n_shards)).cast("int"))
+    w = W.partitionBy(shard_col).orderBy(h, F.col(key_col))
+    return out.withColumn(pos_col, F.row_number().over(w))

@@ -30,10 +30,12 @@ def _read_schemas(plan: str) -> list[str]:
 PRUNING_CASES = [
     # exact + segment dedup never needs lang/source/n_chars — only
     # id + text.  Budget: the explicit re-spread repartition, the
-    # fingerprint group + two joins of the exact half, and the segment
+    # fingerprint group + two joins of the exact half, the segment
     # half's (fp,id) aggregate, fp aggregate, occurrence join, and
-    # doc-grain reassembly (each a keyed shuffle of narrow rows)
-    ("exact_dedup_documents", 9, "n_chars"),
+    # doc-grain reassembly (each a keyed shuffle of narrow rows), plus
+    # the consolidated simhash rider: its doc-grain bit-sum aggregate
+    # and the doc-id join back (r7: registry capped at 50 entries)
+    ("exact_dedup_documents", 11, "n_chars"),
     # profile is a map pipeline plus one explicit scan re-spread (the
     # local parquet is a single unsplittable row group) and the shard
     # packer's two exchanges (range partition + the pid-keyed window

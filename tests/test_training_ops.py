@@ -622,3 +622,66 @@ def test_stratified_sample_threshold_binomial_and_no_window(spark):
     # scale path: the plan must not contain a window (the whole point)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch ordering (operators/curation.epoch_order/epoch_shards)
+# ---------------------------------------------------------------------------
+
+def test_epoch_order_is_deterministic_and_varies_by_epoch(spark):
+    from barberini_analytics_spark.operators.curation import epoch_order
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    o1 = [r.doc_id for r in epoch_order(df, "doc_id", epoch=1)
+          .orderBy("epoch_rank").collect()]
+    o1b = [r.doc_id for r in epoch_order(df.repartition(7), "doc_id", 1)
+           .orderBy("epoch_rank").collect()]
+    o2 = [r.doc_id for r in epoch_order(df, "doc_id", epoch=2)
+          .orderBy("epoch_rank").collect()]
+    assert o1 == o1b                      # partitioning-invariant
+    assert sorted(o1) == sorted(o2) == list(range(200))
+    assert o1 != o2                       # epochs reshuffle
+    # a real permutation, not a rotation of the id order
+    assert o1[:20] != list(range(20))
+
+
+def test_epoch_shards_cover_and_rank_within_shard(spark):
+    from barberini_analytics_spark.operators.curation import epoch_shards
+
+    df = spark.range(300).withColumnRenamed("id", "doc_id")
+    out = epoch_shards(df, "doc_id", epoch=3, n_shards=8).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    # every shard's positions are 1..n contiguous
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # roughly uniform (uniform hash: 300/8 = 37.5 +- wide margin)
+    assert all(15 <= len(v) <= 70 for v in by_shard.values())
+
+
+# ---------------------------------------------------------------------------
+# unicode scrubbing (operators/text.scrub_text)
+# ---------------------------------------------------------------------------
+
+def test_scrub_text_normalizes_and_flags_mojibake(spark):
+    from barberini_analytics_spark.operators.text import scrub_text
+
+    rows = [
+        (1, "caf\u00c3\u00a9 and \u00e2\u0080\u0093 dash"),
+        (2, "a\u00a0b c\u3000d"),
+        (3, "\u201cq\u201d \u2018x\u2019 \u2013\u2014 \u2026 end"),
+        (4, "zero\u200bwidth\u200c and ctrl\u0007char\ttab kept"),
+        (5, "plain ascii stays"),
+    ]
+    out = {r.doc_id: r for r in scrub_text(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    # mojibake is FLAGGED (quarantine contract), not silently altered
+    assert out[1].mojibake_hits == 2
+    assert "\u00c3" in out[1].text
+    assert out[2].text == "a b c d" and out[2].mojibake_hits == 0
+    assert out[3].text == "\"q\" 'x' -- ... end"
+    assert out[4].text == "zerowidth and ctrlchar\ttab kept"
+    assert out[5].text == "plain ascii stays"
