@@ -120,3 +120,88 @@ def test_repetition_signals(spark):
     assert rows[2]["dup_trigram_frac"] == 0.0
     # "x y" appears 4 of 7 bigrams
     assert abs(rows[3]["top_bigram_frac"] - 4 / 7) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# gomus capacities: js2py-free hovercard + basic-table parsing
+# ---------------------------------------------------------------------------
+
+def _capacities_page() -> str:
+    """Synthetic capacities page mirroring the reference grammar
+    (capacities.py:43-49): jQuery popover blocks whose title/content are
+    single-quoted JS strings with \\', \\/ and \\n escapes, plus the
+    basic table with data-timestamp cells."""
+    content = (
+        "<table class=\\'table\\'>\n".replace("\n", "\\n")
+        + "<tbody class=\\'text-right\\'>\\n"
+          "<tr>\\n<td style=\\'border: none;\\'>\\nmaximal:\\n<\\/td>\\n"
+          "<td style=\\'border: none;\\'>\\n75\\n<\\/td>\\n<\\/tr>\\n"
+          "<tr>\\n<td>\\nverkauft:\\n<\\/td>\\n<td>\\n30\\n<\\/td>\\n<\\/tr>\\n"
+          "<tr>\\n<td>\\nreserviert:\\n<\\/td>\\n<td>\\n10\\n<\\/td>\\n<\\/tr>\\n"
+          "<\\/tbody>\\n<tfooter>\\n<tr>\\n"
+          "<td class=\\'text-success\\'>\\n<strong>\\nverfügbar:\\n<\\/strong>\\n<\\/td>\\n"
+          "<td class=\\'text-success\\'>\\n<strong>\\n35\\n<\\/strong>\\n<\\/td>\\n"
+          "<\\/tr>\\n<\\/tfooter>\\n<\\/table>\\n")
+    block1 = (
+        '<script>\n  $("#info-1603699200").popover({\n'
+        "    placement : 'right',\n"
+        "    title : '<strong><i class=\"fa\"></i> 26. Oktober, 08:00 Uhr</strong>',\n"
+        "    html: 'true',\n"
+        f"    content : '{content}'\n" + "  });\n</script>"
+    )
+    # second slot two days later, different numbers
+    block2 = (block1
+              .replace("1603699200", "1603872000")
+              .replace("26. Oktober", "28. Oktober")
+              .replace("75", "60").replace("30", "20")
+              .replace("10", "15").replace("35", "25"))
+    basic = (
+        '<table><tbody><tr>'
+        '<td class="x" data-timestamp="1603699200"> 75 </td>'
+        '<td data-timestamp="1603872000">-3</td>'
+        '</tr></tbody></table>')
+    return f"<html><body>{basic}{block1}{block2}</body></html>"
+
+
+def test_hovercard_parse_replaces_js2py(spark):
+    from barberini_analytics_spark.sources.gomus_capacities import (
+        parse_hovercards)
+
+    df = spark.createDataFrame([(30, _capacities_page())],
+                               ["quota_id", "html"])
+    rows = {r.slot_unix: r for r in parse_hovercards(df).collect()}
+    assert set(rows) == {1603699200, 1603872000}
+    a = rows[1603699200]
+    assert (a.max, a.sold, a.reserved, a.available) == (75, 30, 10, 35)
+    assert a.quota_id == 30
+    # JS unescape really happened: content carries real '/' and newlines
+    assert "</td>" in a.content and "\\/" not in a.content
+    assert "\n" in a.content and "\\n" not in a.content
+    # German title components cross-check the unix timestamp (UTC)
+    assert (a.title_day, a.title_month) == (26, 10)
+    assert a.title_time == "08:00"
+    assert a.date.isoformat() == "2020-10-26" and a.time == "08:00"
+    b = rows[1603872000]
+    assert (b.max, b.sold, b.reserved, b.available) == (60, 20, 15, 25)
+    assert (b.title_day, b.title_month) == (28, 10)
+
+
+def test_basic_capacities_and_ignored_pages(spark):
+    from barberini_analytics_spark.sources.gomus_capacities import (
+        parse_basic_capacities)
+
+    pages = [
+        (30, _capacities_page()),
+        (31, "<html><body>Betriebsferien</body></html>"),   # ignored
+        (32, "<html><body>nothing here</body></html>"),     # no cells
+    ]
+    df = spark.createDataFrame(pages, ["quota_id", "html"])
+    rows = parse_basic_capacities(df).collect()
+    got = {(r.quota_id, r.slot_ts.isoformat(), r.available, r.max)
+           for r in rows}
+    # the defect NEGATIVE value is recorded, max = available (reference
+    # records the basic table precisely because hovercards omit defects)
+    assert got == {
+        (30, "2020-10-26T08:00:00", 75, 75),
+        (30, "2020-10-28T08:00:00", -3, -3),
+    }
