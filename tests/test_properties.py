@@ -286,3 +286,52 @@ def test_mix_sources_copy_counts_bound_by_rate(spark, seed, n_sources):
         rate = (targets[r.src] / tw) * n_total / counts[r.src]
         assert r.n_copies in (math.floor(rate), math.ceil(rate)), (
             r.src, rate, r.n_copies)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=8),
+       st.integers(0, 2**31 - 1))
+def test_capacities_parsers_total_on_arbitrary_html(spark, pages, seed):
+    """The capacities page parsers are TOTAL: arbitrary (even adversarial)
+    page text never throws and never yields a row whose numbers came from
+    nowhere — rows appear only when the full popover/basic-cell grammar
+    matches."""
+    from barberini_analytics_spark.sources.gomus_capacities import (
+        parse_basic_capacities, parse_hovercards)
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], ["page_id", "html"])
+    hov = parse_hovercards(df).collect()
+    bas = parse_basic_capacities(df).collect()
+    for r in hov:
+        assert r.slot_unix is not None          # grammar guarantees the id
+    for r in bas:
+        assert r.available == r.max
+    # a grammar-free corpus yields zero rows, not garbage
+    if not any("popover" in p for p in pages):
+        assert hov == []
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=10))
+def test_scrub_text_total_idempotent_and_clean(spark, texts):
+    """scrub_text never throws on arbitrary unicode, is idempotent, and
+    its output contains no zero-width or C0/C1 control characters
+    (tab/newline/CR excepted)."""
+    from barberini_analytics_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    once = scrub_text(df).select("doc_id", "text", "mojibake_hits")
+    rows1 = {r.doc_id: r for r in once.collect()}
+    rows2 = {r.doc_id: r.text for r in scrub_text(
+        once.select("doc_id", "text")).collect()}
+    forbidden = set(chr(c) for c in list(range(0, 9)) + [11, 12]
+                    + list(range(14, 32)) + list(range(127, 160)))
+    forbidden |= {"​", "‌", "‍", "⁠", "﻿",
+                  " ", "‘", "’", "“", "”",
+                  "–", "—", "…"}
+    for i, r in rows1.items():
+        assert not (set(r.text) & forbidden), f"doc {i}: {r.text!r}"
+        assert rows2[i] == r.text, "scrub must be idempotent"
+        assert r.mojibake_hits >= 0
