@@ -45,7 +45,9 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   targets: dict[str, float] | None = None,
                   split_weights: Sequence[float] = (0.9, 0.05, 0.05),
                   shard_tokens: int | None = None,
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42,
+                  scrub: bool = False,
+                  gopher: bool = False) -> DataFrame:
     """Run the full curation recipe; returns one row per surviving
     document COPY with ``n_tokens``, ``lm_score``, ``split``,
     ``copy_id`` and (when ``shard_tokens`` is set) ``shard`` attached.
@@ -54,10 +56,32 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     mixing (every survivor keeps one copy), ``shard_tokens=None`` skips
     packing.  Determinism: every stochastic-looking step (split, mix
     remainder) is a pure function of ``(seed, id)``.
+
+    ``scrub=True`` prepends stage 0: unicode normalization
+    (:func:`..text.scrub_text`) with mojibake QUARANTINE — documents
+    carrying UTF-8-as-Latin-1 damage markers are dropped here rather
+    than flowing damaged text into dedup fingerprints (a re-decode
+    pass, not this pipeline, is what can actually repair them).
+    ``gopher=True`` adds the published Gopher rule gate
+    (:func:`..text.gopher_quality_filter` ``keep``) alongside stage
+    1's cheap gates — both still map-only, so the stage stays one scan.
     """
+    from .text import gopher_quality_filter, scrub_text
+
     base_cols = [id_col, text_col] + ([source_col] if source_col else [])
+    docs = docs.select(*base_cols)
+
+    # -- 0. optional unicode scrub + mojibake quarantine -------------------
+    if scrub:
+        docs = (scrub_text(docs, text_col)
+                .filter(F.col("mojibake_hits") == 0)
+                .drop("mojibake_hits"))
 
     # -- 1. quality gates -------------------------------------------------
+    if gopher:
+        docs = (gopher_quality_filter(docs, text_col)
+                .filter(F.col("keep"))
+                .select(*base_cols))
     prof = quality_features(docs.select(*base_cols), text_col)
     gated = prof.filter(
         (F.col("n_tokens") >= min_tokens)

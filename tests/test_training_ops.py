@@ -685,3 +685,31 @@ def test_scrub_text_normalizes_and_flags_mojibake(spark):
     assert out[3].text == "\"q\" 'x' -- ... end"
     assert out[4].text == "zerowidth and ctrlchar\ttab kept"
     assert out[5].text == "plain ascii stays"
+
+
+def test_curate_corpus_scrub_and_gopher_stages(spark):
+    """Stage 0 (scrub + mojibake quarantine) and the optional Gopher gate
+    compose with the rest of the recipe: damaged docs are quarantined,
+    rule-violating docs are gated, clean long docs survive end-to-end
+    with normalized text feeding the dedup fingerprints."""
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    good = ("the data and that point be to of have with great value "
+            + " ".join(f"word{i} item{i} note{i}" for i in range(20)))
+    rows = [
+        (1, good + ' he said "yes"'),
+        # same text with curly quotes: scrub normalizes them to ASCII,
+        # so the fingerprint collides with doc 1 (exact dedup drops it)
+        (2, good + " he said “yes”"),
+        (3, "cafÃ© " + good),          # mojibake -> quarantined
+        (4, "too short to pass gopher rules"),   # word-count gate
+        (5, good.replace("value", "treasure")),  # distinct survivor
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(df, min_tokens=5, lm_quantile=None,
+                        near_dup_threshold=0.99,  # keep 1 vs 5 distinct
+                        scrub=True, gopher=True)
+    ids = sorted(r.doc_id for r in out.collect())
+    # 2 deduped against 1 (scrub made them byte-identical), 3 quarantined,
+    # 4 gated; near-dup threshold set high so 1 vs 5 both survive
+    assert ids == [1, 5]
