@@ -253,3 +253,43 @@ def fill_db(spark: SparkSession, sf_dir: str,
     written = fill_db_hourly(spark, sf_dir, warehouse)
     written.update(fill_db_daily(spark, sf_dir, warehouse))
     return written
+
+
+def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
+                     shard_tokens: int = 50_000,
+                     scrub: bool = True,
+                     lm_quantile: float | None = 0.95,
+                     targets: dict[str, float] | None = None,
+                     seed: int = 42) -> dict[str, int]:
+    """The LLM-corpus counterpart of :func:`fill_db`: one call takes the
+    raw ``documents`` parquet through the full curation recipe
+    (scrub/quarantine → quality+LM gates → exact → segment → near-dup
+    dedup → optional mixing → leak-free split → token-budgeted packing,
+    ``operators/curation.curate_corpus``) and materializes self-contained
+    JSONL training shards per split under ``out_dir``
+    (``core/sinks.write_training_shards``).
+
+    Returns per-split document-copy counts.  Idempotent: every stage is
+    deterministic in (seed, id) and the shard write is an overwrite —
+    re-running reproduces byte-identical shard assignments.
+    """
+    from .core.io import load_table
+    from .core.sinks import write_training_shards
+    from .operators.curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated = curate_corpus(
+        docs, source_col="source", lm_quantile=lm_quantile,
+        targets=targets, shard_tokens=shard_tokens, seed=seed,
+        scrub=scrub)
+    from .core.cache import scoped_persist
+
+    curated = scoped_persist(curated)
+    counts: dict[str, int] = {}
+    for split_id, name in enumerate(("train", "valid", "test")):
+        part = curated.filter(F.col("split") == split_id)
+        counts[name] = part.count()
+        if counts[name]:
+            write_training_shards(
+                part.drop("split"), os.path.join(out_dir, name), "shard")
+    return counts

@@ -84,3 +84,31 @@ def test_fill_db_both_cadences_twice_is_idempotent(spark, tmp_path):
             .filter("count <> 1").count()) == 0
     assert {r.cadence for r in diag.select("cadence").distinct().collect()} \
         == {"daily", "hourly"}
+
+
+def test_curate_to_shards_end_to_end(spark, sf_dir, tmp_path):
+    """One call: raw documents parquet -> curated JSONL training shards
+    per split, idempotent across re-runs."""
+    import glob
+    import json as _json
+
+    from barberini_analytics_spark.pipeline import curate_to_shards
+
+    out = str(tmp_path / "corpus")
+    counts = curate_to_shards(spark, sf_dir, out, shard_tokens=2_000,
+                              lm_quantile=None)
+    assert counts["train"] > 0
+    assert sum(counts.values()) > 0
+    files = glob.glob(f"{out}/train/shard=*/part-*.json")
+    assert files
+    rec = _json.loads(open(files[0]).readline())
+    # `shard` lives in the partition directory (shard=N), not the record
+    assert {"doc_id", "text", "n_tokens", "copy_id"} <= set(rec)
+    # idempotence: identical counts and identical shard assignment
+    counts2 = curate_to_shards(spark, sf_dir, out, shard_tokens=2_000,
+                               lm_quantile=None)
+    assert counts2 == counts
+    back = spark.read.json(f"{out}/train")
+    pairs = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard")
+             .collect()}
+    assert len(pairs) == counts["train"]
