@@ -206,3 +206,33 @@ def write_training_shards(df: DataFrame, path: str,
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.json(path)
+
+
+def shard_manifest(df: DataFrame, shard_col: str = "shard",
+                   id_col: str = "doc_id",
+                   token_col: str = "n_tokens") -> DataFrame:
+    """Per-shard manifest for a packed corpus: document count, token
+    total, and an order-independent membership checksum (XOR of the
+    56-bit id hashes — associative, commutative, overflow-free, so the
+    aggregate needs no sort, map-side-combines, and any engine with
+    ``bit_xor`` re-derives it).
+
+    A training job that claims shard directories verifies each one
+    against this manifest (count + tokens + checksum) before use — the
+    reproducibility contract for multi-epoch runs.  One hash aggregate
+    on the shard id; write it next to the shards as a single small
+    parquet/JSON.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.text import hash56
+
+    member = hash56(F.col(id_col).cast("string"))
+    return (
+        df.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("long").alias("n_tokens"),
+            F.bit_xor(member).alias("membership_checksum"),
+        )
+    )

@@ -285,6 +285,8 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
     from .core.cache import scoped_persist
 
     curated = scoped_persist(curated)
+    from .core.sinks import shard_manifest
+
     counts: dict[str, int] = {}
     for split_id, name in enumerate(("train", "valid", "test")):
         part = curated.filter(F.col("split") == split_id)
@@ -292,4 +294,7 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
         if counts[name]:
             write_training_shards(
                 part.drop("split"), os.path.join(out_dir, name), "shard")
+            # per-shard verification manifest next to the shards
+            shard_manifest(part).coalesce(1).write.mode("overwrite") \
+                .json(os.path.join(out_dir, f"{name}_manifest"))
     return counts

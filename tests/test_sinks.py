@@ -142,3 +142,27 @@ def test_upsert_schema_evolution_adds_column(spark, tmp_path):
     upsert_by_pk(spark, batch, p, ["k"])
     got = {r.k: (r.v, r.tag) for r in spark.read.parquet(p).collect()}
     assert got == {1: ("a", None), 2: ("b2", "extra"), 3: ("c", "more")}
+
+
+def test_shard_manifest_checksums_membership(spark):
+    from barberini_analytics_spark.core.sinks import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, i % 3, 10 + i) for i in range(60)],
+        ["doc_id", "shard", "n_tokens"])
+    m = {r.shard: r for r in shard_manifest(df).collect()}
+    assert {r for r in m} == {0, 1, 2}
+    assert all(m[s].n_docs == 20 for s in m)
+    # order/partitioning independence
+    m2 = {r.shard: r.membership_checksum
+          for r in shard_manifest(df.repartition(7)).collect()}
+    assert m2 == {s: m[s].membership_checksum for s in m}
+    # membership sensitivity: swapping one doc between shards changes
+    # BOTH shard checksums
+    swapped = df.withColumn(
+        "shard", F.when(F.col("doc_id") == 0, 1).otherwise(F.col("shard")))
+    m3 = {r.shard: r.membership_checksum
+          for r in shard_manifest(swapped).collect()}
+    assert m3[0] != m[0].membership_checksum
+    assert m3[1] != m[1].membership_checksum
+    assert m3[2] == m[2].membership_checksum
