@@ -280,3 +280,48 @@ def epoch_shards(df: DataFrame, key_col: str, epoch: int, n_shards: int,
                         F.pmod(h, F.lit(n_shards)).cast("int"))
     w = W.partitionBy(shard_col).orderBy(h, F.col(key_col))
     return out.withColumn(pos_col, F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets(df: DataFrame, lang_col: str = "lang",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  cuts: tuple[float, float] = (1 / 3, 2 / 3),
+                  out_col: str = "ccnet_bucket") -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): score every
+    document with the char-trigram LM cross-entropy
+    (:func:`..text.ngram_lm_score` — the model-free KenLM stand-in) and
+    bucket each document by its score's position within its OWN
+    language's distribution — head = most fluent third, tail = least.
+    Downstream recipes train on head(+middle) or reweight by bucket.
+
+    Per-language terciles come from the mergeable histogram quantile
+    (:func:`..sketch.histogram_quantile`): two fixed-width aggregate
+    passes, thresholds broadcast back — no per-language sort, no window
+    over the corpus, so a dominant language cannot serialize the job.
+    Unscoreable documents (< 3 chars → NULL score) land in the tail
+    bucket (the conservative CCNet choice for unknown quality).
+    """
+    from .sketch import histogram_quantile
+    from .text import ngram_lm_score
+
+    scored = ngram_lm_score(df, id_col, text_col)
+    qs = histogram_quantile(scored.filter(F.col("lm_score").isNotNull()),
+                            [lang_col], "lm_score", list(cuts))
+    # histogram_quantile names its outputs q_<digits>; address by position
+    thresholds = qs.select(
+        lang_col,
+        F.col(qs.columns[1]).alias("__q_lo"),
+        F.col(qs.columns[2]).alias("__q_hi"))
+    return (
+        scored.join(F.broadcast(thresholds), lang_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("lm_score").isNull(), "tail")
+            .when(F.col("lm_score") <= F.col("__q_lo"), "head")
+            .when(F.col("lm_score") <= F.col("__q_hi"), "middle")
+            .otherwise("tail"))
+        .drop("__q_lo", "__q_hi")
+    )

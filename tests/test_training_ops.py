@@ -713,3 +713,40 @@ def test_curate_corpus_scrub_and_gopher_stages(spark):
     # 2 deduped against 1 (scrub made them byte-identical), 3 quarantined,
     # 4 gated; near-dup threshold set high so 1 vs 5 both survive
     assert ids == [1, 5]
+
+
+def test_ccnet_buckets_per_language_terciles(spark):
+    """Head/middle/tail are assigned within each language's own score
+    distribution; unscoreable docs land in tail."""
+    from barberini_analytics_spark.operators.curation import ccnet_buckets
+
+    # two languages with very different fluency mixes: per-language
+    # bucketing must still split each language ~in thirds
+    import random
+    rnd = random.Random(5)
+    rows = []
+    for i in range(60):
+        fluent = "the cat sat on the mat and then the cat sat again " * 2
+        noisy = "".join(rnd.choice("qxzjvkw ") for _ in range(90))
+        mixed = fluent[:50] + noisy[:40]
+        rows.append((i, "en", [fluent, mixed, noisy][i % 3]))
+    for i in range(60, 120):
+        rows.append((i, "de", "der hund und die katze und der hund " * 3
+                     if i % 2 else "zzzqqqxxx " * 9))
+    rows.append((999, "en", "ab"))          # < 3 chars -> NULL score
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = ccnet_buckets(df)
+    got = {r.doc_id: r.ccnet_bucket for r in out.collect()}
+    assert got[999] == "tail"
+    from collections import Counter
+    en = Counter(got[i] for i in range(60))
+    de = Counter(got[i] for i in range(60, 120))
+    # every bucket is populated per language, head is the fluent third
+    assert set(en) == {"head", "middle", "tail"}
+    assert len(set(de.values())) >= 1 and set(de) <= {"head", "middle",
+                                                      "tail"}
+    # the repeated-fluent-text docs (i % 3 == 0) dominate the en head
+    head_en = [i for i in range(60) if got[i] == "head"]
+    assert head_en and all(i % 3 == 0 for i in head_en)
+    # rows preserved (bucketing filters nothing)
+    assert len(got) == 121
