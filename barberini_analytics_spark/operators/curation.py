@@ -193,6 +193,10 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
         expr = F.lit(float(fraction))
         for key, f in fractions.items():
             tup = key if isinstance(key, tuple) else (key,)
+            if len(tup) != len(strata_cols):
+                raise ValueError(
+                    f"fractions key {key!r} must name all strata "
+                    f"columns {list(strata_cols)}")
             cond = F.lit(True)
             for c, v in zip(strata_cols, tup):
                 cond = cond & (F.col(c) == F.lit(v))

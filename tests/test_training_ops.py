@@ -750,3 +750,12 @@ def test_ccnet_buckets_per_language_terciles(spark):
     assert head_en and all(i % 3 == 0 for i in head_en)
     # rows preserved (bucketing filters nothing)
     assert len(got) == 121
+
+
+def test_stratified_sample_rejects_partial_override_key(spark):
+    from barberini_analytics_spark.operators.curation import stratified_sample
+
+    df = _strata_df(spark).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="must name all strata"):
+        stratified_sample(df, ["grp", "lang"], 0.5, "id",
+                          fractions={("a",): 1.0})
