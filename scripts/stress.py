@@ -132,6 +132,17 @@ def main() -> None:
     run("mix_sources", X.mix_sources(
         mix_docs, "source", {f"s{i}": 1 / 6 for i in range(6)}), n_docs)
 
+    # round-7 additions — all map-only or single-aggregate shapes, so
+    # the figures pin "scan-speed" claims with measurements
+    from barberini_analytics_spark.operators import curation as CU
+
+    run("gopher_filter", X.gopher_quality_filter(docs), n_docs)
+    run("scrub_text", X.scrub_text(docs), n_docs)
+    run("stratified_threshold", CU.stratified_sample_threshold(
+        events, ["event_type"], 0.1, "event_id"), n_events)
+    run("epoch_shards", CU.epoch_shards(
+        events, "event_id", epoch=1, n_shards=256), n_events)
+
     # PageRank: 4 out-edges/node power-iteration, 5 rounds
     from barberini_analytics_spark.operators.graph import pagerank
 
@@ -182,6 +193,7 @@ def main() -> None:
     sample = vecs.filter(F.col("vec_id") % max(n_vecs // 10_000, 1) == 0)
     cb = SIM.pq_train(sample, m=8, k=16, iters=1).collect()
     run("pq_encode", SIM.pq_encode_arrow(vecs, cb, m=8, k=16), n_vecs)
+    run("quantize_int8", SIM.quantize_int8(vecs), n_vecs)
 
     print(json.dumps({
         "events_rows": n_events,
