@@ -257,15 +257,25 @@ def corpus_quality_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast aggregates.  Reference has no corpus governance (museum
     domain) — SURVEY "beyond the reference" charter families.
     """
+    from ..core.cache import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    gq = X.gopher_quality_filter(docs)
+    # persisted: the governance select AND the mixture aggregate both
+    # consume the gopher frame — without the persist Catalyst recomputes
+    # the full text scan + HOF signal chain per consumer (at 100 TB the
+    # text scan is the dominant cost; the persisted rows are the narrow
+    # signal scalars after column pruning)
+    gq = scoped_persist(
+        X.gopher_quality_filter(docs).drop("tokens", "text"))
+    # the sampling pass reads only (doc_id, lang, source) — its scan is
+    # column-pruned to three narrow columns, so a second scan is cheap
     samp = C.stratified_sample(
         docs, ["lang", "source"], _STRAT_FRAC, "doc_id",
         fractions={_STRAT_KEEP_ALL: 1.0}, flag_only=True,
     ).select("doc_id", "stratum_quota", "in_sample")
-    with_tok = docs.select(
-        "source",
-        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_tok"))
+    # the mixture's token counts REUSE the gopher frame's n_words (same
+    # whitespace tokenization) instead of re-scanning the text column
+    with_tok = gq.select("source", F.col("n_words").alias("n_tok"))
     mix = X.temperature_mixture(
         with_tok, "source", "n_tok", alpha=0.5, token_budget=1_000_000,
     ).select("source", F.col("weight").alias("src_weight"),
