@@ -329,3 +329,57 @@ def ccnet_buckets(df: DataFrame, lang_col: str = "lang",
             .otherwise("tail"))
         .drop("__q_lo", "__q_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus report ("datasheet for datasets" summary)
+# ---------------------------------------------------------------------------
+
+def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-group corpus datasheet: the governance numbers a dataset card
+    reports, from ONE pass over the corpus plus one fingerprint
+    aggregate —
+
+    - ``n_docs``, ``n_tokens``, ``mean_doc_tokens``,
+    - ``gopher_keep_rate`` and the three highest-signal rule hit-rates
+      (word count, repetition, stopwords),
+    - ``mojibake_rate`` (scrub audit),
+    - ``exact_dup_rate``: fraction of documents whose content
+      fingerprint appears more than once corpus-wide (dup membership is
+      computed globally, then attributed to each group — a duplicate
+      spanning two sources counts in both, which is what a source-level
+      datasheet should say).
+
+    Shape: the signal scan is map-only (gopher + scrub audits fused);
+    the dup half is one fingerprint aggregate joined back on the 8-byte
+    fingerprint; the final rollup is one shuffle on ``group_cols``.
+    """
+    from .text import fingerprint, gopher_quality_filter, scrub_text
+
+    g = list(group_cols)
+    signals = gopher_quality_filter(
+        scrub_text(df, text_col, out_col="__scrubbed").drop("__scrubbed"),
+        text_col)
+    signals = fingerprint(signals, text_col)
+    dup_counts = (signals.groupBy("fingerprint")
+                  .agg(F.count(F.lit(1)).alias("__fp_n")))
+    joined = signals.join(dup_counts, "fingerprint")
+    rate = lambda c: F.avg(F.col(c).cast("double"))  # noqa: E731
+    return (
+        joined.groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.avg(F.col("n_words").cast("double")).alias("mean_doc_tokens"),
+            rate("keep").alias("gopher_keep_rate"),
+            rate("rule_word_count").alias("rule_word_count_rate"),
+            rate("rule_top_bigram").alias("rule_top_bigram_rate"),
+            rate("rule_stopwords").alias("rule_stopwords_rate"),
+            F.avg((F.col("mojibake_hits") > 0).cast("double"))
+            .alias("mojibake_rate"),
+            F.avg((F.col("__fp_n") > 1).cast("double"))
+            .alias("exact_dup_rate"),
+        )
+    )

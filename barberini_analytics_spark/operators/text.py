@@ -450,15 +450,22 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     # reference them several times, and Catalyst does not collapse the
     # projections (non-cheap expressions used more than once), so each
     # array is built once per row instead of once per reference
+    # guard n-gram windows on document length: sequence(1, 0) is a
+    # DESCENDING [1, 0] in Spark, so an unguarded transform would call
+    # element_at(tokens, 0) (index error) on 1-2-token documents
     staged = df.withColumns({
         "__bi": F.expr(
-            "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+            "CASE WHEN size(tokens) >= 2 THEN "
+            "transform(sequence(1, size(tokens) - 1), "
             "i -> concat(element_at(tokens, i), ' ', "
-            "element_at(tokens, i + 1)))"),
+            "element_at(tokens, i + 1))) "
+            "ELSE array() END"),
         "__tri": F.expr(
-            "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+            "CASE WHEN size(tokens) >= 3 THEN "
+            "transform(sequence(1, size(tokens) - 2), "
             "i -> concat(element_at(tokens, i), ' ', "
-            "element_at(tokens, i + 1), ' ', element_at(tokens, i + 2)))"),
+            "element_at(tokens, i + 1), ' ', element_at(tokens, i + 2))) "
+            "ELSE array() END"),
     })
     return (
         staged.withColumn("top_unigram_frac", max_count_frac("tokens"))

@@ -759,3 +759,42 @@ def test_stratified_sample_rejects_partial_override_key(spark):
     with pytest.raises(ValueError, match="must name all strata"):
         stratified_sample(df, ["grp", "lang"], 0.5, "id",
                           fractions={("a",): 1.0})
+
+
+def test_corpus_report_datasheet_rates(spark):
+    from barberini_analytics_spark.operators.curation import corpus_report
+
+    good = ("the data and that point be to of have with great value "
+            + " ".join(f"word{i} item{i} note{i}" for i in range(20)))
+    rows = [
+        (1, "a", good),
+        (2, "a", good),                    # exact dup of 1
+        (3, "a", "short junk"),            # fails gopher word count
+        (4, "b", "cafÃ© " + good),    # mojibake, src b
+        (5, "b", good.replace("value", "gem")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    rep = {r.source: r for r in corpus_report(df).collect()}
+    a, b = rep["a"], rep["b"]
+    assert a.n_docs == 3 and b.n_docs == 2
+    assert a.exact_dup_rate == pytest.approx(2 / 3)
+    assert b.exact_dup_rate == 0.0
+    assert a.gopher_keep_rate == pytest.approx(2 / 3)
+    assert b.mojibake_rate == pytest.approx(1 / 2)
+    assert a.mojibake_rate == 0.0
+    assert a.n_tokens == 72 + 72 + 2
+
+
+def test_repetition_signals_total_on_tiny_docs(spark):
+    """Regression: 1-2-token documents used to hit Spark's descending
+    sequence(1, 0) and crash with element_at(tokens, 0)."""
+    from barberini_analytics_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three word doc"), (4, " ")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert rows[1].top_bigram_frac is None
+    # one bigram total -> the top one is all of them
+    assert rows[2].top_bigram_frac == 1.0 and rows[2].dup_trigram_frac is None
+    assert rows[3].dup_trigram_frac == 0.0
