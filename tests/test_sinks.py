@@ -166,3 +166,39 @@ def test_shard_manifest_checksums_membership(spark):
     assert m3[0] != m[0].membership_checksum
     assert m3[1] != m[1].membership_checksum
     assert m3[2] == m[2].membership_checksum
+
+
+def test_analyze_table_one_pass_stats(spark, sf_dir):
+    from barberini_analytics_spark.core.io import load_table
+    from barberini_analytics_spark.core.stats import analyze_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = {r.column: r for r in analyze_table(docs).collect()}
+    assert set(stats) == {"doc_id", "text", "lang", "source", "n_chars"}
+    n = docs.count()
+    s = stats["doc_id"]
+    assert s.n_rows == n and s.n_nulls == 0
+    assert int(s.min) == 0 and int(s.max) == n - 1
+    # exact-distinct key: HLL estimate within its 5% rsd (3 sigma)
+    assert abs(s.ndv_approx - n) <= max(3, 0.15 * n)
+    assert stats["lang"].ndv_approx <= 8
+    assert float(stats["text"].avg_len) > 20
+    # ONE aggregate pass: the plan contains a single pair of
+    # partial/final HashAggregates over the scan, no per-column jobs
+    plan = analyze_table(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"HashAggregate|SortAggregate|ObjectHashAggregate",
+                          plan)) <= 2 * 2  # partial+final, possibly object
+
+
+def test_analyze_table_handles_nulls_and_arrays(spark):
+    from barberini_analytics_spark.core.stats import analyze_table
+
+    df = spark.createDataFrame(
+        [(1, None, [1.0, 2.0]), (2, "x", None), (3, "x", [3.0])],
+        "id long, name string, vec array<double>")
+    stats = {r.column: r for r in analyze_table(df).collect()}
+    assert stats["name"].n_nulls == 1 and stats["name"].ndv_approx == 1
+    assert stats["vec"].n_nulls == 1
+    assert stats["vec"].min is None and stats["vec"].max is None
+    assert stats["vec"].ndv_approx == 2
