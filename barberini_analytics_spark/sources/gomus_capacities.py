@@ -89,12 +89,17 @@ def parse_hovercards(df: DataFrame, html_col: str = "html") -> DataFrame:
         .withColumn("date", F.to_date(slot_ts))
         .withColumn("time", F.date_format(slot_ts, "HH:mm"))
         .withColumn("__nums", nums)
-        .withColumn("max", F.element_at("__nums", 1).cast("int"))
-        .withColumn("sold", F.element_at("__nums", 2).cast("int"))
-        .withColumn("reserved", F.element_at("__nums", 3).cast("int"))
-        .withColumn("available", F.element_at("__nums", -1).cast("int"))
+        # try_element_at: a malformed hovercard with no table numbers
+        # yields NULL capacities, not an ANSI INVALID_ARRAY_INDEX error
+        # (Spark 4 runs ANSI-on by default)
+        .withColumn("max", F.try_element_at("__nums", F.lit(1)).cast("int"))
+        .withColumn("sold", F.try_element_at("__nums", F.lit(2)).cast("int"))
+        .withColumn("reserved",
+                    F.try_element_at("__nums", F.lit(3)).cast("int"))
+        .withColumn("available",
+                    F.try_element_at("__nums", F.lit(-1)).cast("int"))
         .withColumn("title_day", F.regexp_extract(
-            title_text, r"^(\d{1,2})\.", 1).cast("int"))
+            title_text, r"^(\d{1,2})\.", 1).try_cast("int"))
         .withColumn("title_month", F.element_at(
             month_map, F.regexp_extract(title_text, r"\. (\w+),", 1)))
         .withColumn("title_time", F.regexp_extract(

@@ -205,3 +205,18 @@ def test_basic_capacities_and_ignored_pages(spark):
         (30, "2020-10-26T08:00:00", 75, 75),
         (30, "2020-10-28T08:00:00", -3, -3),
     }
+
+
+def test_hovercard_without_numbers_yields_null_capacities(spark):
+    """A grammar-matching popover whose content carries no table numbers
+    must yield NULL capacity columns, not an ANSI INVALID_ARRAY_INDEX
+    error (Spark 4 defaults ANSI on)."""
+    from barberini_analytics_spark.sources.gomus_capacities import (
+        parse_hovercards)
+
+    html = ("<script>$(\"#info-77\").popover({ title : 't', "
+            "content : 'no table here' });</script>")
+    df = spark.createDataFrame([(1, html)], ["quota_id", "html"])
+    [r] = parse_hovercards(df).collect()
+    assert r.slot_unix == 77
+    assert r.max is None and r.available is None
