@@ -24,7 +24,12 @@ def parse_sentiws_lines(lines: DataFrame) -> DataFrame:
     df = lines.select(
         F.regexp_extract("value", _LINE, 1).alias("word"),
         F.regexp_extract("value", _LINE, 2).alias("pos_tag"),
-        F.regexp_extract("value", _LINE, 3).cast("double").alias("weight"),
+        # try_cast: a malformed line extracts '' and must drop via the
+        # word filter, not abort the scan (Spark 4 ANSI default); the
+        # filter sits above this projection in the analyzed plan, so the
+        # cast can evaluate for non-matching lines
+        F.regexp_extract("value", _LINE, 3).try_cast("double")
+        .alias("weight"),
         F.regexp_extract("value", _LINE, 4).alias("__infl"),
     ).filter(F.col("word") != "")
     df = df.withColumn(
