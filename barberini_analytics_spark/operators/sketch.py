@@ -461,3 +461,44 @@ def cms_lookup(grid: DataFrame, keys: DataFrame, item_col: str,
         .groupBy(*out_cols)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+def hll_overlap_estimate(left: DataFrame, right: DataFrame,
+                         item_col: str, p_bits: int = 10) -> DataFrame:
+    """Join-key overlap diagnostics from HLL sketches alone:
+    estimate ``|A|``, ``|B|``, ``|A∪B|`` (merged registers), and by
+    inclusion–exclusion ``|A∩B|`` plus the containment ratios
+    ``overlap/|A|`` and ``overlap/|B|`` — the pre-join cardinality
+    report a 100 TB pipeline runs BEFORE committing to a join strategy
+    (broadcast? bloom-prune? is the join even selective?).
+
+    Cost: one register aggregate per side (≤ 2^p_bits rows each) and a
+    constant-size merge — the inputs are never joined.  Error compounds
+    across the three estimates (~3·1.04/sqrt(2^p_bits) worst case on the
+    intersection; negative estimates clamp to 0), so this is a planning
+    signal, not an exact count — the default p=10 gives ~±10% on the
+    intersection of similar-sized sides.
+    """
+    one = F.lit(1)
+    a = hll_registers(left.select(F.col(item_col)), [], item_col, p_bits) \
+        .withColumn("__side", one)
+    b = hll_registers(right.select(F.col(item_col)), [], item_col, p_bits) \
+        .withColumn("__side", one)
+    est = hll_estimate_corrected(a.drop("__side"), [], p_bits) \
+        .select(F.col("n_distinct_est").alias("n_left"))
+    est_b = hll_estimate_corrected(b.drop("__side"), [], p_bits) \
+        .select(F.col("n_distinct_est").alias("n_right"))
+    union = hll_estimate_corrected(
+        hll_merge(a.drop("__side"), b.drop("__side")), [], p_bits) \
+        .select(F.col("n_distinct_est").alias("n_union"))
+    out = est.crossJoin(est_b).crossJoin(union)
+    inter = F.greatest(
+        F.col("n_left") + F.col("n_right") - F.col("n_union"), F.lit(0))
+    return out.select(
+        "n_left", "n_right", "n_union",
+        inter.alias("n_overlap_est"),
+        F.round(inter / F.greatest(F.col("n_left"), F.lit(1)), 4)
+        .alias("containment_left"),
+        F.round(inter / F.greatest(F.col("n_right"), F.lit(1)), 4)
+        .alias("containment_right"),
+    )

@@ -326,3 +326,24 @@ def test_bloom_flag_polarities_match_probe(spark):
     assert {k for k, h in flags.items() if h} == probed_ids
     member_ids = {r.k for r in members.collect()}
     assert all(flags[k] for k in member_ids if k in flags)
+
+
+def test_hll_overlap_estimate_accuracy(spark):
+    """Inclusion-exclusion intersection from sketches alone: 10k vs 10k
+    keys with exactly 5k shared must estimate the overlap within the
+    compounded HLL error, without ever joining the inputs."""
+    from barberini_analytics_spark.operators.sketch import (
+        hll_overlap_estimate)
+
+    left = spark.range(0, 10_000).selectExpr("CAST(id AS STRING) AS k")
+    right = spark.range(5_000, 15_000).selectExpr("CAST(id AS STRING) AS k")
+    [r] = hll_overlap_estimate(left, right, "k", p_bits=10).collect()
+    assert abs(r.n_left - 10_000) < 1_500
+    assert abs(r.n_right - 10_000) < 1_500
+    assert abs(r.n_union - 15_000) < 2_000
+    assert abs(r.n_overlap_est - 5_000) < 2_500
+    assert 0.25 <= r.containment_left <= 0.8
+    # disjoint sides -> overlap near zero (clamped at 0)
+    far = spark.range(100_000, 110_000).selectExpr("CAST(id AS STRING) AS k")
+    [d] = hll_overlap_estimate(left, far, "k", p_bits=10).collect()
+    assert d.n_overlap_est < 2_000
