@@ -64,3 +64,62 @@ def analyze_table(df: DataFrame, ndv_rsd: float = 0.05) -> DataFrame:
     ]
     return (row.select(F.explode(F.array(*per_col)).alias("s"))
             .select("s.*"))
+
+
+def join_advice(left: DataFrame, right: DataFrame, on: str,
+                broadcast_bytes: int = 10 * 1024 * 1024,
+                low_containment: float = 0.2,
+                ndv_rsd: float = 0.05) -> DataFrame:
+    """Join-strategy recommendation from constant-size summaries — the
+    planning probe a 100 TB pipeline runs before an expensive join,
+    built on :func:`analyze_table` (sizes) and
+    :func:`..operators.sketch.hll_overlap_estimate` (key containment):
+
+    - ``broadcast_left`` / ``broadcast_right`` when a side's estimated
+      bytes (rows × mean serialized row length) fit the threshold;
+    - ``bloom_prune_then_shuffle`` when both sides are big but key
+      containment is low (< ``low_containment`` on the larger side: most
+      of its rows cannot match, so a Bloom filter on the smaller side's
+      keys prunes the shuffle — ``operators/sketch.bloom_build/probe``);
+    - ``shuffle_join`` otherwise (and AQE handles residual skew).
+
+    Returns ONE row with the recommendation and the evidence columns, so
+    the decision is auditable.  Cost: two stats aggregates + two HLL
+    register aggregates; the join inputs are never joined here.
+    """
+    from ..operators.sketch import hll_overlap_estimate
+
+    def side_size(df: DataFrame):
+        stats = analyze_table(df, ndv_rsd)
+        return stats.agg(
+            F.max("n_rows").alias("rows"),
+            F.sum("avg_len").alias("row_len"))
+
+    ls = side_size(left).select(
+        F.col("rows").alias("left_rows"),
+        (F.col("rows") * F.col("row_len")).alias("left_bytes_est"))
+    rs = side_size(right).select(
+        F.col("rows").alias("right_rows"),
+        (F.col("rows") * F.col("row_len")).alias("right_bytes_est"))
+    ov = hll_overlap_estimate(left.select(on), right.select(on), on)
+    row = ls.crossJoin(rs).crossJoin(ov)
+    bigger_containment = F.when(
+        F.col("left_rows") >= F.col("right_rows"),
+        F.col("containment_left")).otherwise(F.col("containment_right"))
+    l_fit = F.col("left_bytes_est") <= broadcast_bytes
+    r_fit = F.col("right_bytes_est") <= broadcast_bytes
+    # when both sides fit, broadcast the SMALLER one
+    advice = (
+        F.when(r_fit & (~l_fit
+                        | (F.col("right_bytes_est")
+                           <= F.col("left_bytes_est"))), "broadcast_right")
+        .when(l_fit, "broadcast_left")
+        .when(bigger_containment < low_containment,
+              "bloom_prune_then_shuffle")
+        .otherwise("shuffle_join"))
+    return row.select(
+        advice.alias("advice"),
+        "left_rows", "right_rows",
+        F.round("left_bytes_est").cast("long").alias("left_bytes_est"),
+        F.round("right_bytes_est").cast("long").alias("right_bytes_est"),
+        "n_overlap_est", "containment_left", "containment_right")

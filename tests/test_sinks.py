@@ -202,3 +202,29 @@ def test_analyze_table_handles_nulls_and_arrays(spark):
     assert stats["vec"].n_nulls == 1
     assert stats["vec"].min is None and stats["vec"].max is None
     assert stats["vec"].ndv_approx == 2
+
+
+def test_join_advice_strategies(spark):
+    from barberini_analytics_spark.core.stats import join_advice
+
+    big = spark.range(200_000).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS payload")
+    small = spark.range(500).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS x")
+    [r] = join_advice(big, small, "k").collect()
+    assert r.advice == "broadcast_right"
+    [r2] = join_advice(small, big, "k").collect()
+    assert r2.advice == "broadcast_left"
+
+    # two big sides, tiny key overlap -> bloom-prune recommendation
+    far = spark.range(1_000_000, 1_200_000).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS y")
+    [r3] = join_advice(big, far, "k", broadcast_bytes=1_000).collect()
+    assert r3.advice == "bloom_prune_then_shuffle"
+    assert r3.n_overlap_est < 40_000
+
+    # two big overlapping sides -> plain shuffle join
+    [r4] = join_advice(big, big.selectExpr("k", "payload AS z"), "k",
+                       broadcast_bytes=1_000).collect()
+    assert r4.advice == "shuffle_join"
+    assert r4.containment_left > 0.7
