@@ -249,7 +249,8 @@ _INT8_CTES = """
         WHERE rn = 1
     ), {_PQ_ORACLE_CTES.strip()}, {_INT8_CTES.strip().strip(',')}
     SELECT i.vec_id, i.assigned_cell, i.cell_cosine, p.pq_code, a.adc_q0,
-           q.int8_scale, q.int8_codes, q.int8_mae, q.int8_cos
+           q.int8_scale, array_to_string(q.int8_codes, ',') AS int8_codes,
+           q.int8_mae, q.int8_cos
     FROM ivf i
     JOIN pq_packed p USING (vec_id)
     JOIN pq_adc a USING (vec_id)
@@ -299,8 +300,15 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("embedding"), deq,
                    lambda x, y: F.abs(x.cast("double") - y)),
         F.lit(0.0), lambda a, x: a + x) / F.size("int8_codes")
+    # the raw array<int> codes are digested to a comma-joined string:
+    # the driver's pandas canonicalizer sorts every output column, and
+    # list cells are unhashable there (round-7 regression) — the digest
+    # is lossless (exact int join on both engines), so the hash check
+    # still covers every code byte
     int8 = q8.select(
-        "vec_id", "int8_scale", "int8_codes",
+        "vec_id", "int8_scale",
+        F.concat_ws(",", F.col("int8_codes").cast("array<string>"))
+        .alias("int8_codes"),
         F.round(mae, 6).alias("int8_mae"),
         F.when(F.col("int8_scale") > 0,
                F.round(S.cosine(F.col("embedding"), deq), 6))
