@@ -96,6 +96,80 @@ def _candidate(code: Column, iso: str, zeroes: int, regex: str) -> Column:
     return _extract(padded, regex)
 
 
+# --- geocoding tail (cleanse_data.py:107-140) ------------------------------
+# The reference geocodes the DISTINCT cleansed German postal codes with
+# pgeocode.Nominatim('DE') and dict-maps latitude/longitude back onto every
+# customer row (migration_036.sql:5-7 adds the columns).  pgeocode's DE
+# table is an external download, so the sandbox stand-in is a DETERMINISTIC
+# code→coordinate map inside Germany's bounding box (47.4–54.9 °N,
+# 6.1–14.9 °E); in production, swap ``synthetic_de_geocode`` for a parquet
+# read of the real pgeocode table — the join shape is identical.
+#
+# Exact integer arithmetic + one double division keeps both engines
+# bit-identical (no rounding anywhere).
+LAT_BASE, LAT_SPAN_MILLI = 47.4, 7500
+LON_BASE, LON_SPAN_MILLI = 6.1, 8800
+
+
+def synthetic_de_geocode(codes: DataFrame, code_col: str = "plz") -> DataFrame:
+    """(code) → (code, latitude, longitude), deterministic pgeocode stand-in.
+
+    Codes must be digit strings (the DE cleansing regex guarantees that);
+    leading zeros are absorbed by the bigint cast, like pgeocode's own
+    numeric index.
+    """
+    n = F.col(code_col).cast("bigint")
+    return codes.select(
+        F.col(code_col),
+        (F.lit(LAT_BASE) + (n * 31 % LAT_SPAN_MILLI) / F.lit(1000.0))
+        .alias("latitude"),
+        (F.lit(LON_BASE) + (n * 17 % LON_SPAN_MILLI) / F.lit(1000.0))
+        .alias("longitude"),
+    )
+
+
+def geocode_german_codes(df: DataFrame,
+                         code_col: str = "cleansed_postal_code",
+                         country_col: str = "cleansed_country") -> DataFrame:
+    """Adds ``latitude``/``longitude`` via the DE geocode lookup.
+
+    Mirrors the reference's dict semantics exactly (cleanse_data.py:113-137):
+    the lookup is built from rows whose cleansed country is Deutschland, but
+    mapped onto EVERY row by cleansed code — a foreign customer sharing a
+    German code shape inherits the German coordinates, as in the reference.
+
+    Scale shape: the distinct-codes side is bounded by the ~8k real German
+    postal codes regardless of corpus size, so it is always broadcast; the
+    corpus side is one map-side hash join — no shuffle of the big table.
+    """
+    codes = (
+        df.filter(F.col(country_col) == "Deutschland")
+        .select(F.col(code_col).alias("__plz"))
+        .filter(F.col("__plz").isNotNull())
+        .distinct()
+    )
+    geo = synthetic_de_geocode(codes, "__plz")
+    return (
+        df.join(F.broadcast(geo), df[code_col] == geo["__plz"], "left")
+        .drop("__plz")
+    )
+
+
+def de_geocode_oracle_cte(src: str) -> str:
+    """DuckDB CTE body equivalent to ``geocode_german_codes``'s lookup table
+    over ``src`` (columns ``cleansed_postal_code``/``cleansed_country``)."""
+    return f"""(
+        SELECT DISTINCT cleansed_postal_code AS plz,
+               {LAT_BASE} + ((CAST(cleansed_postal_code AS BIGINT) * 31)
+                             % {LAT_SPAN_MILLI}) / 1000.0 AS latitude,
+               {LON_BASE} + ((CAST(cleansed_postal_code AS BIGINT) * 17)
+                             % {LON_SPAN_MILLI}) / 1000.0 AS longitude
+        FROM {src}
+        WHERE cleansed_country = 'Deutschland'
+          AND cleansed_postal_code IS NOT NULL
+    )"""
+
+
 def cleanse_postal_codes(df: DataFrame, german_codes: DataFrame,
                          postal_col: str = "postal_code",
                          country_col: str = "country") -> DataFrame:

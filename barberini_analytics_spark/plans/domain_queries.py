@@ -357,20 +357,24 @@ def _gomus_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "o_orderkey AS order_id", "CAST(o_orderdate AS DATE) AS order_date",
         "o_custkey AS customer_id", "true AS valid",
         "o_orderstatus = 'F' AS paid", "'web' AS origin")
+    # the postal/cleansed/geocode columns run the REAL P8 chain (shared
+    # fixture + operators with the postal_cleansing entry) instead of NULL
+    # stubs, so the customer map columns the BI layer draws from
+    # (migration_036.sql:5-7) are populated end-to-end
+    base_customer = cust.selectExpr(
+        "c_custkey", "c_custkey AS customer_id",
+        "c_custkey % 2 = 0 AS newsletter", "CAST(NULL AS STRING) AS gender",
+        "c_mktsegment AS category", "CAST(NULL AS STRING) AS language",
+        "CAST(NULL AS STRING) AS type",
+        "CAST(NULL AS DATE) AS register_date", "false AS annual_ticket",
+        "true AS valid_mail",
+        "CASE WHEN c_custkey % 97 = 0 THEN array('hotel') "
+        "ELSE array() END AS tourism_tags")
+    from .function_queries import cleansed_geocoded_customers
     return {
-        "gomus_customer": cust.selectExpr(
-            "c_custkey AS customer_id", "CAST(NULL AS STRING) AS postal_code",
-            "c_custkey % 2 = 0 AS newsletter", "CAST(NULL AS STRING) AS gender",
-            "c_mktsegment AS category", "CAST(NULL AS STRING) AS language",
-            "CAST(NULL AS STRING) AS country", "CAST(NULL AS STRING) AS type",
-            "CAST(NULL AS DATE) AS register_date", "false AS annual_ticket",
-            "true AS valid_mail",
-            "CAST(NULL AS STRING) AS cleansed_postal_code",
-            "CAST(NULL AS STRING) AS cleansed_country",
-            "CASE WHEN c_custkey % 97 = 0 THEN array('hotel') "
-            "ELSE array() END AS tourism_tags",
-            "CAST(NULL AS DOUBLE) AS latitude",
-            "CAST(NULL AS DOUBLE) AS longitude"),
+        "gomus_customer":
+            cleansed_geocoded_customers(spark, base_customer)
+            .drop("c_custkey"),
         "gomus_order": gomus_orders,
         "gomus_order_contains": li.selectExpr(
             "l_orderkey * 10 + l_linenumber AS article_id",
@@ -402,10 +406,14 @@ def _gomus_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
+from .function_queries import POSTAL_ORACLE_CTES as _POSTAL_CTES  # noqa: E402
+
+
 @query(
     "customer_characteristics_view",
-    oracle="""
-    WITH gomus_customer AS (
+    oracle=f"""
+    WITH {_POSTAL_CTES.strip()},
+    gomus_customer AS (
         SELECT c_custkey AS customer_id, c_mktsegment AS category,
                CASE WHEN c_custkey % 97 = 0 THEN ['hotel']
                     ELSE [] END AS tourism_tags
@@ -504,7 +512,9 @@ def _gomus_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                OR c.category LIKE '%Hotel%' OR c.category = 'Verband'
                OR c.category = 'Verein' OR c.category = 'Stiftung'
                OR len(c.tourism_tags) > 0 OR booking_count > 1,
-               FALSE) AS is_tourism_specialist
+               FALSE) AS is_tourism_specialist,
+           cl.cleansed_postal_code, cl.cleansed_country,
+           g.latitude, g.longitude
     FROM gomus_customer c
     LEFT JOIN o_general USING (customer_id)
     LEFT JOIN o_common USING (customer_id)
@@ -514,13 +524,17 @@ def _gomus_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     LEFT JOIN e_general USING (customer_id)
     LEFT JOIN e_common_name USING (customer_id)
     LEFT JOIN e_common_category USING (customer_id)
+    LEFT JOIN cleansed cl USING (customer_id)
+    LEFT JOIN de_geo g ON cl.cleansed_postal_code = g.plz
     """,
 )
 def customer_characteristics_view(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """The reference's biggest relational view (migration_034.sql:7-193):
     eight left joins, five mode-per-group columns, 3VL tourism flag —
-    run by the real ``domain.views.customer_characteristics`` builder."""
+    run by the real ``domain.views.customer_characteristics`` builder.
+    The cleansed + geocoded P8 columns (migration_036.sql:5-7) pass
+    through from the gomus customer table into the BI-facing view."""
     out = V.customer_characteristics(_gomus_tables(spark, sf_dir))
     return out.select(
         "customer_id", "order_count", "ordered_article_count",
@@ -529,4 +543,6 @@ def customer_characteristics_view(spark: SparkSession,
         "sum_event_reservations", "most_common_ticket",
         "most_common_booking", "most_common_event",
         "most_common_booking_category", "most_common_event_category",
-        "is_tourism_specialist")
+        "is_tourism_specialist",
+        "cleansed_postal_code", "cleansed_country",
+        "latitude", "longitude")

@@ -107,19 +107,41 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "postal_cleansing",
-    # DuckDB RE2 lacks the lookarounds the cleansing regexes use, so the
-    # oracle is an analytically-derived case analysis of the reference
-    # algorithm (cleanse_data.py:55-303) over the 7 fixture shapes ×
-    # 3 countries: symbol translation ('!'→'1', strip spaces), zero-pad
-    # ('1446'→'01446'), DE whitelist containment, and the
-    # DE→UK→NL→PL→CA fallback order (5-digit non-whitelisted codes land
-    # on Polen; 'SW1A1AA' zero-pads to '00001' under Frankreich's
-    # own-country regex).  General-input semantics are pinned by
-    # tests/test_functions.py.
-    oracle="""
-    WITH src AS (
+#: The 7-shape × 3-country postal fixture, as selectExpr fragments over a
+#: ``c_custkey`` column — shared with the gomus customer construction in
+#: plans/domain_queries.py so the domain view carries the same cleansed +
+#: geocoded values that this entry oracles.
+POSTAL_CODE_EXPR = (
+    "CASE c_custkey % 7"
+    "  WHEN 0 THEN '14467'"
+    "  WHEN 1 THEN '!4467'"
+    "  WHEN 2 THEN '1446'"
+    "  WHEN 3 THEN 'SW1A 1AA'"
+    "  WHEN 4 THEN CAST(10000 + c_custkey % 80000 AS STRING)"
+    "  WHEN 5 THEN 'abc'"
+    "  ELSE NULL END"
+)
+POSTAL_COUNTRY_EXPR = (
+    "CASE c_custkey % 3 WHEN 0 THEN 'Deutschland'"
+    "  WHEN 1 THEN 'Vereinigtes Königreich'"
+    "  ELSE 'Frankreich' END"
+)
+
+#: DE whitelist rows for the fixture (one column ``plz``).
+POSTAL_WHITELIST_ROWS = [("14467",), ("01446",), ("10115",)]
+
+# DuckDB RE2 lacks the lookarounds the cleansing regexes use, so the
+# oracle is an analytically-derived case analysis of the reference
+# algorithm (cleanse_data.py:55-303) over the 7 fixture shapes ×
+# 3 countries: symbol translation ('!'→'1', strip spaces), zero-pad
+# ('1446'→'01446'), DE whitelist containment, and the
+# DE→UK→NL→PL→CA fallback order (5-digit non-whitelisted codes land
+# on Polen; 'SW1A1AA' zero-pads to '00001' under Frankreich's
+# own-country regex).  General-input semantics are pinned by
+# tests/test_functions.py.  ``POSTAL_ORACLE_CTES`` ends with
+# ``cleansed``/``de_geo`` CTEs so domain oracles can reuse the chain.
+POSTAL_ORACLE_CTES = f"""
+    src AS (
         SELECT c_custkey AS customer_id,
                CASE c_custkey % 7
                  WHEN 0 THEN '14467'
@@ -134,8 +156,8 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'Frankreich' END AS country,
                c_custkey % 7 AS shape
         FROM customer
-    )
-    SELECT customer_id, postal_code, country,
+    ), cleansed AS (
+        SELECT customer_id, postal_code, country,
            CASE
              WHEN postal_code IS NULL THEN NULL
              WHEN shape IN (0, 1) THEN '14467'
@@ -160,34 +182,50 @@ def scalar_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE 'Polen' END
              ELSE country
            END AS cleansed_country
-    FROM src
+        FROM src
+    ), de_geo AS {PC.de_geocode_oracle_cte("cleansed")}
+"""
+
+
+def cleansed_geocoded_customers(spark: SparkSession,
+                                cust: DataFrame) -> DataFrame:
+    """Fixture codes → full P8 chain (cleanse + DE geocode) over a raw
+    ``customer`` frame; keeps any extra caller columns."""
+    df = cust.withColumn("postal_code", F.expr(POSTAL_CODE_EXPR)) \
+        .withColumn("country", F.expr(POSTAL_COUNTRY_EXPR))
+    whitelist = spark.createDataFrame(POSTAL_WHITELIST_ROWS, ["plz"])
+    return PC.geocode_german_codes(PC.cleanse_postal_codes(df, whitelist))
+
+
+@query(
+    "postal_cleansing",
+    oracle=f"""
+    WITH {POSTAL_ORACLE_CTES.strip()}
+    SELECT c.customer_id, c.postal_code, c.country,
+           c.cleansed_postal_code, c.cleansed_country,
+           g.latitude, g.longitude
+    FROM cleansed c
+    LEFT JOIN de_geo g ON c.cleansed_postal_code = g.plz
     """,
 )
 def postal_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 postal cleansing over synthesized customer codes; general-input
-    value semantics pinned by tests/test_functions.py, fixture outputs
-    hash-checked against a derived expected-value oracle."""
+    """P8 postal cleansing + the geocoding tail (cleanse_data.py:55-303 and
+    107-140) over synthesized customer codes; general-input value semantics
+    pinned by tests/test_functions.py, fixture outputs hash-checked against
+    a derived expected-value oracle.
+
+    The geocode stage is the reference's pgeocode lookup re-expressed as a
+    broadcast hash join of the (bounded, ~8k real-world) distinct German
+    code table — the customer side never shuffles.
+    """
     from .ingest_queries import _spread
 
-    cust = _spread(load_table(spark, sf_dir, "customer"))
-    df = cust.selectExpr(
-        "c_custkey AS customer_id",
-        "CASE c_custkey % 7"
-        "  WHEN 0 THEN '14467'"
-        "  WHEN 1 THEN '!4467'"
-        "  WHEN 2 THEN '1446'"
-        "  WHEN 3 THEN 'SW1A 1AA'"
-        "  WHEN 4 THEN CAST(10000 + c_custkey % 80000 AS STRING)"
-        "  WHEN 5 THEN 'abc'"
-        "  ELSE NULL END AS postal_code",
-        "CASE c_custkey % 3 WHEN 0 THEN 'Deutschland'"
-        "  WHEN 1 THEN 'Vereinigtes Königreich'"
-        "  ELSE 'Frankreich' END AS country")
-    whitelist = spark.createDataFrame(
-        [("14467",), ("01446",), ("10115",)], ["plz"])
-    out = PC.cleanse_postal_codes(df, whitelist)
+    cust = _spread(load_table(spark, sf_dir, "customer")) \
+        .selectExpr("c_custkey", "c_custkey AS customer_id")
+    out = cleansed_geocoded_customers(spark, cust)
     return out.select("customer_id", "postal_code", "country",
-                      "cleansed_postal_code", "cleansed_country")
+                      "cleansed_postal_code", "cleansed_country",
+                      "latitude", "longitude")
 
 
 # MurmurHash3 x86_32(seed=666), signed — implemented in portable DuckDB SQL

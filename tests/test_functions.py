@@ -147,3 +147,27 @@ def test_misc_parsers(spark):
 def test_tourism_tags_null_mail(spark):
     df = spark.createDataFrame([(None,)], "mail string")
     assert df.select(P.tourism_tags(F.col("mail")).alias("t")).first().t == []
+
+
+def test_geocode_german_codes_dict_semantics(spark):
+    """The DE lookup is built from German rows only but mapped onto every
+    row by code (cleanse_data.py:113-137): a foreign row sharing a German
+    code inherits its coordinates; a foreign-only code stays NULL."""
+    df = spark.createDataFrame(
+        [("14467", "Deutschland"),
+         ("14467", "Frankreich"),      # shares a German code -> geocoded
+         ("75001", "Frankreich"),      # French-only code -> NULL
+         (None, "Deutschland")],
+        ["cleansed_postal_code", "cleansed_country"])
+    out = {(r.cleansed_postal_code, r.cleansed_country):
+           (r.latitude, r.longitude)
+           for r in PC.geocode_german_codes(df).collect()}
+    lat = PC.LAT_BASE + (14467 * 31 % PC.LAT_SPAN_MILLI) / 1000.0
+    lon = PC.LON_BASE + (14467 * 17 % PC.LON_SPAN_MILLI) / 1000.0
+    assert out[("14467", "Deutschland")] == (lat, lon)
+    assert out[("14467", "Frankreich")] == (lat, lon)
+    assert out[("75001", "Frankreich")] == (None, None)
+    assert out[(None, "Deutschland")] == (None, None)
+    # coordinates stay inside Germany's bounding box by construction
+    assert PC.LAT_BASE <= lat < PC.LAT_BASE + PC.LAT_SPAN_MILLI / 1000.0
+    assert PC.LON_BASE <= lon < PC.LON_BASE + PC.LON_SPAN_MILLI / 1000.0
