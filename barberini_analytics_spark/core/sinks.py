@@ -222,12 +222,22 @@ def shard_manifest(df: DataFrame, shard_col: str = "shard",
     reproducibility contract for multi-epoch runs.  One hash aggregate
     on the shard id; write it next to the shards as a single small
     parquet/JSON.
+
+    When the frame carries a ``copy_id`` (``mix_sources`` replicates
+    documents, so one shard can legitimately hold several copies of the
+    same id), the checksum hashes the FULL copy identity — identical
+    bare ids would XOR-cancel pairwise and two shards differing only in
+    which copies they hold would collide.
     """
     from pyspark.sql import functions as F
 
     from ..operators.text import hash56
 
-    member = hash56(F.col(id_col).cast("string"))
+    identity = F.col(id_col).cast("string")
+    if "copy_id" in df.columns:
+        identity = F.concat_ws("|", identity,
+                               F.col("copy_id").cast("string"))
+    member = hash56(identity)
     return (
         df.groupBy(shard_col)
         .agg(

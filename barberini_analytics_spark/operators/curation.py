@@ -251,19 +251,51 @@ def epoch_order(df: DataFrame, key_col: str, epoch: int,
     yet exactly reproducible for a given (corpus, epoch) pair, with no
     ``rand()``/seed plumbing and no driver state.
 
-    At 100 TB nobody materializes a global rank: shard writers sort
-    within partitions after a hash repartition on the same key (see
-    :func:`epoch_shards`), which realizes the same global order
-    distribution without a total sort.  This operator is the exact/audit
-    form (one global rank — a range-partitioned sort, Spark's scalable
-    total order).
+    The global rank is computed in the classic two-phase distributed
+    form — a partition-less ``row_number()`` window would funnel the
+    whole corpus through ONE task:
+
+    1. range-repartition on the salted hash (Spark samples boundaries,
+       so partitions are balanced) and pin the partition id as a column;
+    2. count rows per range partition (a #partitions-row aggregate,
+       collected and turned into broadcast-side cumulative offsets);
+    3. ``row_number()`` *within* each range partition + the partition's
+       offset = the exact global rank, with every stage fully parallel.
+
+    The staging frame is query-scope persisted so the partition ids the
+    counts were taken from are the ones the window reads (range
+    boundaries come from sampling; a recompute may place rows
+    differently).
     """
+    from ..core.cache import scoped_persist
     from .text import hash56
 
     h = hash56(F.concat_ws("|", F.lit(str(epoch)),
                            F.col(key_col).cast("string")))
-    w = W.orderBy(h, F.col(key_col))
-    return df.withColumn(out_col, F.row_number().over(w))
+    staged = scoped_persist(
+        df.withColumn("__h", h)
+        .repartitionByRange("__h", key_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in staged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {0: 0}, 0  # seed so the map is never empty
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for pid_off in offsets.items()
+                       for x in pid_off]),
+        F.col("__pid"))
+    w = W.partitionBy("__pid").orderBy("__h", F.col(key_col))
+    return (
+        staged.withColumn(out_col,
+                          (F.row_number().over(w) + off).cast("int"))
+        .drop("__h", "__pid")
+    )
 
 
 def epoch_shards(df: DataFrame, key_col: str, epoch: int, n_shards: int,

@@ -285,16 +285,24 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
     from .core.cache import scoped_persist
 
     curated = scoped_persist(curated)
+    from .core.cache import release_scoped
     from .core.sinks import shard_manifest
 
-    counts: dict[str, int] = {}
-    for split_id, name in enumerate(("train", "valid", "test")):
-        part = curated.filter(F.col("split") == split_id)
-        counts[name] = part.count()
-        if counts[name]:
-            write_training_shards(
-                part.drop("split"), os.path.join(out_dir, name), "shard")
-            # per-shard verification manifest next to the shards
-            shard_manifest(part).coalesce(1).write.mode("overwrite") \
-                .json(os.path.join(out_dir, f"{name}_manifest"))
-    return counts
+    # standalone invocations never hit the registry's release-on-entry
+    # hook, so free the scoped tier (this frame plus curate_corpus's
+    # internal staging) before returning — otherwise the full curated
+    # corpus stays pinned in executor memory for the rest of the session
+    try:
+        counts: dict[str, int] = {}
+        for split_id, name in enumerate(("train", "valid", "test")):
+            part = curated.filter(F.col("split") == split_id)
+            counts[name] = part.count()
+            if counts[name]:
+                write_training_shards(
+                    part.drop("split"), os.path.join(out_dir, name), "shard")
+                # per-shard verification manifest next to the shards
+                shard_manifest(part).coalesce(1).write.mode("overwrite") \
+                    .json(os.path.join(out_dir, f"{name}_manifest"))
+        return counts
+    finally:
+        release_scoped()

@@ -100,8 +100,10 @@ def parse_hovercards(df: DataFrame, html_col: str = "html") -> DataFrame:
                     F.try_element_at("__nums", F.lit(-1)).cast("int"))
         .withColumn("title_day", F.regexp_extract(
             title_text, r"^(\d{1,2})\.", 1).try_cast("int"))
+        # \S+, not \w+: Java's \w is ASCII-only and would never match
+        # 'März' — the month name ends at the comma either way
         .withColumn("title_month", F.element_at(
-            month_map, F.regexp_extract(title_text, r"\. (\w+),", 1)))
+            month_map, F.regexp_extract(title_text, r"\. (\S+),", 1)))
         .withColumn("title_time", F.regexp_extract(
             title_text, r"(\d{2}:\d{2}) Uhr", 1))
         .drop("__block", "__nums")

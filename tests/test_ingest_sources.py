@@ -186,6 +186,24 @@ def test_hovercard_parse_replaces_js2py(spark):
     assert (b.title_day, b.title_month) == (28, 10)
 
 
+def test_hovercard_title_month_matches_non_ascii_maerz(spark):
+    """'März' is the one German month name outside ASCII; Java's \\w
+    cannot match it, so the title regex must use a unicode-safe class —
+    otherwise every March slot fails the title-vs-timestamp cross-check."""
+    from barberini_analytics_spark.sources.gomus_capacities import (
+        parse_hovercards)
+
+    # 1615968000 = 2021-03-17T08:00:00Z
+    page = (_capacities_page()
+            .replace("1603699200", "1615968000")
+            .replace("26. Oktober", "17. März"))
+    df = spark.createDataFrame([(30, page)], ["quota_id", "html"])
+    rows = {r.slot_unix: r for r in parse_hovercards(df).collect()}
+    a = rows[1615968000]
+    assert (a.title_day, a.title_month) == (17, 3)
+    assert a.date.isoformat() == "2021-03-17"
+
+
 def test_basic_capacities_and_ignored_pages(spark):
     from barberini_analytics_spark.sources.gomus_capacities import (
         parse_basic_capacities)

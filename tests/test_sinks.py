@@ -228,3 +228,87 @@ def test_join_advice_strategies(spark):
                        broadcast_bytes=1_000).collect()
     assert r4.advice == "shuffle_join"
     assert r4.containment_left > 0.7
+
+
+def test_join_advice_matches_spark_plan_choice(spark, tmp_path):
+    """The advisor's recommendation must agree with the join strategy
+    Spark ITSELF picks from file-size statistics at the same broadcast
+    threshold — otherwise the advice is just computed, not validated.
+    Three size regimes; the bloom recommendation is checked as a
+    refinement of Spark's own shuffle choice (Spark has no bloom-prune
+    strategy to pick, but it must NOT have chosen a broadcast there).
+    """
+    from barberini_analytics_spark.core.stats import join_advice
+
+    thresh = 100 * 1024
+    paths = {n: str(tmp_path / n) for n in ("big", "small", "big2", "far")}
+    spark.range(150_000).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS payload") \
+        .write.parquet(paths["big"])
+    spark.range(400).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS x").write.parquet(paths["small"])
+    spark.range(150_000).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS z").write.parquet(paths["big2"])
+    spark.range(1_000_000, 1_150_000).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS y").write.parquet(paths["far"])
+    big, small, big2, far = (spark.read.parquet(paths[n])
+                             for n in ("big", "small", "big2", "far"))
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thresh))
+    # static plan comparison: AQE would defer the choice to runtime
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def spark_choice(left, right):
+            plan = left.join(right, "k")._jdf.queryExecution() \
+                .executedPlan().toString()
+            if "BroadcastHashJoin" in plan:
+                return ("broadcast_left" if "BuildLeft" in plan
+                        else "broadcast_right")
+            return "shuffle_join"
+
+        for left, right, expect in ((big, small, "broadcast_right"),
+                                    (small, big, "broadcast_left"),
+                                    (big, big2, "shuffle_join")):
+            [adv] = join_advice(left, right, "k",
+                                broadcast_bytes=thresh).collect()
+            assert adv.advice == expect, (adv, expect)
+            assert spark_choice(left, right) == expect
+
+        # disjoint key ranges: the advisor refines Spark's shuffle choice
+        # with a bloom prune; Spark must agree a broadcast is off the table
+        [adv] = join_advice(big, far, "k", broadcast_bytes=thresh).collect()
+        assert adv.advice == "bloom_prune_then_shuffle", adv
+        assert spark_choice(big, far) == "shuffle_join"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_shard_manifest_distinguishes_replicated_copies(spark):
+    """mix_sources replicates doc_ids (copy_id disambiguates); two copies
+    of the same id must NOT XOR-cancel, and shards differing only in
+    which copies they hold must get different checksums."""
+    from barberini_analytics_spark.core.sinks import shard_manifest
+
+    two_copies = spark.createDataFrame(
+        [("d", 0, 0, 5), ("d", 1, 0, 5), ("x", 0, 0, 5)],
+        ["doc_id", "copy_id", "shard", "n_tokens"])
+    lone = spark.createDataFrame(
+        [("x", 0, 0, 5)], ["doc_id", "copy_id", "shard", "n_tokens"])
+    [a] = shard_manifest(two_copies).collect()
+    [b] = shard_manifest(lone).collect()
+    assert a.membership_checksum != b.membership_checksum
+
+    swapped_copy = spark.createDataFrame(
+        [("d", 0, 0, 5), ("x", 0, 0, 5), ("d", 1, 1, 5)],
+        ["doc_id", "copy_id", "shard", "n_tokens"])
+    other_copy = spark.createDataFrame(
+        [("d", 1, 0, 5), ("x", 0, 0, 5), ("d", 0, 1, 5)],
+        ["doc_id", "copy_id", "shard", "n_tokens"])
+    ca = {r.shard: r.membership_checksum
+          for r in shard_manifest(swapped_copy).collect()}
+    cb = {r.shard: r.membership_checksum
+          for r in shard_manifest(other_copy).collect()}
+    assert ca[0] != cb[0] and ca[1] != cb[1]
