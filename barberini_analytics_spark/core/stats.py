@@ -123,3 +123,64 @@ def join_advice(left: DataFrame, right: DataFrame, on: str,
         F.round("left_bytes_est").cast("long").alias("left_bytes_est"),
         F.round("right_bytes_est").cast("long").alias("right_bytes_est"),
         "n_overlap_est", "containment_left", "containment_right")
+
+
+def partition_advice(df: DataFrame, group_keys: list[str] | None = None,
+                     target_partition_bytes: int = 128 * 1024 * 1024,
+                     max_skew_ratio: float = 4.0,
+                     ndv_rsd: float = 0.05) -> DataFrame:
+    """Shuffle-sizing recommendation from the same one-pass statistics:
+    how many ``spark.sql.shuffle.partitions`` a groupBy/join on
+    ``group_keys`` needs so post-shuffle partitions land near
+    ``target_partition_bytes`` (the spill-vs-scheduling sweet spot —
+    Spark's own AQE coalesce target), plus a skew verdict for the keys.
+
+    - ``est_bytes``: rows × mean serialized row length (the
+      :func:`analyze_table` proxy, consistent with :func:`join_advice`);
+    - ``shuffle_partitions``: ``ceil(est_bytes / target)``, floored at 1
+      — at 100 TB this is ~800 partitions per TB at the default target,
+      the knob every oversized-shuffle incident traces back to;
+    - ``key_skew``: ``n_rows / ndv(keys)`` is the MEAN rows-per-key;
+      when the approximate top-key share (max frequency from one extra
+      ``count per key`` sketch would cost a pass, so we bound it by
+      mean × ``max_skew_ratio``) cannot hold, AQE skew-split or
+      :func:`..operators.relational.salted_join` is recommended.
+
+    One aggregate pass (reusing :func:`analyze_table`) plus, when
+    ``group_keys`` is given, one key-frequency aggregate for the
+    observed max — map-side partial aggregation shrinks that shuffle to
+    (key, count) pairs, so the probe never shuffles table rows.
+    """
+    stats = analyze_table(df, ndv_rsd)
+    size = stats.agg(
+        F.max("n_rows").alias("n_rows"),
+        F.sum("avg_len").alias("row_len"))
+    size = size.select(
+        "n_rows",
+        (F.col("n_rows") * F.col("row_len")).cast("long")
+        .alias("est_bytes"))
+    if group_keys:
+        freq = (df.groupBy(*group_keys)
+                .agg(F.count(F.lit(1)).alias("__f"))
+                .agg(F.max("__f").alias("max_key_rows"),
+                     F.count(F.lit(1)).alias("key_ndv")))
+        size = size.crossJoin(freq)
+    else:
+        size = size.withColumn("max_key_rows", F.lit(None).cast("long")) \
+            .withColumn("key_ndv", F.lit(None).cast("long"))
+    parts = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("est_bytes") / F.lit(float(target_partition_bytes))))
+    mean_key_rows = F.col("n_rows") / F.col("key_ndv")
+    skewed = (F.col("max_key_rows").isNotNull()
+              & (F.col("max_key_rows")
+                 > mean_key_rows * F.lit(float(max_skew_ratio))))
+    return size.select(
+        "n_rows", "est_bytes",
+        parts.cast("int").alias("shuffle_partitions"),
+        F.lit(int(target_partition_bytes)).alias("target_partition_bytes"),
+        "key_ndv", "max_key_rows",
+        F.round(mean_key_rows, 2).alias("mean_key_rows"),
+        F.when(skewed, "salt_or_aqe_skew_split")
+        .when(F.col("max_key_rows").isNotNull(), "plain_shuffle_ok")
+        .otherwise("no_keys_given").alias("skew_advice"))

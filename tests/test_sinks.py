@@ -312,3 +312,36 @@ def test_shard_manifest_distinguishes_replicated_copies(spark):
     cb = {r.shard: r.membership_checksum
           for r in shard_manifest(other_copy).collect()}
     assert ca[0] != cb[0] and ca[1] != cb[1]
+
+
+def test_partition_advice_sizing_and_skew(spark):
+    """The shuffle-sizing companion to join_advice: partition count must
+    track est_bytes / target, and the skew verdict must flip exactly
+    when one key dominates its peers."""
+    from barberini_analytics_spark.core.stats import partition_advice
+
+    uniform = spark.range(50_000).selectExpr(
+        "CAST(id % 500 AS STRING) AS k",
+        "repeat('x', 64) AS payload")
+    [r] = partition_advice(uniform, ["k"],
+                           target_partition_bytes=1024 * 1024).collect()
+    assert r.n_rows == 50_000 and r.key_ndv == 500
+    # ~70 bytes/row * 50k rows = ~3.5 MB -> 3-5 partitions at 1 MiB target
+    assert 2 <= r.shuffle_partitions <= 6, r
+    assert r.skew_advice == "plain_shuffle_ok"
+    assert r.max_key_rows == 100
+
+    # one key holds 50% of the table -> salting recommendation
+    skewed = spark.range(50_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE CAST(id AS STRING) END AS k",
+        "repeat('x', 64) AS payload")
+    [s] = partition_advice(skewed, ["k"],
+                           target_partition_bytes=1024 * 1024).collect()
+    assert s.skew_advice == "salt_or_aqe_skew_split"
+    assert s.max_key_rows == 25_000
+
+    # keyless form: sizing only, no skew verdict
+    [n] = partition_advice(uniform,
+                           target_partition_bytes=1024 * 1024).collect()
+    assert n.skew_advice == "no_keys_given" and n.key_ndv is None
+    assert n.shuffle_partitions == r.shuffle_partitions
