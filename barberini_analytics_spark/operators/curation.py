@@ -262,17 +262,19 @@ def epoch_order(df: DataFrame, key_col: str, epoch: int,
     3. ``row_number()`` *within* each range partition + the partition's
        offset = the exact global rank, with every stage fully parallel.
 
-    The staging frame is query-scope persisted so the partition ids the
-    counts were taken from are the ones the window reads (range
-    boundaries come from sampling; a recompute may place rows
-    differently).
+    The staging frame is MATERIALIZED (query-scoped localCheckpoint,
+    same as ``assign_token_shards``) so the partition ids the counts
+    were taken from are exactly the ones the window reads: range
+    boundaries come from sampling and AQE may coalesce the exchange
+    differently per job — a persist can be evicted and recomputed with
+    renumbered pids, which would silently corrupt the offsets.
     """
-    from ..core.cache import scoped_persist
+    from ..core.cache import scoped_checkpoint
     from .text import hash56
 
     h = hash56(F.concat_ws("|", F.lit(str(epoch)),
                            F.col(key_col).cast("string")))
-    staged = scoped_persist(
+    staged = scoped_checkpoint(
         df.withColumn("__h", h)
         .repartitionByRange("__h", key_col)
         .withColumn("__pid", F.spark_partition_id())

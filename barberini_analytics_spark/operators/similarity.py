@@ -309,7 +309,8 @@ def _mean_vectors(df: DataFrame, keys: list[str], vec_col: str) -> DataFrame:
 
 def pq_train(vectors: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
              dim: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             normalize: bool = True) -> DataFrame:
     """Train per-subspace PQ codebooks → ``(sub, code, centroid)``.
 
     Vectors are L2-normalized first (so inner-product ADC approximates
@@ -324,13 +325,19 @@ def pq_train(vectors: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
     production (≈100k vectors is standard); pass the sample in as
     ``vectors`` and the per-iteration shuffle stays sample-sized while
     ``pq_encode`` stays a map-only pass over the full corpus.
+
+    ``normalize=False`` skips the L2 step — required when ``vectors``
+    are IVF residuals (:func:`pq_residuals`), which live in the already-
+    normalized space and must NOT be re-scaled.
     """
     from .relational import top_k_per_group
     from ..core.cache import scoped_checkpoint
 
     d_sub = dim // m
     norm = vectors.select(
-        F.col(id_col), l2_normalize(F.col(vec_col), dim).alias("__nv")
+        F.col(id_col),
+        (l2_normalize(F.col(vec_col), dim) if normalize
+         else F.col(vec_col).cast("array<double>")).alias("__nv")
     )
     subs = norm.select(
         id_col,
@@ -379,6 +386,40 @@ def pq_train(vectors: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
                     F.coalesce("__new", "centroid").alias("centroid"))
         )
     return cb
+
+
+def pq_residuals(vectors: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 key_col: str = "label", dim: int = 64,
+                 out_col: str = "residual") -> DataFrame:
+    """IVF residuals in the normalized space:
+    ``r = l2_normalize(v) − unit(centroid[assigned_cell])`` — the
+    FAISS-IVFPQ design.  Quantizing residuals instead of raw vectors
+    stops the codebook from spending its ``k`` codes per subspace
+    re-describing the coarse cluster structure the IVF cells already
+    capture; the codes resolve only the (much smaller) within-cell
+    detail, which is where ANN recall is won.
+
+    The decomposition ``dot(q̂, v̂) = dot(q̂, ĉ) + dot(q̂, r)`` is exact
+    for ANY fixed per-cell ``ĉ`` as long as encode and search use the
+    same one; the unit-normalized cell centroid keeps ``r`` small.
+
+    Scale shape: one broadcast nearest-centroid assignment + one
+    broadcast centroid join — map-only over the corpus, same as the
+    plain encode path.  Returns ``(id, assigned_cell, residual)``.
+    """
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col, key_col)
+    cn = centroids.select(
+        F.col(key_col).alias("assigned_cell"),
+        l2_normalize(F.col("centroid"), dim).alias("__c"))
+    return (
+        vectors.join(assigned.select(id_col, "assigned_cell"), id_col)
+        .join(F.broadcast(cn), "assigned_cell")
+        .select(
+            id_col, "assigned_cell",
+            F.zip_with(l2_normalize(F.col(vec_col), dim), "__c",
+                       lambda a, b: a - b).alias(out_col))
+    )
 
 
 def pq_encode(vectors: DataFrame, codebook: list, m: int = 8, k: int = 16,
@@ -440,7 +481,8 @@ def pq_encode(vectors: DataFrame, codebook: list, m: int = 8, k: int = 16,
 
 def pq_encode_arrow(vectors: DataFrame, codebook: list, m: int = 8,
                     k: int = 16, dim: int = 64, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    normalize: bool = True) -> DataFrame:
     """Arrow-batched PQ encode — the 100 TB throughput path.
 
     ``pq_encode``'s pure-expression formulation is bit-exact and fully
@@ -470,9 +512,12 @@ def pq_encode_arrow(vectors: DataFrame, codebook: list, m: int = 8,
     def encode_batches(batches):
         for pdf in batches:
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # sequential-fold norm: cumsum's last element == left fold
-            nrm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
-            nv = x / nrm[:, None]
+            if normalize:
+                # sequential-fold norm: cumsum's last element == left fold
+                nrm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+                nv = x / nrm[:, None]
+            else:  # residual inputs: already in the normalized space
+                nv = x
             codes = np.zeros(len(pdf), dtype=np.int64)
             for s in range(m):
                 sub = nv[:, s * d_sub:(s + 1) * d_sub]
@@ -548,7 +593,8 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
                   dim: int = 64, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   query_id_col: str = "query_id",
-                  key_col: str = "label") -> DataFrame:
+                  key_col: str = "label",
+                  residual: bool = False) -> DataFrame:
     """The full production ANN pipeline: IVF probe → ADC shortlist →
     exact re-rank.
 
@@ -568,12 +614,35 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
 
     ``shortlist`` is the recall dial of the PQ tier the way ``nprobe``
     is for the IVF tier.
+
+    ``residual=True`` switches the PQ tier to IVF-residual encoding
+    (``codebook`` must then come from ``pq_train`` over
+    :func:`pq_residuals` output with ``normalize=False``): codes
+    represent ``v̂ − ĉ(cell)`` and the ADC score adds the probe's own
+    query↔centroid cosine back as the per-cell bias —
+    ``dot(q̂, v̂) = dot(q̂, ĉ) + dot(q̂, r)`` exactly.  Residual codes
+    resolve within-cell detail instead of re-describing the coarse
+    structure, which is what lifts recall at small shortlists.
     """
     from .relational import top_k_per_group
 
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, key_col)
-    codes = pq_encode_arrow(corpus, codebook, m=m, k=n_codes, dim=dim,
-                            id_col=id_col, vec_col=vec_col)
+    if residual:
+        cn = centroids.select(
+            F.col(key_col).alias("assigned_cell"),
+            l2_normalize(F.col("centroid"), dim).alias("__c"))
+        resid = (
+            corpus.join(assigned.select(id_col, "assigned_cell"), id_col)
+            .join(F.broadcast(cn), "assigned_cell")
+            .select(id_col,
+                    F.zip_with(l2_normalize(F.col(vec_col), dim), "__c",
+                               lambda a, b: a - b).alias("__resid")))
+        codes = pq_encode_arrow(resid, codebook, m=m, k=n_codes, dim=dim,
+                                id_col=id_col, vec_col="__resid",
+                                normalize=False)
+    else:
+        codes = pq_encode_arrow(corpus, codebook, m=m, k=n_codes, dim=dim,
+                                id_col=id_col, vec_col=vec_col)
     compressed = assigned.join(codes, id_col)
 
     c = centroids.select(F.col(key_col).alias("cell"), "centroid")
@@ -584,7 +653,8 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
     probed = top_k_per_group(
         probe_scores, [query_id_col],
         [F.col("csim").desc(), F.col("cell").asc()], k=nprobe,
-    ).select(query_id_col, F.col("cell").alias("assigned_cell"))
+    ).select(query_id_col, F.col("cell").alias("assigned_cell"),
+             F.col("csim").alias("__cell_sim"))
 
     # per-query LUTs, keyed by a map literal (query side is bounded);
     # score = Σ_s LUT[qid][s][code_s]: map qid -> flat m*k-double LUT,
@@ -625,7 +695,10 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
         ),
     ).withColumn(
         "adc_score",
-        F.aggregate(
+        # residual mode: the probe cosine IS dot(q̂, ĉ) — add it back as
+        # the exact per-cell bias of the residual decomposition
+        (F.col("__cell_sim") if residual else F.lit(0.0))
+        + F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
             lambda acc, s: acc + F.element_at(

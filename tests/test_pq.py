@@ -173,3 +173,119 @@ def test_adc_self_query_ranks_first(spark, emb, codebook):
     top = (S.pq_adc_scores(enc, codebook, list(q), m=M, k=K)
            .orderBy(F.desc("adc_score"), "vec_id").limit(3).collect())
     assert top[0]["vec_id"] == 0
+
+
+def test_pq_encode_arrow_normalize_false_matches_prenormalized(spark, emb,
+                                                               codebook):
+    """normalize=False over explicitly pre-normalized vectors must yield
+    bit-identical codes to normalize=True over the raw vectors — both
+    paths are strictly sequential IEEE folds."""
+    nv = emb.select(
+        "vec_id", S.l2_normalize(F.col("embedding"), DIM).alias("embedding"))
+    a = {r["vec_id"]: r["pq_code"] for r in
+         S.pq_encode_arrow(emb, codebook, m=M, k=K).collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in
+         S.pq_encode_arrow(nv, codebook, m=M, k=K,
+                           normalize=False).collect()}
+    assert a == b
+
+
+def test_pq_residuals_decomposition_is_exact(spark, emb):
+    """r = v̂ − ĉ(cell) must reconstruct v̂ exactly when the unit cell
+    centroid is added back (the identity the residual ADC bias relies
+    on), and every residual must be SMALLER than its source unit vector
+    (the whole point: codes get an easier target)."""
+    import numpy as np
+
+    from barberini_analytics_spark.operators.similarity import (
+        centroids_by_key, pq_residuals)
+
+    cents = centroids_by_key(emb, "label")
+    cmap = {r["label"]: np.array(r["centroid"], dtype=np.float64)
+            for r in cents.collect()}
+    cmap = {c: v / np.sqrt((v * v).sum()) for c, v in cmap.items()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    out = pq_residuals(emb, cents).collect()
+    assert len(out) == len(vecs)
+    cells = sorted(cmap)
+    nearest, elsewhere = [], []
+    for r in out:
+        v = vecs[r["vec_id"]]
+        vhat = v / np.sqrt((v * v).sum())
+        chat = cmap[r["assigned_cell"]]
+        resid = np.array(r["residual"], dtype=np.float64)
+        assert np.allclose(chat + resid, vhat, atol=1e-9)
+        # two unit vectors are at most 2 apart
+        assert np.linalg.norm(resid) <= 2.0
+        nearest.append(np.linalg.norm(resid))
+        other = cells[(cells.index(r["assigned_cell"]) + 1) % len(cells)]
+        elsewhere.append(np.linalg.norm(vhat - cmap[other]))
+    # nearest-cell assignment must shrink residuals vs ANY other fixed
+    # cell choice — the property the residual codebook's resolution
+    # gain rests on (absolute norms depend on how clustered the corpus
+    # is, which is a data property, not an operator property)
+    assert np.mean(nearest) < np.mean(elsewhere), \
+        (np.mean(nearest), np.mean(elsewhere))
+
+
+def test_ivf_pq_search_residual_beats_plain_on_clustered(spark):
+    """FAISS-IVFPQ-style residual encoding: same pipeline, codebook
+    trained on pq_residuals with normalize=False, ADC biased by the
+    probe cosine.
+
+    Residual codes resolve within-cell detail instead of re-describing
+    coarse structure, so on a CLUSTERED corpus (the regime real
+    embeddings live in — topic/subtopic/instance) they must beat plain
+    codes at the same narrow shortlist.  On unclustered data residuals
+    are larger than the vectors themselves and plain codes win — that
+    regime is covered by the plain-path test above; scripts/stress.py
+    measures both at 100k vectors (plain 0.36 vs residual 0.80 recall
+    at shortlist 200).
+    """
+    from barberini_analytics_spark.operators.similarity import (
+        brute_force_topk, centroids_by_key, ivf_pq_search, pq_residuals)
+
+    n, n_cells = 4000, 64
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                ((F.pmod(F.pmod(F.col("id"), 64) * 9176 + i * 131, 401)
+                  - 200) / F.lit(200.0))
+                + ((F.pmod(F.pmod(F.col("id"), 256) * 577 + i * 271, 257)
+                    - 128) / F.lit(128.0)) * 0.35
+                + ((F.pmod(F.col("id") * 40503 + i * 2654435761, 100003)
+                    - 50001) / F.lit(50001.0)) * 0.05
+            ).cast("float")).alias("embedding")).localCheckpoint(eager=True)
+    labeled = vecs.withColumn("label", F.pmod("vec_id", F.lit(n_cells)))
+    cents = centroids_by_key(labeled, "label")
+
+    queries = vecs.filter(F.col("vec_id").isin(17, 418, 2999)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {}
+    for r in brute_force_topk(vecs, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    cb_p = S.pq_train(vecs, m=M, k=K, iters=2).collect()
+    cb_r = S.pq_train(pq_residuals(vecs, cents), m=M, k=K, iters=2,
+                      vec_col="residual", normalize=False).collect()
+    release_scoped()
+
+    def recall(cb, residual):
+        got = {}
+        out = ivf_pq_search(vecs, cents, cb, queries, k=10, nprobe=8,
+                            shortlist=15, residual=residual)
+        assert set(out.columns) == {"query_id", "vec_id", "cosine", "rank"}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for q, ids in got.items():
+            assert len(ids) == 10
+        return sum(len(exact[q] & got.get(q, set())) / 10
+                   for q in exact) / len(exact)
+
+    r_plain = recall(cb_p, False)
+    r_resid = recall(cb_r, True)
+    assert r_resid > r_plain, (r_resid, r_plain)
+    assert r_resid >= 0.6, (r_resid, r_plain)
