@@ -106,12 +106,20 @@ def centroids_by_key(vectors: DataFrame, key_col: str = "label",
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               key_col: str = "label", centroid_col: str = "centroid") -> DataFrame:
+               key_col: str = "label", centroid_col: str = "centroid",
+               keep_cols: tuple = ()) -> DataFrame:
     """Nearest-centroid assignment (the IVF build step).
 
     Broadcast the centroid table (bounded: n_cells × dim), score every
     vector against every cell in one projection, keep the argmax by
-    (rounded cosine, key) — a single corpus scan, no shuffle.
+    (rounded cosine, key) — a single corpus scan; the only exchange is
+    the argmax grouping on the id.
+
+    ``keep_cols`` carries extra vector-side columns (typically the
+    vector itself) through to the output, so downstream per-row work
+    (residual subtraction, PQ encoding) composes WITHOUT a second
+    corpus-scale join back to the source — at 100 TB that join is a
+    full extra shuffle.
     """
     c = centroids.select(
         F.col(key_col).alias("cell"), F.col(centroid_col)
@@ -120,6 +128,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
         vectors.crossJoin(F.broadcast(c))
         .select(
             id_col,
+            *keep_cols,
             "cell",
             F.round(cosine(F.col(vec_col), F.col(centroid_col)), 6).alias("cosine"),
         )
@@ -130,7 +139,8 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
         scored, [id_col],
         [F.col("cosine").desc(), F.col("cell").asc()],
         k=1,
-    ).select(id_col, F.col("cell").alias("assigned_cell"), F.col("cosine").alias("cell_cosine"))
+    ).select(id_col, *keep_cols, F.col("cell").alias("assigned_cell"),
+             F.col("cosine").alias("cell_cosine"))
 
 
 def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
@@ -201,8 +211,11 @@ def ivf_search(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
     """
     from .relational import top_k_per_group
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, key_col) \
-        .join(corpus, id_col)
+    # the assignment carries the vector (keep_cols) so the probe join
+    # below is the ONLY corpus-scale join — no id-keyed join back to
+    # the source, which would be a second full shuffle at 100 TB
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, key_col,
+                          keep_cols=(vec_col,))
     c = centroids.select(F.col(key_col).alias("cell"), "centroid")
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     probe_scores = q.crossJoin(F.broadcast(c)).select(
@@ -482,7 +495,8 @@ def pq_encode(vectors: DataFrame, codebook: list, m: int = 8, k: int = 16,
 def pq_encode_arrow(vectors: DataFrame, codebook: list, m: int = 8,
                     k: int = 16, dim: int = 64, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    normalize: bool = True) -> DataFrame:
+                    normalize: bool = True,
+                    passthrough: tuple = ()) -> DataFrame:
     """Arrow-batched PQ encode — the 100 TB throughput path.
 
     ``pq_encode``'s pure-expression formulation is bit-exact and fully
@@ -524,10 +538,20 @@ def pq_encode_arrow(vectors: DataFrame, codebook: list, m: int = 8,
                 diff = sub[:, None, :] - cb[s][None, :, :]
                 d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]  # (n, k)
                 codes += d2.argmin(axis=1) * k_pows[s]
-            yield pd.DataFrame({id_col: pdf[id_col], "pq_code": codes})
+            out = {id_col: pdf[id_col], "pq_code": codes}
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        encode_batches, f"{id_col} bigint, pq_code bigint")
+    # passthrough columns ride the Arrow batches so callers keep their
+    # join keys (e.g. the assigned IVF cell) without a second
+    # corpus-scale join back to the source frame
+    types = dict(vectors.dtypes)
+    schema = ", ".join(
+        [f"{id_col} bigint", "pq_code bigint"]
+        + [f"{c} {types[c]}" for c in passthrough])
+    return vectors.select(id_col, vec_col, *passthrough).mapInPandas(
+        encode_batches, schema)
 
 
 def pq_adc_scores(codes: DataFrame, codebook: list, query_vec: list,
@@ -626,24 +650,29 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
     """
     from .relational import top_k_per_group
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, key_col)
+    # the assignment CARRIES the vector so the encode below is map-only
+    # over the assignment output — no corpus⋈corpus join anywhere in the
+    # build (each such join is a full extra shuffle at 100 TB)
+    assigned_v = ivf_assign(corpus, centroids, id_col, vec_col, key_col,
+                            keep_cols=(vec_col,))
     if residual:
         cn = centroids.select(
             F.col(key_col).alias("assigned_cell"),
             l2_normalize(F.col("centroid"), dim).alias("__c"))
         resid = (
-            corpus.join(assigned.select(id_col, "assigned_cell"), id_col)
-            .join(F.broadcast(cn), "assigned_cell")
-            .select(id_col,
+            assigned_v.join(F.broadcast(cn), "assigned_cell")
+            .select(id_col, "assigned_cell",
                     F.zip_with(l2_normalize(F.col(vec_col), dim), "__c",
                                lambda a, b: a - b).alias("__resid")))
-        codes = pq_encode_arrow(resid, codebook, m=m, k=n_codes, dim=dim,
-                                id_col=id_col, vec_col="__resid",
-                                normalize=False)
+        compressed = pq_encode_arrow(resid, codebook, m=m, k=n_codes,
+                                     dim=dim, id_col=id_col,
+                                     vec_col="__resid", normalize=False,
+                                     passthrough=("assigned_cell",))
     else:
-        codes = pq_encode_arrow(corpus, codebook, m=m, k=n_codes, dim=dim,
-                                id_col=id_col, vec_col=vec_col)
-    compressed = assigned.join(codes, id_col)
+        compressed = pq_encode_arrow(assigned_v, codebook, m=m, k=n_codes,
+                                     dim=dim, id_col=id_col,
+                                     vec_col=vec_col,
+                                     passthrough=("assigned_cell",))
 
     c = centroids.select(F.col(key_col).alias("cell"), "centroid")
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))

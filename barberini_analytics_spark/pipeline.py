@@ -258,6 +258,7 @@ def fill_db(spark: SparkSession, sf_dir: str,
 def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
                      shard_tokens: int = 50_000,
                      scrub: bool = True,
+                     gopher: bool = False,
                      lm_quantile: float | None = 0.95,
                      targets: dict[str, float] | None = None,
                      seed: int = 42) -> dict[str, int]:
@@ -281,7 +282,7 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
     curated = curate_corpus(
         docs, source_col="source", lm_quantile=lm_quantile,
         targets=targets, shard_tokens=shard_tokens, seed=seed,
-        scrub=scrub)
+        scrub=scrub, gopher=gopher)
     from .core.cache import scoped_persist
 
     curated = scoped_persist(curated)

@@ -174,6 +174,110 @@ def _pq_codebook(spark: SparkSession, emb: DataFrame, sf_dir: str) -> list:
     return _PQ_CB_CACHE[sf_dir]
 
 
+# --- residual PQ tier (folded into the same entry) ------------------------
+# FAISS-IVFPQ design: codes quantize r = v̂ − ĉ(assigned_cell) so the
+# codebook resolves within-cell detail instead of re-describing coarse
+# structure (measured at 100k vectors: recall@10 0.36 → 0.94 at shortlist
+# 200 — SCALE.md).  The IVF centroids are persisted alongside the residual
+# codebook so both engines consume IDENTICAL doubles (means and Lloyd fits
+# are partition-order dependent); everything downstream — normalization,
+# the ĉ unit-scaling, residual subtraction, argmin encode, packing, the
+# ADC LUT and the per-cell bias dot(q̂, ĉ) — is re-derived by DuckDB with
+# the same element-order folds, hash-checked with NO rounding.
+_IVF_CENTS_PATH = scratch_path("ivf_centroids.parquet")
+_RESID_CB_PATH = scratch_path("pq_resid_codebook.parquet")
+_RESID_CACHE: dict[str, tuple[list, list]] = {}
+_RESID_LAST: list[str] = []
+
+
+def _resid_artifacts(spark: SparkSession, emb: DataFrame,
+                     sf_dir: str) -> tuple[list, list]:
+    """(ivf centroid rows, residual codebook rows) for ``sf_dir``,
+    persisted to the scratch paths and READ BACK (same contract as
+    ``_pq_codebook``: the oracle must see the exact doubles the Spark
+    side embeds)."""
+    if sf_dir not in _RESID_CACHE:
+        S.centroids_by_key(emb, "label").write.mode("overwrite") \
+            .parquet(_IVF_CENTS_PATH)
+        cents = spark.read.parquet(_IVF_CENTS_PATH)
+        cb = S.pq_train(S.pq_residuals(emb, cents), m=_PQ_M, k=_PQ_K,
+                        iters=2, vec_col="residual", normalize=False)
+        cb.write.mode("overwrite").parquet(_RESID_CB_PATH)
+        _RESID_CACHE[sf_dir] = (
+            cents.collect(),
+            spark.read.parquet(_RESID_CB_PATH).collect())
+    elif _RESID_LAST and _RESID_LAST[-1] != sf_dir:
+        cents_rows, cb_rows = _RESID_CACHE[sf_dir]
+        spark.createDataFrame(
+            [(r["label"], list(r["centroid"])) for r in cents_rows],
+            "label int, centroid array<double>",
+        ).write.mode("overwrite").parquet(_IVF_CENTS_PATH)
+        spark.createDataFrame(
+            [(r["sub"], r["code"], list(r["centroid"])) for r in cb_rows],
+            "sub int, code int, centroid array<double>",
+        ).write.mode("overwrite").parquet(_RESID_CB_PATH)
+    _RESID_LAST[:] = [sf_dir]
+    return _RESID_CACHE[sf_dir]
+
+
+_RESID_CTES = f"""
+    resid_cb AS (
+        SELECT sub, code, centroid
+        FROM read_parquet('{_RESID_CB_PATH}/*.parquet')
+    ), cents_p AS (
+        SELECT label AS cell,
+               list_transform(centroid, x -> x / sqrt(list_reduce(
+                   list_transform(generate_series(1, 64),
+                                  i -> centroid[i] * centroid[i]),
+                   (a, x) -> a + x))) AS chat
+        FROM read_parquet('{_IVF_CENTS_PATH}/*.parquet')
+    ), resid AS (
+        SELECT n.vec_id,
+               list_transform(generate_series(1, 64),
+                              i -> n.nv[i] - cp.chat[i]) AS rv
+        FROM pq_nv n
+        JOIN ivf i ON n.vec_id = i.vec_id
+        JOIN cents_p cp ON cp.cell = i.assigned_cell
+    ), rdists AS (
+        SELECT r.vec_id, resid_cb.sub, resid_cb.code,
+               list_reduce(list_transform(generate_series(1, {_PQ_DSUB}),
+                 i -> (r.rv[resid_cb.sub * {_PQ_DSUB} + i] - resid_cb.centroid[i])
+                    * (r.rv[resid_cb.sub * {_PQ_DSUB} + i] - resid_cb.centroid[i])),
+                 (a, x) -> a + x) AS d
+        FROM resid r CROSS JOIN resid_cb
+    ), rcodes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+            FROM rdists
+        ) WHERE rn = 1
+    ), rpacked AS (
+        SELECT vec_id,
+               CAST(sum(CAST(code AS BIGINT)
+                        * CAST(pow({_PQ_K}, sub) AS BIGINT)) AS BIGINT)
+               AS pq_resid_code
+        FROM rcodes GROUP BY vec_id
+    ), rcontrib AS (
+        SELECT c.vec_id, c.sub,
+               list_reduce(list_transform(generate_series(1, {_PQ_DSUB}),
+                 i -> q.qv[c.sub * {_PQ_DSUB} + i] * resid_cb.centroid[i]),
+                 (a, x) -> a + x) AS t
+        FROM rcodes c JOIN resid_cb USING (sub, code) CROSS JOIN pq_qn q
+    ), rlut AS (
+        SELECT vec_id,
+               list_reduce(list(t ORDER BY sub), (a, x) -> a + x) AS lut
+        FROM rcontrib GROUP BY vec_id
+    ), rbias AS (
+        SELECT i.vec_id,
+               list_reduce(list_transform(generate_series(1, 64),
+                 j -> q.qv[j] * cp.chat[j]), (a, x) -> a + x) AS b
+        FROM ivf i
+        JOIN cents_p cp ON cp.cell = i.assigned_cell
+        CROSS JOIN pq_qn q
+    )
+"""
+
+
 # --- int8 quantization (folded into the ivf_assignments entry) -----------
 _INT8_CTES = """
     int8v AS (
@@ -247,13 +351,18 @@ _INT8_CTES = """
             FROM scored
         )
         WHERE rn = 1
-    ), {_PQ_ORACLE_CTES.strip()}, {_INT8_CTES.strip().strip(',')}
+    ), {_PQ_ORACLE_CTES.strip()}, {_RESID_CTES.strip()},
+    {_INT8_CTES.strip().strip(',')}
     SELECT i.vec_id, i.assigned_cell, i.cell_cosine, p.pq_code, a.adc_q0,
+           rp.pq_resid_code, rb.b + rl.lut AS adc_resid_q0,
            q.int8_scale, array_to_string(q.int8_codes, ',') AS int8_codes,
            q.int8_mae, q.int8_cos
     FROM ivf i
     JOIN pq_packed p USING (vec_id)
     JOIN pq_adc a USING (vec_id)
+    JOIN rpacked rp USING (vec_id)
+    JOIN rlut rl USING (vec_id)
+    JOIN rbias rb USING (vec_id)
     JOIN int8 q USING (vec_id)
     """,
 )
@@ -275,9 +384,22 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL doubles, and the map-only encode + ADC lookup scoring are
     hash-checked bit-exactly (ordered float folds on both engines — no
     rounding on ``pq_code``/``adc_q0``).
+
+    The residual tier (FAISS IVFPQ: codes quantize ``v̂ − ĉ(cell)``,
+    ADC adds the ``dot(q̂, ĉ)`` bias back — ``operators/similarity.
+    pq_residuals`` / ``ivf_pq_search(residual=True)``) is hash-checked
+    at the same grain: persisted centroids + residual codebook are read
+    by both engines, and ``pq_resid_code``/``adc_resid_q0`` are
+    re-derived by DuckDB with identical element-order folds, unrounded.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.centroids_by_key(emb, "label")
+    _resid_artifacts(spark, emb, sf_dir)
+    # assignment reads the PERSISTED centroids (not a live recompute):
+    # Summarizer means are partition-order dependent, so reading back the
+    # one materialized table keeps repeat invocations — and the residual
+    # tier below — on identical doubles; the oracle recomputes its own
+    # means, with the 6-decimal cosine round absorbing the last ulp
+    cents = spark.read.parquet(_IVF_CENTS_PATH)
     assign = S.ivf_assign(emb.select("vec_id", "embedding"), cents, key_col="label")
 
     cb_rows = _pq_codebook(spark, emb, sf_dir)
@@ -313,4 +435,45 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("int8_scale") > 0,
                F.round(S.cosine(F.col("embedding"), deq), 6))
         .alias("int8_cos"))
-    return assign.join(adc, "vec_id").join(int8, "vec_id")
+
+    # residual tier: r = v̂ − ĉ(assigned_cell) from the persisted
+    # centroids, Arrow-encoded with the residual codebook
+    # (normalize=False — residuals live in the normalized space), plus
+    # the residual ADC score = dot(q̂, ĉ) bias + LUT sum
+    _, rcb_rows = _RESID_CACHE[sf_dir]
+    chat = cents.select(
+        F.col("label").alias("assigned_cell"),
+        S.l2_normalize(F.col("centroid"), 64).alias("__chat"))
+    resid = (
+        emb.select("vec_id", "embedding")
+        .join(assign.select("vec_id", "assigned_cell"), "vec_id")
+        .join(F.broadcast(chat), "assigned_cell")
+        .select(
+            "vec_id", "__chat",
+            F.zip_with(S.l2_normalize(F.col("embedding"), 64), "__chat",
+                       lambda a, b: a - b).alias("residual")))
+    rcodes = S.pq_encode_arrow(resid.select("vec_id", "residual"),
+                               rcb_rows, m=_PQ_M, k=_PQ_K,
+                               vec_col="residual", normalize=False) \
+        .withColumnRenamed("pq_code", "pq_resid_code")
+    rlut = S.pq_adc_scores(
+        rcodes.withColumnRenamed("pq_resid_code", "pq_code"), rcb_rows,
+        list(q0), m=_PQ_M, k=_PQ_K, out_col="__rlut") \
+        .select("vec_id", "__rlut")
+    q0n_norm = 0.0
+    for x in q0:
+        q0n_norm += float(x) * float(x)
+    q0n_norm = q0n_norm ** 0.5
+    q0n_lit = F.array(*[F.lit(float(x) / q0n_norm) for x in q0])
+    rbias = resid.select(
+        "vec_id",
+        F.aggregate(F.zip_with(q0n_lit, F.col("__chat"),
+                               lambda x, y: x * y),
+                    F.lit(0.0), lambda a, v: a + v).alias("__rbias"))
+    radc = rbias.join(rlut, "vec_id").select(
+        "vec_id",
+        (F.col("__rbias") + F.col("__rlut")).alias("adc_resid_q0"))
+
+    return (assign.join(adc, "vec_id")
+            .join(rcodes, "vec_id").join(radc, "vec_id")
+            .join(int8, "vec_id"))

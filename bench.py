@@ -63,9 +63,11 @@ def main() -> None:
     # to absorb (first-run ≈ warm-run afterwards; hash unaffected — the
     # query reads the same persisted codebook either way)
     from barberini_analytics_spark.core.io import load_table
-    from barberini_analytics_spark.plans.similarity_queries import _pq_codebook
+    from barberini_analytics_spark.plans.similarity_queries import (
+        _pq_codebook, _resid_artifacts)
 
     _pq_codebook(spark, load_table(spark, sf_dir, "embeddings"), sf_dir)
+    _resid_artifacts(spark, load_table(spark, sf_dir, "embeddings"), sf_dir)
 
     def run_once(name: str) -> float:
         start = time.perf_counter()
