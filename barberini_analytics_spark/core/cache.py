@@ -70,15 +70,35 @@ def scoped_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
-def release_scoped() -> None:
-    """Unpersist every query-scoped frame (called between queries)."""
-    for df in _SCOPED:
+def scope_mark() -> tuple[int, int]:
+    """Snapshot of the scoped tier for NESTED scopes.
+
+    An operator that runs inside a caller's query scope (e.g.
+    ``pipeline.curate_to_shards`` invoked mid-query) must not free the
+    caller's scoped persists/checkpoints — for checkpoints that would
+    make later reuse *raise* rather than recompute.  Take a mark on
+    entry and pass it to ``release_scoped(since=mark)`` to free only
+    frames registered after the mark.
+    """
+    return (len(_SCOPED), len(_SCOPED_CKPTS))
+
+
+def release_scoped(since: tuple[int, int] | None = None) -> None:
+    """Unpersist query-scoped frames (called between queries).
+
+    Without ``since`` the whole tier is released (the registry's
+    release-on-entry hook).  With ``since`` (a :func:`scope_mark`),
+    only frames registered after the mark are freed — earlier entries
+    belong to an enclosing scope and stay live.
+    """
+    p0, c0 = since if since is not None else (0, 0)
+    for df in _SCOPED[p0:]:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
-    _SCOPED.clear()
-    for sc, rdd_ids in _SCOPED_CKPTS:
+    del _SCOPED[p0:]
+    for sc, rdd_ids in _SCOPED_CKPTS[c0:]:
         try:
             jmap = sc._jsc.getPersistentRDDs()
             for k in jmap.keySet().toArray():
@@ -86,7 +106,7 @@ def release_scoped() -> None:
                     jmap.get(k).unpersist()
         except Exception:
             pass
-    _SCOPED_CKPTS.clear()
+    del _SCOPED_CKPTS[c0:]
 
 
 class FrameCache:

@@ -140,10 +140,11 @@ def partition_advice(df: DataFrame, group_keys: list[str] | None = None,
     - ``shuffle_partitions``: ``ceil(est_bytes / target)``, floored at 1
       — at 100 TB this is ~800 partitions per TB at the default target,
       the knob every oversized-shuffle incident traces back to;
-    - ``key_skew``: ``n_rows / ndv(keys)`` is the MEAN rows-per-key;
-      when the approximate top-key share (max frequency from one extra
-      ``count per key`` sketch would cost a pass, so we bound it by
-      mean × ``max_skew_ratio``) cannot hold, AQE skew-split or
+    - ``key_skew``: the OBSERVED max rows-per-key comes from one
+      map-side-combined ``(key, count)`` aggregate (cheap: only pairs
+      cross the wire, never table rows); ``max_skew_ratio`` is the
+      skew-FLAG threshold — when the observed max exceeds
+      ``mean rows-per-key × max_skew_ratio``, AQE skew-split or
       :func:`..operators.relational.salted_join` is recommended.
 
     One aggregate pass (reusing :func:`analyze_table`) plus, when

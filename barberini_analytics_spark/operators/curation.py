@@ -268,6 +268,17 @@ def epoch_order(df: DataFrame, key_col: str, epoch: int,
     boundaries come from sampling and AQE may coalesce the exchange
     differently per job — a persist can be evicted and recomputed with
     renumbered pids, which would silently corrupt the offsets.
+
+    LIFETIME: because of that checkpoint this is NOT a pure lazy plan.
+    The call runs two jobs eagerly (checkpoint + per-partition counts),
+    and the returned frame is only executable within the current query
+    scope — the next ``core.cache.release_scoped()`` (the registry
+    fires one on entry to every top-level query) frees the checkpoint
+    blocks, after which re-executing the frame RAISES rather than
+    recomputing (the checkpoint truncated its lineage).  Consume the
+    result — write it, collect it, or persist a derived frame — before
+    the scope ends.  Callers that need an unbounded-lifetime plan
+    should use :func:`epoch_shards` (pure lazy, no checkpoint).
     """
     from ..core.cache import scoped_checkpoint
     from .text import hash56

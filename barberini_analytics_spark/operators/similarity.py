@@ -120,6 +120,17 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     (residual subtraction, PQ encoding) composes WITHOUT a second
     corpus-scale join back to the source — at 100 TB that join is a
     full extra shuffle.
+
+    The k=1 argmax is a ``min_by`` AGGREGATE, not a ``row_number()``
+    window: the crossJoin fans each vector out n_cells times, and a
+    window would move every copy (vector bytes included, via
+    ``keep_cols``) across the exchange — n_cells× the shuffle volume.
+    ``min_by``/``first`` partially aggregate map-side, so exactly one
+    row per id reaches the wire.  Ordering mirrors the window form it
+    replaced: cosine desc with NULLs last (a NULL cosine can only come
+    from a zero-norm vector), ties broken by cell asc — within one id
+    each scored row is a distinct cell, so the ordering struct is
+    unique and the pick deterministic.
     """
     c = centroids.select(
         F.col(key_col).alias("cell"), F.col(centroid_col)
@@ -133,14 +144,21 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
             F.round(cosine(F.col(vec_col), F.col(centroid_col)), 6).alias("cosine"),
         )
     )
-    from .relational import top_k_per_group
-
-    return top_k_per_group(
-        scored, [id_col],
-        [F.col("cosine").desc(), F.col("cell").asc()],
-        k=1,
-    ).select(id_col, *keep_cols, F.col("cell").alias("assigned_cell"),
-             F.col("cosine").alias("cell_cosine"))
+    order = F.struct(
+        F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias("neg_cos"),
+        F.col("cell").alias("cell"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by(F.struct(F.col("cell"), F.col("cosine")), order).alias("__best"),
+        # keep_cols are constant within an id (the crossJoin replicates
+        # the same source row), so first() is content-deterministic
+        *[F.first(F.col(kc)).alias(kc) for kc in keep_cols],
+    )
+    return best.select(
+        id_col, *keep_cols,
+        F.col("__best.cell").alias("assigned_cell"),
+        F.col("__best.cosine").alias("cell_cosine"),
+    )
 
 
 def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",

@@ -274,25 +274,27 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
     deterministic in (seed, id) and the shard write is an overwrite —
     re-running reproduces byte-identical shard assignments.
     """
+    from .core.cache import release_scoped, scope_mark, scoped_persist
     from .core.io import load_table
     from .core.sinks import write_training_shards
     from .operators.curation import curate_corpus
+
+    # standalone invocations never hit the registry's release-on-entry
+    # hook, so free what THIS call registers (the curated frame plus
+    # curate_corpus's internal staging) before returning — otherwise the
+    # full curated corpus stays pinned in executor memory for the rest
+    # of the session.  Scoped to a mark so a caller's own scoped
+    # persists/checkpoints survive when this runs inside another query.
+    mark = scope_mark()
 
     docs = load_table(spark, sf_dir, "documents")
     curated = curate_corpus(
         docs, source_col="source", lm_quantile=lm_quantile,
         targets=targets, shard_tokens=shard_tokens, seed=seed,
         scrub=scrub, gopher=gopher)
-    from .core.cache import scoped_persist
-
     curated = scoped_persist(curated)
-    from .core.cache import release_scoped
     from .core.sinks import shard_manifest
 
-    # standalone invocations never hit the registry's release-on-entry
-    # hook, so free the scoped tier (this frame plus curate_corpus's
-    # internal staging) before returning — otherwise the full curated
-    # corpus stays pinned in executor memory for the rest of the session
     try:
         counts: dict[str, int] = {}
         for split_id, name in enumerate(("train", "valid", "test")):
@@ -306,4 +308,4 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
                     .json(os.path.join(out_dir, f"{name}_manifest"))
         return counts
     finally:
-        release_scoped()
+        release_scoped(since=mark)

@@ -272,3 +272,26 @@ def test_window_over_bucketed_table_skips_exchange(spark):
         assert "Window" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_win")
+
+
+def test_ivf_assign_is_aggregate_not_window(spark):
+    """The IVF argmax must be a partially-aggregating min_by, never a
+    row_number() window: the crossJoin fans each vector out n_cells
+    times, and a window would shuffle every copy (vector bytes included
+    when keep_cols carries the embedding) — n_cells× the exchange
+    volume.  With the aggregate, map-side combine collapses the fan-out
+    back to one row per id before the wire."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet") \
+        .select("vec_id", "embedding", "label")
+    cents = S.centroids_by_key(emb)
+    assigned = S.ivf_assign(emb, cents, keep_cols=("embedding",))
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:3000]
+    assert "min_by" in plan, plan[:3000]
+    # partial aggregation before the exchange (map-side combine)
+    assert re.search(r"Aggregate.*(partial_)?min_by", plan), plan[:3000]
+    assert "partial_min_by" in plan or "partial" in plan.lower(), plan[:3000]
