@@ -1,0 +1,56 @@
+"""Deterministic synthetic corpora for stress/scale benchmarks.
+
+These generators synthesize large inputs directly from ``spark.range``
+(no disk, no dependence on driver-provided testdata), so throughput
+measurements 1-2 orders of magnitude beyond sf0.1 stay reproducible.
+Shared by ``scripts/stress.py`` and ``bench.py``'s scale paths — one
+definition, identical geometry in both artifacts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def clustered_vectors(spark: SparkSession, n: int,
+                      dim: int = 64) -> DataFrame:
+    """HIERARCHICALLY clustered embedding corpus (ANN stress geometry).
+
+    64 top-level anchors → 1024 sub-anchors → per-id fine noise: real
+    embedding spaces are topic → subtopic → instance shaped, and uniform
+    noise would make recall meaningless because no geometry exists to
+    recover.  ``sub = id % 1024`` determines ``cluster = sub % 64``, so
+    ground-truth neighbors (same sub-anchor, ~n/1024 of the corpus) live
+    inside one IVF cell; an ADC shortlist has to separate sub-anchors
+    (0.35 magnitude) and the exact re-rank orders the fine noise (0.05).
+
+    Pure integer-hash arithmetic — bit-identical across runs/engines.
+    Returns a lazy plan; callers checkpoint/persist as needed.
+    """
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                ((F.pmod(F.pmod(F.col("id"), 64) * 9176 + i * 131, 401)
+                  - 200) / F.lit(200.0))
+                + ((F.pmod(F.pmod(F.col("id"), 1024) * 577 + i * 271, 257)
+                    - 128) / F.lit(128.0)) * 0.35
+                + ((F.pmod(F.col("id") * 40503 + i * 2654435761, 100003)
+                    - 50001) / F.lit(50001.0)) * 0.05
+            ).cast("float")).alias("embedding"))
+
+
+def honest_ivf_cells(vectors: DataFrame, n_cells: int = 64) -> DataFrame:
+    """IVF centroids for a synthetic corpus, built honestly:
+    sampled-point seeding (k-means++-style init) + one Lloyd assignment
+    round — never the generator's own cluster labels."""
+    from ..operators.similarity import centroids_by_key, ivf_assign
+
+    seed_cents = vectors.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("label"),
+        F.col("embedding").alias("centroid"))
+    labeled = vectors.join(
+        ivf_assign(vectors, seed_cents)
+        .select("vec_id", F.col("assigned_cell").alias("label")), "vec_id")
+    return centroids_by_key(labeled, "label")

@@ -629,6 +629,41 @@ def pq_adc_scores(codes: DataFrame, codebook: list, query_vec: list,
         F.col(id_col), F.col("pq_code"), score.alias(out_col))
 
 
+def ivf_pq_build(corpus: DataFrame, centroids: DataFrame, codebook: list,
+                 m: int = 8, n_codes: int = 16, dim: int = 64,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 key_col: str = "label",
+                 residual: bool = False) -> DataFrame:
+    """The ANN index build: IVF assignment + PQ codes in one pass.
+
+    Returns ``(id_col, assigned_cell, pq_code)`` — the compressed corpus
+    ``ivf_pq_search`` probes.  Production builds ONCE (persist/write the
+    result) and searches many batches against it; the build is the only
+    corpus-scale work, and it is a single scan: the assignment CARRIES
+    the vector (``keep_cols``) so the encode is map-only over the
+    assignment output — no corpus⋈corpus join anywhere (each such join
+    is a full extra shuffle at 100 TB).
+    """
+    assigned_v = ivf_assign(corpus, centroids, id_col, vec_col, key_col,
+                            keep_cols=(vec_col,))
+    if residual:
+        cn = centroids.select(
+            F.col(key_col).alias("assigned_cell"),
+            l2_normalize(F.col("centroid"), dim).alias("__c"))
+        resid = (
+            assigned_v.join(F.broadcast(cn), "assigned_cell")
+            .select(id_col, "assigned_cell",
+                    F.zip_with(l2_normalize(F.col(vec_col), dim), "__c",
+                               lambda a, b: a - b).alias("__resid")))
+        return pq_encode_arrow(resid, codebook, m=m, k=n_codes,
+                               dim=dim, id_col=id_col,
+                               vec_col="__resid", normalize=False,
+                               passthrough=("assigned_cell",))
+    return pq_encode_arrow(assigned_v, codebook, m=m, k=n_codes,
+                           dim=dim, id_col=id_col, vec_col=vec_col,
+                           passthrough=("assigned_cell",))
+
+
 def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
                   queries: DataFrame, k: int = 10, nprobe: int = 4,
                   shortlist: int = 50, m: int = 8, n_codes: int = 16,
@@ -636,7 +671,8 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
                   vec_col: str = "embedding",
                   query_id_col: str = "query_id",
                   key_col: str = "label",
-                  residual: bool = False) -> DataFrame:
+                  residual: bool = False,
+                  compressed: DataFrame | None = None) -> DataFrame:
     """The full production ANN pipeline: IVF probe → ADC shortlist →
     exact re-rank.
 
@@ -665,32 +701,19 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
     ``dot(q̂, v̂) = dot(q̂, ĉ) + dot(q̂, r)`` exactly.  Residual codes
     resolve within-cell detail instead of re-describing the coarse
     structure, which is what lifts recall at small shortlists.
+
+    ``compressed``: a pre-built index (:func:`ivf_pq_build` output,
+    persisted) — the production shape: build once, search many query
+    batches without re-encoding the corpus.  When ``None`` the build
+    runs inline (convenient for one-shot calls and the oracle entry).
     """
     from .relational import top_k_per_group
 
-    # the assignment CARRIES the vector so the encode below is map-only
-    # over the assignment output — no corpus⋈corpus join anywhere in the
-    # build (each such join is a full extra shuffle at 100 TB)
-    assigned_v = ivf_assign(corpus, centroids, id_col, vec_col, key_col,
-                            keep_cols=(vec_col,))
-    if residual:
-        cn = centroids.select(
-            F.col(key_col).alias("assigned_cell"),
-            l2_normalize(F.col("centroid"), dim).alias("__c"))
-        resid = (
-            assigned_v.join(F.broadcast(cn), "assigned_cell")
-            .select(id_col, "assigned_cell",
-                    F.zip_with(l2_normalize(F.col(vec_col), dim), "__c",
-                               lambda a, b: a - b).alias("__resid")))
-        compressed = pq_encode_arrow(resid, codebook, m=m, k=n_codes,
-                                     dim=dim, id_col=id_col,
-                                     vec_col="__resid", normalize=False,
-                                     passthrough=("assigned_cell",))
-    else:
-        compressed = pq_encode_arrow(assigned_v, codebook, m=m, k=n_codes,
-                                     dim=dim, id_col=id_col,
-                                     vec_col=vec_col,
-                                     passthrough=("assigned_cell",))
+    if compressed is None:
+        compressed = ivf_pq_build(corpus, centroids, codebook, m=m,
+                                  n_codes=n_codes, dim=dim, id_col=id_col,
+                                  vec_col=vec_col, key_col=key_col,
+                                  residual=residual)
 
     c = centroids.select(F.col(key_col).alias("cell"), "centroid")
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))

@@ -209,29 +209,13 @@ def main() -> None:
     # IVF cells are built honestly: sampled-point seeding (k-means++
     # style init) + one Lloyd assignment round.
     n_cells = 64
-    cvecs = spark.range(n_vecs).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: (
-                ((F.pmod(F.pmod(F.col("id"), 64) * 9176 + i * 131, 401)
-                  - 200) / F.lit(200.0))
-                + ((F.pmod(F.pmod(F.col("id"), 1024) * 577 + i * 271, 257)
-                    - 128) / F.lit(128.0)) * 0.35
-                + ((F.pmod(F.col("id") * 40503 + i * 2654435761, 100003)
-                    - 50001) / F.lit(50001.0)) * 0.05
-            ).cast("float")).alias("embedding")).localCheckpoint(eager=True)
-
+    from barberini_analytics_spark.core.synthdata import (
+        clustered_vectors, honest_ivf_cells)
     from barberini_analytics_spark.operators.similarity import (
-        brute_force_topk, centroids_by_key, ivf_pq_search)
+        brute_force_topk, ivf_pq_search)
 
-    seed_cents = cvecs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("label"),
-        F.col("embedding").alias("centroid"))
-    labeled = cvecs.join(
-        SIM.ivf_assign(cvecs, seed_cents)
-        .select("vec_id", F.col("assigned_cell").alias("label")), "vec_id")
-    cents = centroids_by_key(labeled, "label").localCheckpoint(eager=True)
+    cvecs = clustered_vectors(spark, n_vecs).localCheckpoint(eager=True)
+    cents = honest_ivf_cells(cvecs, n_cells).localCheckpoint(eager=True)
     sample = cvecs.filter(F.col("vec_id") % max(n_vecs // 10_000, 1) == 0)
     cb_plain = SIM.pq_train(sample, m=8, k=16, iters=1).collect()
     cb_resid = SIM.pq_train(
@@ -251,13 +235,24 @@ def main() -> None:
     # 100k vectors this lifts recall ~0.36 -> ~0.8 at shortlist 200)
     for tag, cb, residual in (("plain", cb_plain, False),
                               ("resid", cb_resid, True)):
+        # production shape: the index is built ONCE (one corpus scan,
+        # timed separately) and every search regime probes the same
+        # persisted codes — the per-regime time is pure search cost
+        t0 = time.perf_counter()
+        codes = SIM.ivf_pq_build(cvecs, cents, cb, residual=residual) \
+            .localCheckpoint(eager=True)
+        results[f"ivf_pq_{tag}_build"] = {
+            "sec": round(time.perf_counter() - t0, 2), "rows_in": n_vecs,
+            "rows_per_sec": int(n_vecs / (time.perf_counter() - t0)),
+            "loadavg": [round(os.getloadavg()[0], 1)]}
         for nprobe, shortlist in ((8, 400), (8, 200), (4, 100)):
             load_before = os.getloadavg()[0]
             t0 = time.perf_counter()
             got: dict[int, set] = {}
             for r in ivf_pq_search(cvecs, cents, cb, queries, k=10,
                                    nprobe=nprobe, shortlist=shortlist,
-                                   residual=residual).collect():
+                                   residual=residual,
+                                   compressed=codes).collect():
                 got.setdefault(r["query_id"], set()).add(r["vec_id"])
             dt = time.perf_counter() - t0
             recall = sum(len(exact[q] & got.get(q, set())) / 10
@@ -265,6 +260,7 @@ def main() -> None:
             results[f"ivf_pq_{tag}_np{nprobe}_sl{shortlist}"] = {
                 "sec": round(dt, 2), "rows_in": n_vecs,
                 "rows_per_sec": int(n_vecs / dt),
+                "qps": round(len(exact) / dt, 2),
                 "recall_at_10": round(recall, 3),
                 "n_queries": len(exact),
                 "scan_fraction": round(nprobe / n_cells, 3),
