@@ -66,87 +66,195 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     (:func:`..text.gopher_quality_filter` ``keep``) alongside stage
     1's cheap gates — both still map-only, so the stage stays one scan.
     """
+    if targets is not None and source_col is None:
+        raise ValueError("targets given but source_col is None")
+    base_cols = [id_col, text_col] + ([source_col] if source_col else [])
+    out = docs.select(*base_cols)
+    for _name, fn in _curation_stages(
+            id_col, text_col, source_col, min_tokens, min_alpha_ratio,
+            lm_quantile, seg_tokens, near_dup_threshold, targets,
+            split_weights, shard_tokens, seed, scrub, gopher):
+        out = fn(out)
+    return out
+
+
+def _curation_stages(id_col, text_col, source_col, min_tokens,
+                     min_alpha_ratio, lm_quantile, seg_tokens,
+                     near_dup_threshold, targets, split_weights,
+                     shard_tokens, seed, scrub, gopher):
+    """The curation recipe as named ``(stage, DataFrame→DataFrame)``
+    steps — one definition serves both the fused lazy composition
+    (:func:`curate_corpus`) and the per-stage profiler
+    (:func:`curate_stage_profile`), so the profile can never drift from
+    the shipped pipeline."""
     from .text import gopher_quality_filter, scrub_text
 
     base_cols = [id_col, text_col] + ([source_col] if source_col else [])
-    docs = docs.select(*base_cols)
 
     # -- 0. optional unicode scrub + mojibake quarantine -------------------
-    if scrub:
-        docs = (scrub_text(docs, text_col)
+    def stage_scrub(docs):
+        return (scrub_text(docs, text_col)
                 .filter(F.col("mojibake_hits") == 0)
                 .drop("mojibake_hits"))
 
     # -- 1. quality gates -------------------------------------------------
-    if gopher:
-        docs = (gopher_quality_filter(docs, text_col)
-                .filter(F.col("keep"))
-                .select(*base_cols))
-    prof = quality_features(docs.select(*base_cols), text_col)
-    gated = prof.filter(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("alpha_ratio") >= min_alpha_ratio))
-    gated = ngram_lm_score(gated, id_col, text_col)
-    if lm_quantile is not None:
-        q = gated.agg(
-            F.percentile_approx("lm_score", lm_quantile).alias("__q"))
-        # NULL lm_score means "too short to score" (under 3 chars, only
-        # reachable with a lowered min_tokens) — the LM gate filters
-        # scoreable docs only, so NULLs pass through rather than being
-        # dropped by NULL <= q three-valued logic
-        gated = (gated.crossJoin(F.broadcast(q))
-                 .filter(F.col("lm_score").isNull()
-                         | (F.col("lm_score") <= F.col("__q")))
-                 .drop("__q"))
-    gated = gated.select(*base_cols, "n_tokens", "lm_score")
+    def stage_gates(docs):
+        if gopher:
+            docs = (gopher_quality_filter(docs, text_col)
+                    .filter(F.col("keep"))
+                    .select(*base_cols))
+        prof = quality_features(docs.select(*base_cols), text_col)
+        gated = prof.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio))
+        gated = ngram_lm_score(gated, id_col, text_col)
+        if lm_quantile is not None:
+            q = gated.agg(
+                F.percentile_approx("lm_score", lm_quantile).alias("__q"))
+            # NULL lm_score means "too short to score" (under 3 chars,
+            # only reachable with a lowered min_tokens) — the LM gate
+            # filters scoreable docs only, so NULLs pass through rather
+            # than being dropped by NULL <= q three-valued logic
+            gated = (gated.crossJoin(F.broadcast(q))
+                     .filter(F.col("lm_score").isNull()
+                             | (F.col("lm_score") <= F.col("__q")))
+                     .drop("__q"))
+        return gated.select(*base_cols, "n_tokens", "lm_score")
 
     # -- 2. exact dedup (smallest id per content survives) ----------------
-    fp = fingerprint(gated, text_col)
-    reps = (fp.groupBy("fingerprint")
-            .agg(F.min(id_col).alias(id_col)))
-    exact = fp.join(reps, ["fingerprint", id_col], "left_semi") \
-        .drop("fingerprint")
+    def stage_exact(gated):
+        fp = fingerprint(gated, text_col)
+        reps = (fp.groupBy("fingerprint")
+                .agg(F.min(id_col).alias(id_col)))
+        return fp.join(reps, ["fingerprint", id_col], "left_semi") \
+            .drop("fingerprint")
 
     # -- 3. segment-level boilerplate removal ------------------------------
-    segd = dedup_segments(exact, id_col, text_col,
-                          tokens_per_segment=seg_tokens)
-    seg_kept = (
-        exact.drop(text_col)
-        .join(segd.filter(F.col("text_kept_first") != "")
-              .select(id_col, F.col("text_kept_first").alias(text_col)),
-              id_col)
-        # token count changed with the removed segments
-        .withColumn("n_tokens",
-                    F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-    )
+    def stage_segment(exact):
+        segd = dedup_segments(exact, id_col, text_col,
+                              tokens_per_segment=seg_tokens)
+        return (
+            exact.drop(text_col)
+            .join(segd.filter(F.col("text_kept_first") != "")
+                  .select(id_col,
+                          F.col("text_kept_first").alias(text_col)),
+                  id_col)
+            # token count changed with the removed segments
+            .withColumn("n_tokens",
+                        F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        )
 
     # -- 4. near-dup dedup, longest member survives ------------------------
-    deduped = dedup_keep_best(seg_kept, id_col, "n_tokens", text_col,
-                              threshold=near_dup_threshold)
+    def stage_near_dup(seg_kept):
+        return dedup_keep_best(seg_kept, id_col, "n_tokens", text_col,
+                               threshold=near_dup_threshold)
 
-    # -- 5. optional source mixing -----------------------------------------
-    if targets is not None:
-        if source_col is None:
-            raise ValueError("targets given but source_col is None")
-        mixed = mix_sources(deduped, source_col, targets,
-                            key_col=id_col, seed=seed)
-        out = (mixed.filter(F.col("n_copies") > 0)
-               .withColumn("copy_id",
-                           F.explode(F.sequence(F.lit(1),
-                                                F.col("n_copies"))))
-               .drop("n_copies"))
-    else:
-        out = deduped.withColumn("copy_id", F.lit(1))
+    # -- 5. source mixing (or the trivial one-copy attach) ------------------
+    def stage_mix(deduped):
+        if targets is not None:
+            mixed = mix_sources(deduped, source_col, targets,
+                                key_col=id_col, seed=seed)
+            return (mixed.filter(F.col("n_copies") > 0)
+                    .withColumn("copy_id",
+                                F.explode(F.sequence(F.lit(1),
+                                                     F.col("n_copies"))))
+                    .drop("n_copies"))
+        return deduped.withColumn("copy_id", F.lit(1))
 
-    # -- 6. leak-free split + token-budgeted shard packing ------------------
-    out = hash_split(out, list(split_weights), id_col, seed=seed)
-    if shard_tokens is not None:
+    # -- 6. leak-free split --------------------------------------------------
+    def stage_split(out):
+        return hash_split(out, list(split_weights), id_col, seed=seed)
+
+    # -- 7. token-budgeted shard packing --------------------------------------
+    def stage_pack(out):
         out = out.withColumn(
             "__ord", F.concat_ws("#", F.col(id_col).cast("string"),
                                  F.col("copy_id").cast("string")))
-        out = assign_token_shards(out, "n_tokens", "__ord",
-                                  shard_tokens).drop("__ord")
-    return out
+        return assign_token_shards(out, "n_tokens", "__ord",
+                                   shard_tokens).drop("__ord")
+
+    stages = []
+    if scrub:
+        stages.append(("scrub", stage_scrub))
+    stages.append(("gates", stage_gates))
+    stages.append(("exact_dedup", stage_exact))
+    stages.append(("segment_dedup", stage_segment))
+    stages.append(("near_dup", stage_near_dup))
+    stages.append(("mix", stage_mix))
+    stages.append(("split", stage_split))
+    if shard_tokens is not None:
+        stages.append(("pack", stage_pack))
+    return stages
+
+
+def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         source_col: str | None = None,
+                         min_tokens: int = 5, min_alpha_ratio: float = 0.0,
+                         lm_quantile: float | None = 0.95,
+                         seg_tokens: int = 10,
+                         near_dup_threshold: float = 0.5,
+                         targets: dict[str, float] | None = None,
+                         split_weights: Sequence[float] = (0.9, 0.05, 0.05),
+                         shard_tokens: int | None = None,
+                         seed: int = 42, scrub: bool = False,
+                         gopher: bool = False) -> list[dict]:
+    """Instrumented :func:`curate_corpus`: materialize each stage
+    boundary (persist + count) and report wall time and rows in/out per
+    stage — the table that identifies the dominant stage at a given SF.
+
+    Each boundary is persisted so a stage's timer covers only its own
+    work, not a recompute of everything upstream; boundaries are
+    unpersisted as soon as the next stage has materialized, so peak
+    footprint is two adjacent boundaries.  NOTE this deliberately breaks
+    the fused single-plan execution the production path uses (stage
+    attribution requires a barrier per stage), so the per-stage sum runs
+    slightly slower than :func:`curate_corpus` end-to-end — compare
+    shapes, not totals.
+    """
+    import os
+    import time
+
+    if targets is not None and source_col is None:
+        raise ValueError("targets given but source_col is None")
+    base_cols = [id_col, text_col] + ([source_col] if source_col else [])
+
+    def condition(df: DataFrame, n: int) -> DataFrame:
+        # a persisted boundary freezes the upstream partition layout; at
+        # small row counts that means dozens of near-empty partitions,
+        # and the iterative stages (near-dup label propagation) then pay
+        # partitions × jobs task launches that the FUSED plan never pays
+        # (AQE coalesces its exchanges to match the data).  Mirror AQE:
+        # collapse tiny boundaries before handing them to the next stage
+        # — outside the stage timers, it is input conditioning.
+        if n < 10_000 and df.rdd.getNumPartitions() > 4:
+            small = df.coalesce(1).persist()
+            small.count()
+            df.unpersist()
+            return small
+        return df
+
+    cur = docs.select(*base_cols).persist()
+    rows = cur.count()
+    profile, prev = [], condition(cur, rows)
+    for name, fn in _curation_stages(
+            id_col, text_col, source_col, min_tokens, min_alpha_ratio,
+            lm_quantile, seg_tokens, near_dup_threshold, targets,
+            split_weights, shard_tokens, seed, scrub, gopher):
+        t0 = time.perf_counter()
+        nxt = fn(prev).persist()
+        n = nxt.count()
+        profile.append({
+            "stage": name,
+            "sec": round(time.perf_counter() - t0, 3),
+            "rows_in": rows,
+            "rows_out": n,
+            "loadavg1m": round(os.getloadavg()[0], 2),
+        })
+        prev.unpersist()
+        prev, rows = condition(nxt, n), n
+    prev.unpersist()
+    return profile
 
 
 # ---------------------------------------------------------------------------

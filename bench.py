@@ -235,6 +235,72 @@ def main() -> None:
               f"{total:.1f}s — host interference during cold sweep",
               file=sys.stderr)
 
+    # ------------------------------------------------------------------
+    # The compact line and the sweep-level detail are emitted HERE,
+    # before any scale path runs: an external harness timeout during the
+    # (long) scale paths must never cost the round its headline metric.
+    # bench_detail.json is then REWRITTEN after every completed scale
+    # path, so a partial kill still records every path that finished.
+    # ------------------------------------------------------------------
+    load_samples["at_line"] = loadavg()
+    scale_timings: dict[str, object] = {"_pending": True}
+    detail = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "first_run": first_run,
+        "base_sweep_total": round(base_total, 3),
+        "contaminated_base_sweep": contaminated,
+        "loadavg": load_samples,
+        # every individual run: wall, process-tree CPU delta, 1-min load
+        "measurements": measurements,
+        "regressions": regressions,
+        "regression_base": prior_file,
+        "scale_paths": scale_timings,
+        "sf": sf_num,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+
+    def write_detail() -> None:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+
+    write_detail()
+    compact = {
+        "metric": "total_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "base_sweep_total": round(base_total, 1),
+        "contaminated_base_sweep": contaminated,
+        "loadavg_start": (load_samples["start"] or [None])[0],
+        "loadavg_end": (load_samples["at_line"] or [None])[0],
+        # worst 8 regressions inline (full rows in detail): the judged
+        # artifact must answer "did anything regress?" by itself
+        "regressions": [
+            {"q": r["query"], "x": r["ratio"], "n": r["n_runs"],
+             "cpu": r["cpu_sec"], "load": r["loadavg1m"]}
+            for r in sorted(regressions, key=lambda r: -r["ratio"])[:8]
+        ],
+        "n_regressions": len(regressions),
+        "regression_base": prior_file,
+        "detail": "bench_detail.json",
+        "sf": sf_num,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # hard guard: never outgrow the capture window
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1900:  # last resort: slowest 24 only, rest in detail
+        heavy24 = sorted(timings, key=timings.get, reverse=True)[:24]
+        compact["queries"] = {k: round(timings[k], 2) for k in heavy24}
+        compact["queries_omitted"] = len(timings) - len(heavy24)
+        line = json.dumps(compact)
+    sys.stdout.flush()
+    print(line, flush=True)
+
     # Scale-path timings (NOT part of the 50-entry registry or the total,
     # so round-over-round totals stay comparable): the distributed
     # fallbacks that production routes to past the driver gates —
@@ -254,8 +320,9 @@ def main() -> None:
     # ran, so the round shipped an empty scale_paths section — the one
     # verification surface the next scale-up claim depended on).  Each
     # path is fault-isolated and stamps the 1-min loadavg it ran under,
-    # so a host-interference burst is visible per entry.
-    scale_timings: dict[str, object] = {}
+    # so a host-interference burst is visible per entry; the detail file
+    # is rewritten after each path, so even an external kill mid-path
+    # ships every path that completed (the headline line is already out).
 
     def run_scale(name, fn) -> None:
         start = time.perf_counter()
@@ -269,6 +336,7 @@ def main() -> None:
             }
         except Exception as exc:  # noqa: BLE001 - never kill the bench line
             scale_timings[name] = {"error": f"{type(exc).__name__}: {exc}"}
+        write_detail()
 
     from barberini_analytics_spark.ml.dbscan import dbscan_distributed
     from barberini_analytics_spark.ml.gsdmm import fit_topics_sharded
@@ -352,6 +420,7 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - never kill the bench line
         scale_timings["scale_ivf_pq_search"] = {
             "error": f"{type(exc).__name__}: {exc}"}
+    write_detail()
 
     # window-free stratified sampler + epoch sharding over the real
     # documents table (the map-only scale forms of the exact-quota
@@ -387,69 +456,38 @@ def main() -> None:
             "error": f"{type(exc).__name__}: {exc}"}
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
+    write_detail()
 
+    # per-stage breakdown of the same pipeline (r8 verdict item 5): each
+    # boundary materialized (persist + count) with rows in/out, so the
+    # dominant stage — near-dup, by every profile so far — is measured
+    # per round, not assumed.  Attribution costs barriers, so this runs
+    # ~2× the fused wall; when the sweeps already ate the window (host
+    # interference), downgrade to sf0.01 rather than risk the external
+    # timeout killing the whole record, and stamp which SF ran.
+    try:
+        profile_dir = sf_dir
+        if elapsed() > repeat_deadline + 60:
+            smaller = os.path.join(
+                os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+            if os.path.isdir(smaller) and smaller != sf_dir:
+                profile_dir = smaller
+        t0 = time.perf_counter()
+        stage_rows = CUR.curate_stage_profile(
+            load_table(spark, profile_dir, "documents"),
+            source_col="source", scrub=True, shard_tokens=50_000)
+        scale_timings["scale_curate_stage_profile"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+            "stages": stage_rows,
+        }
+    except Exception as exc:  # noqa: BLE001
+        scale_timings["scale_curate_stage_profile"] = {
+            "error": f"{type(exc).__name__}: {exc}"}
+
+    scale_timings.pop("_pending", None)
     load_samples["end"] = loadavg()
-
-    # The driver that records this line keeps only the LAST ~2000 chars of
-    # output and parses the JSON line out of that window — round 6's line
-    # (with the full first_run dict inline) outgrew the window and the
-    # round recorded NO metric at all.  So: the printed line carries only
-    # the required fields plus small scalars, and the full diagnostic
-    # record (per-query first_run, loadavg samples, scale paths) goes to
-    # bench_detail.json next to this script.
-    detail = {
-        "metric": "total_query_wall_time",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "first_run": first_run,
-        "base_sweep_total": round(base_total, 3),
-        "contaminated_base_sweep": contaminated,
-        "loadavg": load_samples,
-        # every individual run: wall, process-tree CPU delta, 1-min load
-        "measurements": measurements,
-        "regressions": regressions,
-        "regression_base": prior_file,
-        "scale_paths": scale_timings,
-        "sf": sf_num,
-    }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
-
-    compact = {
-        "metric": "total_query_wall_time",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "base_sweep_total": round(base_total, 1),
-        "contaminated_base_sweep": contaminated,
-        "loadavg_start": (load_samples["start"] or [None])[0],
-        "loadavg_end": (load_samples["end"] or [None])[0],
-        # worst 8 regressions inline (full rows in detail): the judged
-        # artifact must answer "did anything regress?" by itself
-        "regressions": [
-            {"q": r["query"], "x": r["ratio"], "n": r["n_runs"],
-             "cpu": r["cpu_sec"], "load": r["loadavg1m"]}
-            for r in sorted(regressions, key=lambda r: -r["ratio"])[:8]
-        ],
-        "n_regressions": len(regressions),
-        "regression_base": prior_file,
-        "detail": "bench_detail.json",
-        "sf": sf_num,
-    }
-    line = json.dumps(compact)
-    if len(line) > 1900:  # hard guard: never outgrow the capture window
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact)
-    if len(line) > 1900:  # last resort: slowest 24 only, rest in detail
-        heavy24 = sorted(timings, key=timings.get, reverse=True)[:24]
-        compact["queries"] = {k: round(timings[k], 2) for k in heavy24}
-        compact["queries_omitted"] = len(timings) - len(heavy24)
-        line = json.dumps(compact)
-    sys.stdout.flush()
-    print(line, flush=True)
+    write_detail()
 
 
 if __name__ == "__main__":

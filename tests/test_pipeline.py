@@ -112,3 +112,34 @@ def test_curate_to_shards_end_to_end(spark, sf_dir, tmp_path):
     pairs = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard")
              .collect()}
     assert len(pairs) == counts["train"]
+
+
+def test_curate_stage_profile_matches_fused_pipeline(spark):
+    """The per-stage profiler runs the SAME stage list as curate_corpus
+    (one _curation_stages definition serves both), so its final rows_out
+    must equal the fused pipeline's count, stage names must cover the
+    full recipe in order, and gate/dedup stages can only shrink the
+    corpus (rows_out <= rows_in) until the copy-attach."""
+    from barberini_analytics_spark.core.io import load_table
+    from barberini_analytics_spark.operators.curation import (
+        curate_corpus, curate_stage_profile)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prof = curate_stage_profile(docs, source_col="source", scrub=True,
+                                shard_tokens=50_000)
+    assert [p["stage"] for p in prof] == [
+        "scrub", "gates", "exact_dedup", "segment_dedup", "near_dup",
+        "mix", "split", "pack"]
+    for p in prof:
+        assert p["sec"] >= 0 and p["loadavg1m"] is not None
+        if p["stage"] in ("scrub", "gates", "exact_dedup",
+                          "segment_dedup", "near_dup"):
+            assert p["rows_out"] <= p["rows_in"], p
+        if p["stage"] in ("split", "pack"):  # grain-preserving stages
+            assert p["rows_out"] == p["rows_in"], p
+    # boundaries chain: each stage consumes the previous stage's output
+    for a, b in zip(prof, prof[1:]):
+        assert a["rows_out"] == b["rows_in"]
+    fused = curate_corpus(docs, source_col="source", scrub=True,
+                          shard_tokens=50_000).count()
+    assert prof[-1]["rows_out"] == fused
