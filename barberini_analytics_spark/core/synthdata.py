@@ -43,13 +43,24 @@ def clustered_vectors(spark: SparkSession, n: int,
 
 def honest_ivf_cells(vectors: DataFrame, n_cells: int = 64) -> DataFrame:
     """IVF centroids for a synthetic corpus, built honestly:
-    sampled-point seeding (k-means++-style init) + one Lloyd assignment
-    round — never the generator's own cluster labels."""
+    hash-scattered sampled-point seeding + one Lloyd assignment round —
+    never the generator's own cluster labels.
+
+    Seeds are the ``n_cells`` lowest ``xxhash64(vec_id)`` vectors, NOT
+    the first ``n_cells`` ids: with :func:`clustered_vectors` setting
+    ``cluster = id % 64``, ids ``0..63`` would be exactly one seed per
+    true top-level anchor — label-aligned seeding by construction, and
+    best-case recall.  Hash order scatters the sample across anchors
+    (some get several seeds, some none), so the Lloyd round has to earn
+    the geometry the way it would on real data.
+    """
     from ..operators.similarity import centroids_by_key, ivf_assign
 
-    seed_cents = vectors.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("label"),
-        F.col("embedding").alias("centroid"))
+    seed_cents = (vectors
+                  .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+                  .limit(n_cells)
+                  .select(F.col("vec_id").alias("label"),
+                          F.col("embedding").alias("centroid")))
     labeled = vectors.join(
         ivf_assign(vectors, seed_cents)
         .select("vec_id", F.col("assigned_cell").alias("label")), "vec_id")

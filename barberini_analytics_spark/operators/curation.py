@@ -200,60 +200,101 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                          seed: int = 42, scrub: bool = False,
                          gopher: bool = False) -> list[dict]:
     """Instrumented :func:`curate_corpus`: materialize each stage
-    boundary (persist + count) and report wall time and rows in/out per
-    stage — the table that identifies the dominant stage at a given SF.
+    boundary and report wall time, rows in/out, and the stage's own plan
+    size — the table that identifies the dominant stage at a given SF.
 
-    Each boundary is persisted so a stage's timer covers only its own
-    work, not a recompute of everything upstream; boundaries are
-    unpersisted as soon as the next stage has materialized, so peak
-    footprint is two adjacent boundaries.  NOTE this deliberately breaks
-    the fused single-plan execution the production path uses (stage
-    attribution requires a barrier per stage), so the per-stage sum runs
-    slightly slower than :func:`curate_corpus` end-to-end — compare
-    shapes, not totals.
+    Boundaries are ``localCheckpoint(eager=True)``, NOT bare persists:
+    a persist does not truncate the logical plan, and the self-join-heavy
+    stages (LSH verify, connected-components label propagation, the LM
+    score's model-join-back) each duplicate the whole upstream subtree —
+    at any SF the compounded plan string exceeds the JVM's 1 GiB string
+    limit the first time anything renders it.  Checkpointing bounds every
+    stage's plan tree to exactly one stage (``plan_chars`` in the output
+    proves it).  Checkpoint blocks for a boundary are released as soon as
+    the next boundary has materialized, so peak footprint is two adjacent
+    boundaries; stage-INTERNAL scoped checkpoints (dedup_keep_best's
+    per-round label-propagation checkpoints) are released via a scope
+    mark on exit, so a standalone profiler call pins nothing for the
+    session.  NOTE this deliberately breaks the fused single-plan
+    execution the production path uses (stage attribution requires a
+    barrier per stage), so the per-stage sum runs slightly slower than
+    :func:`curate_corpus` end-to-end — compare shapes, not totals.
     """
     import os
     import time
+
+    from ..core.cache import release_scoped, scope_mark
 
     if targets is not None and source_col is None:
         raise ValueError("targets given but source_col is None")
     base_cols = [id_col, text_col] + ([source_col] if source_col else [])
 
+    sc = docs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        # eager localCheckpoint truncates lineage; record the rdd-id
+        # delta so the boundary's blocks can be freed deterministically
+        # once the NEXT boundary exists (DataFrame.unpersist does not
+        # release checkpoint blocks — they sit outside the SQL cache
+        # manager).
+        before = _persistent_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_ids() - before
+
+    def free(rdd_ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) in rdd_ids:
+                jmap.get(k).unpersist()
+
     def condition(df: DataFrame, n: int) -> DataFrame:
-        # a persisted boundary freezes the upstream partition layout; at
-        # small row counts that means dozens of near-empty partitions,
+        # a checkpointed boundary freezes the upstream partition layout;
+        # at small row counts that means dozens of near-empty partitions,
         # and the iterative stages (near-dup label propagation) then pay
         # partitions × jobs task launches that the FUSED plan never pays
         # (AQE coalesces its exchanges to match the data).  Mirror AQE:
-        # collapse tiny boundaries before handing them to the next stage
-        # — outside the stage timers, it is input conditioning.
+        # collapse tiny boundaries — a narrow coalesce over in-memory
+        # checkpoint blocks, no persist needed.
         if n < 10_000 and df.rdd.getNumPartitions() > 4:
-            small = df.coalesce(1).persist()
-            small.count()
-            df.unpersist()
-            return small
+            return df.coalesce(1)
         return df
 
-    cur = docs.select(*base_cols).persist()
-    rows = cur.count()
-    profile, prev = [], condition(cur, rows)
-    for name, fn in _curation_stages(
-            id_col, text_col, source_col, min_tokens, min_alpha_ratio,
-            lm_quantile, seg_tokens, near_dup_threshold, targets,
-            split_weights, shard_tokens, seed, scrub, gopher):
-        t0 = time.perf_counter()
-        nxt = fn(prev).persist()
-        n = nxt.count()
-        profile.append({
-            "stage": name,
-            "sec": round(time.perf_counter() - t0, 3),
-            "rows_in": rows,
-            "rows_out": n,
-            "loadavg1m": round(os.getloadavg()[0], 2),
-        })
-        prev.unpersist()
-        prev, rows = condition(nxt, n), n
-    prev.unpersist()
+    mark = scope_mark()
+    profile: list[dict] = []
+    try:
+        cur, handle = checkpoint(docs.select(*base_cols))
+        rows = cur.count()
+        prev = condition(cur, rows)
+        for name, fn in _curation_stages(
+                id_col, text_col, source_col, min_tokens, min_alpha_ratio,
+                lm_quantile, seg_tokens, near_dup_threshold, targets,
+                split_weights, shard_tokens, seed, scrub, gopher):
+            t0 = time.perf_counter()
+            raw = fn(prev)
+            nxt, nxt_handle = checkpoint(raw)
+            n = nxt.count()
+            sec = time.perf_counter() - t0
+            profile.append({
+                "stage": name,
+                "sec": round(sec, 3),
+                "rows_in": rows,
+                "rows_out": n,
+                # size of THIS stage's plan text — bounded because the
+                # input boundary is a checkpoint (LogicalRDD leaf); the
+                # number that exploded past 1 GiB before the fix
+                "plan_chars": len(raw._jdf.queryExecution().toString()),
+                "loadavg1m": round(os.getloadavg()[0], 2),
+            })
+            free(handle)
+            prev, handle, rows = condition(nxt, n), nxt_handle, n
+        free(handle)
+    finally:
+        # stage-internal scoped checkpoints (per-round label propagation)
+        release_scoped(since=mark)
     return profile
 
 

@@ -335,7 +335,11 @@ def main() -> None:
                 "loadavg1m": (loadavg() or [None])[0],
             }
         except Exception as exc:  # noqa: BLE001 - never kill the bench line
-            scale_timings[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            scale_timings[name] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "sf_dir": os.path.basename(sf_dir.rstrip("/")),
+                "elapsed_at_failure": round(elapsed(), 1),
+            }
         write_detail()
 
     from barberini_analytics_spark.ml.dbscan import dbscan_distributed
@@ -417,9 +421,38 @@ def main() -> None:
                     "corpus_rows": 100_000,
                     "loadavg1m": (loadavg() or [None])[0],
                 }
+        # batch-QPS regimes (r9 verdict item 5): the "QPS scales with
+        # batch size, not against it" claim, measured.  Same persisted
+        # index, same nprobe/shortlist; only the query-batch size
+        # varies (5 above, 50, 500).  Per-query ADC LUTs are literal up
+        # to lut_literal_max=64 and ride a broadcast side table above
+        # it, so the 500-query regime also exercises the LUT-as-table
+        # path whose plan size is O(1) in batch size.  Recall is a
+        # per-query property independent of batch size — measured once
+        # in the grid above, not recomputed per regime.
+        for mod in (2_000, 200):  # 50 and 500 queries of the 100k corpus
+            batch = cvecs.filter(F.col("vec_id") % mod == 17).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+            n_q = batch.count()
+            t0 = time.perf_counter()
+            n_rows = SIM.ivf_pq_search(
+                cvecs, cents, cb_resid, batch, k=10, nprobe=8,
+                shortlist=400, residual=True, compressed=codes).count()
+            dt = time.perf_counter() - t0
+            scale_timings[f"scale_ivf_pq_search_batch{n_q}"] = {
+                "sec": round(dt, 3),
+                "qps": round(n_q / dt, 2),
+                "n_queries": n_q,
+                "result_rows": n_rows,
+                "lut_path": "literal" if n_q <= 64 else "table",
+                "corpus_rows": 100_000,
+                "loadavg1m": (loadavg() or [None])[0],
+            }
+            write_detail()
     except Exception as exc:  # noqa: BLE001 - never kill the bench line
         scale_timings["scale_ivf_pq_search"] = {
-            "error": f"{type(exc).__name__}: {exc}"}
+            "error": f"{type(exc).__name__}: {exc}",
+            "elapsed_at_failure": round(elapsed(), 1)}
     write_detail()
 
     # window-free stratified sampler + epoch sharding over the real
@@ -453,13 +486,17 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         scale_timings["scale_curate_to_shards"] = {
-            "error": f"{type(exc).__name__}: {exc}"}
+            "error": f"{type(exc).__name__}: {exc}",
+            "sf_dir": os.path.basename(sf_dir.rstrip("/")),
+            "elapsed_at_failure": round(elapsed(), 1)}
     finally:
         shutil.rmtree(shard_dir, ignore_errors=True)
     write_detail()
 
     # per-stage breakdown of the same pipeline (r8 verdict item 5): each
-    # boundary materialized (persist + count) with rows in/out, so the
+    # boundary materialized (eager localCheckpoint — truncates lineage,
+    # so self-join-heavy stages can't compound the plan string past the
+    # JVM limit) with rows in/out and plan_chars per stage, so the
     # dominant stage — near-dup, by every profile so far — is measured
     # per round, not assumed.  Attribution costs barriers, so this runs
     # ~2× the fused wall; when the sweeps already ate the window (host
@@ -483,11 +520,20 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         scale_timings["scale_curate_stage_profile"] = {
-            "error": f"{type(exc).__name__}: {exc}"}
+            "error": f"{type(exc).__name__}: {exc}",
+            "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+            "elapsed_at_failure": round(elapsed(), 1)}
 
     scale_timings.pop("_pending", None)
     load_samples["end"] = loadavg()
     write_detail()
+    # re-print the compact line LAST as well: the driver keeps only the
+    # tail of stdout, so anything the scale paths wrote after the first
+    # print (worker stderr leaking to stdout, stray warnings) must not be
+    # able to evict the round's one machine-parsed record.  Idempotent
+    # for the parser — both copies are identical.
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

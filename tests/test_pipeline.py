@@ -132,6 +132,12 @@ def test_curate_stage_profile_matches_fused_pipeline(spark):
         "mix", "split", "pack"]
     for p in prof:
         assert p["sec"] >= 0 and p["loadavg1m"] is not None
+        # checkpointed boundaries bound every stage's plan tree to ONE
+        # stage — the r9 persist-only profiler compounded self-join
+        # subtrees past the JVM's 1 GiB plan-string limit (1.14e9 chars
+        # at this very SF); any lineage leak would show up here first
+        assert 0 < p["plan_chars"] < 2_000_000, (p["stage"],
+                                                 p["plan_chars"])
         if p["stage"] in ("scrub", "gates", "exact_dedup",
                           "segment_dedup", "near_dup"):
             assert p["rows_out"] <= p["rows_in"], p

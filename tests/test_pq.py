@@ -164,6 +164,28 @@ def test_ivf_pq_search_recall_and_shape(spark, emb, codebook):
         assert len(ids) == 10
 
 
+def test_ivf_pq_search_lut_table_matches_literal(spark, emb, codebook):
+    """The LUT-as-table fallback (batch > lut_literal_max: per-query
+    LUTs broadcast-joined instead of literal-embedded, keeping plan size
+    O(1) in batch size) must return EXACTLY the rows of the literal
+    path — same ids, same rounded cosines, same ranks."""
+    from barberini_analytics_spark.operators.similarity import (
+        centroids_by_key, ivf_pq_search)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    cents = centroids_by_key(emb, "label")
+
+    def rows(lut_literal_max):
+        return sorted(
+            tuple(r) for r in ivf_pq_search(
+                corpus, cents, codebook, queries, k=10, nprobe=10,
+                shortlist=100, lut_literal_max=lut_literal_max).collect())
+
+    assert rows(0) == rows(64)  # forced table path == literal path
+
+
 def test_adc_self_query_ranks_first(spark, emb, codebook):
     """A vector scored against its own (un-excluded) corpus must rank
     itself first: quantization noise is symmetric, so nothing should
