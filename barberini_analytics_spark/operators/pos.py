@@ -13,7 +13,12 @@ built from public knowledge of German morphology:
    strongest model-free signal in the language);
 3. derivational suffix rules (-ung/-heit/-keit → NOUN, -lich/-ig/-isch/
    -bar/-end … → ADJ, with inflection endings expanded);
-4. a configurable default for the remainder.
+4. verb word-shape rules for what remains — lowercase (nouns were caught
+   by rule 2) and not matching any earlier class, ending in the German
+   finite/infinitive/participle endings -t/-te/-en (zeigt, dauerte,
+   kaufen, gesehen, organisiert) or carrying the unambiguous verbal
+   prefix emp- (empfehle);
+5. a configurable default for the remainder.
 
 Everything compiles to ONE ``CASE`` expression emitted by
 :func:`pos_case_sql` — the identical SQL string runs as a Spark codegen
@@ -36,9 +41,20 @@ GERMAN_POS_LEXICON: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("DET", ("der", "die", "das", "den", "dem", "des", "ein", "eine",
              "einen", "einem", "einer", "eines", "kein", "keine", "keinen",
              "keinem", "keiner", "dieser", "diese", "dieses", "diesen",
-             "diesem", "jeder", "jede", "jedes", "alle", "allen", "viel",
-             "viele", "vielen", "wenig", "wenige", "weniger", "mehr",
-             "mehrere", "einige")),
+             "diesem", "jeder", "jede", "jedes", "jeden", "jedem", "alle",
+             "allen", "viel", "viele", "vielen", "wenig", "wenige",
+             "weniger", "mehr", "mehrere", "einige",
+             # possessives, full case/gender paradigm (bare 'sein'/'ihr'
+             # stay AUX/PRON — the possessive reading only surfaces
+             # inflected)
+             "mein", "meine", "meiner", "meinem", "meinen", "meines",
+             "dein", "deine", "deiner", "deinem", "deinen", "deines",
+             "seine", "seiner", "seinem", "seinen", "seines",
+             "ihre", "ihrer", "ihrem", "ihren", "ihres",
+             "unser", "unsere", "unserer", "unserem", "unseren", "unseres",
+             "euer", "eure", "eurer", "eurem", "euren", "eures",
+             "manche", "mancher", "manchen", "solche", "solcher",
+             "solchen", "beide", "beiden", "beider")),
     ("ADP", ("in", "im", "an", "am", "auf", "mit", "von", "vom", "zu",
              "zum", "zur", "für", "bei", "beim", "nach", "über", "unter",
              "durch", "gegen", "ohne", "um", "aus", "hinter", "neben",
@@ -51,12 +67,28 @@ GERMAN_POS_LEXICON: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("AUX", ("ist", "sind", "war", "waren", "bin", "bist", "seid", "sein",
              "hat", "haben", "habe", "hatte", "hatten", "wird", "werden",
              "wurde", "wurden", "würde", "würden", "kann", "können",
-             "konnte", "konnten", "muss", "müssen", "musste", "sollte",
-             "möchte", "mag")),
+             "konnte", "konnten", "muss", "müssen", "musste", "mussten",
+             "sollte", "sollten", "soll", "sollen", "wollte", "wollten",
+             "will", "wollen", "darf", "dürfen", "durfte", "durften",
+             "möchte", "möchten", "mögen", "mag", "könnte", "könnten",
+             "müsste", "müssten", "hätte", "hätten", "wäre", "wären",
+             "worden", "geworden")),
     ("ADV", ("sehr", "nicht", "auch", "nur", "noch", "schon", "immer",
              "wieder", "hier", "dort", "heute", "gestern", "leider",
              "wirklich", "absolut", "total", "ziemlich", "besonders",
-             "dann", "jetzt", "oft", "nie", "mal", "so", "ganz")),
+             "dann", "jetzt", "oft", "nie", "mal", "so", "ganz",
+             "ungefähr", "gern", "gerne", "vorher", "nachher", "online",
+             "bald", "fast", "sofort", "manchmal", "meistens", "bereits",
+             "eher", "sonst", "außerdem", "trotzdem", "deshalb",
+             "deswegen", "dennoch", "ebenfalls", "kaum", "ebenso",
+             "bisher", "danach", "davor", "dabei", "dazu", "daher",
+             "darum", "vielleicht", "natürlich", "hoffentlich")),
+    ("NUM", ("null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+             "sieben", "acht", "neun", "zehn", "elf", "zwölf", "dreizehn",
+             "vierzehn", "fünfzehn", "sechzehn", "siebzehn", "achtzehn",
+             "neunzehn", "zwanzig", "dreißig", "vierzig", "fünfzig",
+             "sechzig", "siebzig", "achtzig", "neunzig", "hundert",
+             "tausend")),
     # common (museum-review domain) adjectives that no suffix rule can
     # recover — stems expanded through the full German strong/weak
     # inflection paradigm below (``_adj_forms``), so every case/gender
@@ -72,6 +104,14 @@ _ADJ_STEMS = (
     "beeindruckend", "interessant", "langweilig", "schlecht", "teuer",
     "teur", "günstig", "modern", "alt", "neu", "klein", "groß", "voll",
     "laut", "leise", "leis", "hell", "dunkel", "dunkl", "lang", "kurz",
+    "früh", "spät", "lecker", "ober", "fein", "gelungen", "kompetent",
+    "fair", "wert", "hilfsbereit", "nett", "schnell", "einfach",
+    "schwer", "leicht", "hoch", "hoh", "tief", "warm", "kalt", "heiß",
+    "eng", "breit", "weit", "stark", "schwach", "jung", "reich", "arm",
+    "müde", "echt", "letzt", "nächst",
+    # ordinals (attributive: 'im dritten Stock')
+    "erst", "zweit", "dritt", "viert", "fünft", "sechst", "siebt",
+    "neunt", "zehnt",
 )
 
 
@@ -106,6 +146,22 @@ GERMAN_SUFFIX_RULES: tuple[tuple[str, str], ...] = (
 
 _INFLECTIONS = ("", "e", "er", "es", "en", "em")
 
+#: LIKE-pattern → tag, checked LAST before the default: verb word shapes.
+#: Whatever reaches these rules is lowercase (capitalized words became
+#: NOUN) and matched no closed-class/adjective/noun evidence, so the
+#: finite/infinitive/participle endings are strong verb signals:
+#: '%en' covers infinitives + plural presents + strong participles
+#: (kaufen, gesehen, verstanden, -ieren), '%t' covers 2nd/3rd person +
+#: weak participles (zeigt, besucht, organisiert), '%te' the weak
+#: preterite (dauerte), 'emp%' the unambiguously verbal prefix
+#: (empfehle).  Tokens that are none of these stay at the default.
+GERMAN_VERB_SHAPES: tuple[tuple[str, str], ...] = (
+    ("emp%", "VERB"),
+    ("%en", "VERB"),
+    ("%te", "VERB"),
+    ("%t", "VERB"),
+)
+
 _UPPER = tuple("ABCDEFGHIJKLMNOPQRSTUVWXYZÄÖÜ")
 
 
@@ -116,11 +172,12 @@ def _quoted(words) -> str:
 def pos_case_sql(word_col: str, lexicon=GERMAN_POS_LEXICON, *,
                  capitalized_noun: bool = True,
                  suffix_rules=GERMAN_SUFFIX_RULES,
+                 verb_shapes=GERMAN_VERB_SHAPES,
                  default: str = "X") -> str:
     """One CASE expression implementing the lexicon → capitalization →
-    suffix → default cascade.  Valid (and identical) in Spark SQL and
-    DuckDB — the same string is both the query's tag projection and the
-    oracle's."""
+    suffix → verb-shape → default cascade.  Valid (and identical) in
+    Spark SQL and DuckDB — the same string is both the query's tag
+    projection and the oracle's."""
     whens = [
         f"WHEN lower({word_col}) IN ({_quoted(words)}) THEN '{tag}'"
         for tag, words in lexicon
@@ -134,20 +191,25 @@ def pos_case_sql(word_col: str, lexicon=GERMAN_POS_LEXICON, *,
             f"lower({word_col}) LIKE '%{suffix}{infl}'"
             for infl in _INFLECTIONS)
         whens.append(f"WHEN {likes} THEN '{tag}'")
+    for pattern, tag in verb_shapes:
+        whens.append(
+            f"WHEN lower({word_col}) LIKE '{pattern}' THEN '{tag}'")
     body = " ".join(whens)
     return f"CASE {body} ELSE '{default}' END"
 
 
 def pos_tag(tokens: DataFrame, word_col: str = "word",
             lexicon=GERMAN_POS_LEXICON, *, capitalized_noun: bool = True,
-            suffix_rules=GERMAN_SUFFIX_RULES, default: str = "X",
+            suffix_rules=GERMAN_SUFFIX_RULES,
+            verb_shapes=GERMAN_VERB_SHAPES, default: str = "X",
             tag_col: str = "tag") -> DataFrame:
     """Add ``tag_col`` to a token frame.  Pure codegen projection — the
     cascade is one CASE expression over the scan, no join, no UDF, no
     shuffle; at 100 TB the tagger is free compared to the tokenize."""
     return tokens.withColumn(tag_col, F.expr(pos_case_sql(
         word_col, lexicon, capitalized_noun=capitalized_noun,
-        suffix_rules=suffix_rules, default=default)))
+        suffix_rules=suffix_rules, verb_shapes=verb_shapes,
+        default=default)))
 
 
 # ---------------------------------------------------------------------------

@@ -679,7 +679,7 @@ _EN_POS_LEXICON = (
 )
 _EN_POS_CASE = pos_case_sql(
     "word", _EN_POS_LEXICON, capitalized_noun=False, suffix_rules=(),
-    default="NOUN")
+    verb_shapes=(), default="NOUN")
 
 
 @query(
@@ -736,7 +736,7 @@ def opinion_pattern_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = pos_tag(
         tokens.select("doc_id", "word_index", "word"),
         lexicon=_EN_POS_LEXICON, capitalized_noun=False, suffix_rules=(),
-        default="NOUN")
+        verb_shapes=(), default="NOUN")
     pairs = extract_opinion_pairs(tagged)
     pol = spark.createDataFrame(
         [(w_, v) for w_, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]

@@ -8,14 +8,15 @@ hand-labeled with UD-style coarse tags from the sentence grammar (NOT by
 running any tagger), and the cascade's token accuracy is pinned against
 stated floors.
 
-Known, structural divergences (see README §POS fidelity):
-* finite/participial VERBs — lowercase, open-class, no reliable German
-  suffix — fall through to ``X`` (the cascade has no verb evidence);
-* uninflected predicative adjectives outside the lexicon (``fair``,
-  ``wert``) fall through to ``X``;
-* a handful of function-word ambiguities are frozen lexicon-side
-  (``zu`` → ADP even as the infinitive particle, ``viel`` → DET even
-  substitutive).
+Known, structural divergences (see README §POS fidelity): a handful of
+function-word ambiguities a per-token cascade cannot disambiguate are
+frozen lexicon-side (``zu`` → ADP even as the infinitive particle,
+``viel`` → DET even substitutive, ``lange`` → ADJ even adverbial,
+capitalized AUX/VERB homograph nouns like ``Muss`` → AUX).  VERBs are
+recovered by word-shape rules (-t/-te/-en endings, emp- prefix) checked
+after every stronger class; unknown lowercase non-verbs with those
+endings mistag as VERB instead of X — a tag the ADJ/NOUN-consuming
+opinion patterns never read.
 
 What the opinion-pattern chain actually consumes is ADJ and NOUN
 adjacency, so NOUN/ADJ recall carry their own (higher) floors.
@@ -171,21 +172,24 @@ def test_cascade_accuracy_floors():
     nonverb = [(w, g, o) for w, g, o in rows if g != "VERB"]
     nonverb_acc = sum(1 for _, g, o in nonverb if g == o) / len(nonverb)
 
-    # the pinned floors — measured on this fixture: ~0.84 overall,
-    # NOUN ~0.99, ADJ ~0.76, non-VERB ~0.91.  The gap to
-    # de_core_news_lg's ~0.98 German UPOS accuracy is the documented M7
-    # fidelity cost, dominated by VERB→X — a tag the ADJ/NOUN-consuming
-    # opinion patterns never read.
+    # the pinned floors — measured on this fixture (round 10, after the
+    # verb word-shape rules + lexicon growth): 0.980 overall, NOUN 0.99,
+    # ADJ 1.00, VERB 1.00, non-VERB 0.98 — at the level of
+    # de_core_news_lg's ~0.98 German UPOS accuracy.  The residual misses
+    # are per-token-undecidable function-word ambiguities (see module
+    # docstring), not open-class gaps.
     assert n_noun >= 70 and n_adj >= 40   # the classes that matter most
-    assert noun_rec >= 0.95, (noun_rec, [r for r in rows
+    assert noun_rec >= 0.97, (noun_rec, [r for r in rows
                                          if r[1] == "NOUN" and r[1] != r[2]])
-    assert adj_rec >= 0.70, (adj_rec, [r for r in rows
+    assert adj_rec >= 0.95, (adj_rec, [r for r in rows
                                        if r[1] == "ADJ" and r[1] != r[2]])
-    assert nonverb_acc >= 0.87, nonverb_acc
-    assert acc >= 0.80, (acc, [r for r in rows if r[1] != r[2]][:20])
-    # VERBs are the known blind spot: they must fall to X (or rarely
-    # ADJ via the -end participle suffix), NEVER to NOUN — a VERB→NOUN
-    # mistag would inject false aspect candidates into the opinion
-    # patterns
+    verb_rec = (sum(1 for _, g, o in verb_rows if g == o)
+                / max(1, len(verb_rows)))
+    assert verb_rec >= 0.90, (verb_rec,
+                              [r for r in verb_rows if r[1] != r[2]])
+    assert nonverb_acc >= 0.95, nonverb_acc
+    assert acc >= 0.95, (acc, [r for r in rows if r[1] != r[2]][:20])
+    # a VERB→NOUN mistag would inject false aspect candidates into the
+    # opinion patterns — still pinned to zero
     mis_as_pair_input = [r for r in verb_rows if r[2] == "NOUN"]
     assert not mis_as_pair_input, mis_as_pair_input
