@@ -130,13 +130,25 @@ def synthetic_de_geocode(codes: DataFrame, code_col: str = "plz") -> DataFrame:
 
 def geocode_german_codes(df: DataFrame,
                          code_col: str = "cleansed_postal_code",
-                         country_col: str = "cleansed_country") -> DataFrame:
+                         country_col: str = "cleansed_country",
+                         geocode_table: DataFrame | None = None) -> DataFrame:
     """Adds ``latitude``/``longitude`` via the DE geocode lookup.
 
     Mirrors the reference's dict semantics exactly (cleanse_data.py:113-137):
     the lookup is built from rows whose cleansed country is Deutschland, but
     mapped onto EVERY row by cleansed code — a foreign customer sharing a
     German code shape inherits the German coordinates, as in the reference.
+
+    ``geocode_table`` is the production injection point: a frame with
+    columns ``(plz, latitude, longitude)`` — e.g. a parquet dump of
+    pgeocode's DE table — replaces the sandbox's deterministic
+    ``synthetic_de_geocode``.  Both sources go through the SAME
+    restriction (semi-join to the codes observed on German rows, the
+    reference's dict-build population) and the SAME broadcast left join,
+    so swapping in the real table changes coordinates only, never the
+    join shape (pinned by ``tests/test_functions.py``).  Codes must be
+    unique in the table (pgeocode's index is); a duplicate would fan out
+    the left join.
 
     Scale shape: the distinct-codes side is bounded by the ~8k real German
     postal codes regardless of corpus size, so it is always broadcast; the
@@ -148,7 +160,12 @@ def geocode_german_codes(df: DataFrame,
         .filter(F.col("__plz").isNotNull())
         .distinct()
     )
-    geo = synthetic_de_geocode(codes, "__plz")
+    if geocode_table is not None:
+        geo = geocode_table.select(
+            F.col("plz").alias("__plz"), "latitude", "longitude"
+        ).join(codes, "__plz", "semi")
+    else:
+        geo = synthetic_de_geocode(codes, "__plz")
     return (
         df.join(F.broadcast(geo), df[code_col] == geo["__plz"], "left")
         .drop("__plz")

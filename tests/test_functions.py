@@ -171,3 +171,46 @@ def test_geocode_german_codes_dict_semantics(spark):
     # coordinates stay inside Germany's bounding box by construction
     assert PC.LAT_BASE <= lat < PC.LAT_BASE + PC.LAT_SPAN_MILLI / 1000.0
     assert PC.LON_BASE <= lon < PC.LON_BASE + PC.LON_SPAN_MILLI / 1000.0
+
+
+def test_geocode_german_codes_file_backed_table(spark, tmp_path):
+    """The production swap path: a FILE-BACKED geocode parquet (the shape
+    of a pgeocode DE dump) through ``geocode_table=`` must keep the join
+    shape of the synthetic stand-in — same row count (no fan-out), same
+    dict-build population (built from German-observed codes, mapped onto
+    every row), broadcast on the lookup side — with coordinates read
+    from the file."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("14467", "Deutschland"),     # in file -> file coords
+         ("14467", "Frankreich"),      # shares the German code -> coords
+         ("10115", "Deutschland"),     # German but NOT in file -> NULL
+         ("75001", "Frankreich"),      # foreign-only code: even though
+                                       # the file has 75001, it was never
+                                       # observed on a German row -> NULL
+         (None, "Deutschland")],
+        ["cleansed_postal_code", "cleansed_country"])
+    geo_path = str(tmp_path / "pgeocode_de.parquet")
+    spark.createDataFrame(
+        [("14467", 52.4009, 13.0591),   # real Potsdam coordinates
+         ("75001", 48.8606, 2.3376)],   # in file, not German-observed
+        ["plz", "latitude", "longitude"]).write.parquet(geo_path)
+
+    out_df = PC.geocode_german_codes(
+        df, geocode_table=spark.read.parquet(geo_path))
+    rows = out_df.collect()
+    assert len(rows) == df.count()      # left join, no fan-out
+    out = {(r.cleansed_postal_code, r.cleansed_country):
+           (r.latitude, r.longitude) for r in rows}
+    assert out[("14467", "Deutschland")] == (52.4009, 13.0591)
+    assert out[("14467", "Frankreich")] == (52.4009, 13.0591)
+    assert out[("10115", "Deutschland")] == (None, None)
+    assert out[("75001", "Frankreich")] == (None, None)
+    assert out[(None, "Deutschland")] == (None, None)
+    # identical join shape to the synthetic path: lookup side broadcast
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # column contract identical to the synthetic path
+    synth = PC.geocode_german_codes(df)
+    assert out_df.columns == synth.columns

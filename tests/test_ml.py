@@ -248,3 +248,70 @@ def test_dbscan_query_gate_override_runs_lsh_path(spark):
 
     mismatches = {v for v in core if driver[v] != dist[v]}
     assert not mismatches, f"core rows disagree: {sorted(mismatches)[:5]}"
+
+
+def test_dbscan_chain_on_externally_written_embedding_parquet(spark,
+                                                              tmp_path):
+    """The M8 injection point, proven end-to-end: an embedding parquet
+    written by an EXTERNAL producer (raw pyarrow, the way a word2vec /
+    SBERT export job would write it — never touching Spark) drops into
+    ``load_table(..., "embeddings")``'s place and the full
+    ``embedding_dbscan_clusters`` chain (DBSCAN → canonical cluster ids
+    → centroid top-3 labeling → SemDeDup map) runs unchanged on it,
+    recovering the planted geometry — on BOTH the driver path and the
+    LSH-distributed path (README §Embedding provenance)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from barberini_analytics_spark.plans.ml_queries import (
+        embedding_dbscan_clusters)
+
+    rng = np.random.default_rng(7)
+    dim, per = 64, 6
+    ids, vecs, labels = [], [], []
+    # three tight clusters around orthogonal axes: within-cluster cosine
+    # distance << 0.37, between-cluster ~= 1.0
+    for c, axis in enumerate((0, 1, 2)):
+        for j in range(per):
+            v = rng.normal(0, 0.01, dim)
+            v[axis] += 1.0
+            ids.append(c * 100 + j)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            labels.append(c * 7 % 64)
+    # two isolated points: no neighbor within eps -> noise (-1)
+    for k, axis in enumerate((10, 20)):
+        v = np.zeros(dim); v[axis] = 1.0
+        ids.append(900 + k)
+        vecs.append(v.astype(np.float32))
+        labels.append(50 + k)
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    expected = {c * 100: {c * 100 + j for j in range(per)}
+                for c in range(3)}
+
+    for max_rows in (200_000, 0):        # driver path, then LSH path
+        out = embedding_dbscan_clusters(
+            spark, str(tmp_path), max_rows=max_rows).collect()
+        assert len(out) == len(ids)
+        by_cluster: dict[int, set] = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert by_cluster.pop(-1) == {900, 901}         # noise
+        # the planted partition is recovered (cluster ids are canonical
+        # smallest-member VEC ids on the LSH path but smallest-member
+        # POSITIONS on the driver path, so compare memberships)
+        assert (set(map(frozenset, by_cluster.values()))
+                == set(map(frozenset, expected.values()))), max_rows
+        for r in out:
+            if r.cluster >= 0:
+                assert r.cluster_label, r    # labeled from the file's vocab
+            assert r.sem_kept is not None
+            # singleton label groups legitimately have no pairwise cosine
+            if r.sem_dup_of >= 0:
+                assert r.sem_max_cosine is not None
