@@ -125,6 +125,61 @@ def join_advice(left: DataFrame, right: DataFrame, on: str,
         "n_overlap_est", "containment_left", "containment_right")
 
 
+def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
+                 broadcast_bytes: int = 10 * 1024 * 1024,
+                 low_containment: float = 0.2,
+                 target_partition_bytes: int = 128 * 1024 * 1024,
+                 max_skew_ratio: float = 4.0,
+                 ndv_rsd: float = 0.05) -> tuple[DataFrame, dict]:
+    """CLOSE the advisor loop: run :func:`join_advice` +
+    :func:`partition_advice` and APPLY what they recommend, returning
+    the hinted join plus the applied evidence.
+
+    - ``spark.sql.shuffle.partitions`` is set to the recommendation for
+      the join key over the LARGER side (the shuffle the join pays);
+    - ``broadcast_left`` / ``broadcast_right`` become an explicit
+      ``F.broadcast`` hint on that side — effective even when the
+      statistics Spark itself sees (e.g. post-filter estimates) would
+      not trigger its auto-broadcast;
+    - ``bloom_prune_then_shuffle`` builds a Bloom filter from the
+      smaller side's keys and probes the larger side BEFORE the shuffle
+      (``operators/sketch.bloom_build/bloom_probe`` — no false
+      negatives, so the pruned join equals the plain join);
+    - ``shuffle_join`` stays a plain join (AQE handles residual skew).
+
+    The probes cost two one-pass stats aggregates + two HLL aggregates
+    (constant-size outputs, nothing corpus-sized is collected) — the
+    planning spend a 100 TB pipeline pays before an expensive join.
+    ``tests/test_sinks.py`` pins that applying the advice actually flips
+    the chosen physical plan.
+    """
+    adv = join_advice(left, right, on, broadcast_bytes,
+                      low_containment, ndv_rsd).first().asDict()
+    bigger = left if adv["left_rows"] >= adv["right_rows"] else right
+    part = partition_advice(bigger, [on], target_partition_bytes,
+                            max_skew_ratio, ndv_rsd).first().asDict()
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(part["shuffle_partitions"]))
+    strategy = adv["advice"]
+    if strategy == "broadcast_right":
+        out = left.join(F.broadcast(right), on)
+    elif strategy == "broadcast_left":
+        out = F.broadcast(left).join(right, on)
+    elif strategy == "bloom_prune_then_shuffle":
+        from ..operators.sketch import bloom_build, bloom_probe
+
+        if adv["left_rows"] >= adv["right_rows"]:
+            out = bloom_probe(left, bloom_build(right.select(on), on),
+                              on).join(right, on)
+        else:
+            out = left.join(
+                bloom_probe(right, bloom_build(left.select(on), on), on),
+                on)
+    else:
+        out = left.join(right, on)
+    return out, {"join": adv, "partition": part}
+
+
 def partition_advice(df: DataFrame, group_keys: list[str] | None = None,
                      target_partition_bytes: int = 128 * 1024 * 1024,
                      max_skew_ratio: float = 4.0,

@@ -345,3 +345,62 @@ def test_partition_advice_sizing_and_skew(spark):
                            target_partition_bytes=1024 * 1024).collect()
     assert n.skew_advice == "no_keys_given" and n.key_ndv is None
     assert n.shuffle_partitions == r.shuffle_partitions
+
+
+def test_apply_advice_changes_chosen_plan(spark):
+    """apply_advice must not just COMPUTE recommendations — applying
+    them has to change the physical plan.  With Spark's auto-broadcast
+    disabled, the plain join is a SortMergeJoin; the applied
+    broadcast_right hint flips it to BroadcastHashJoin, the applied
+    shuffle-partition recommendation lands in the session conf and in
+    the exchange of a subsequent keyed shuffle, and the bloom-pruned
+    strategy returns exactly the plain join's rows."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.stats import apply_advice
+
+    big = spark.range(200_000).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS payload")
+    small = spark.range(500).selectExpr(
+        "CAST(id AS STRING) AS k", "id AS x")
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # control: without the advice, Spark cannot broadcast
+        control = big.join(small, "k")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "SortMergeJoin" in control and \
+            "BroadcastHashJoin" not in control, control[:2000]
+
+        joined, applied = apply_advice(spark, big, small, "k")
+        assert applied["join"]["advice"] == "broadcast_right"
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+
+        # the partition recommendation is in force for the next shuffle
+        n_rec = applied["partition"]["shuffle_partitions"]
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n_rec
+        agg_plan = big.groupBy("k").count()._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert f"hashpartitioning(k#" in agg_plan and \
+            f", {n_rec})" in agg_plan, agg_plan[:2000]
+
+        # bloom-pruned strategy: applied join == plain join, row for row
+        far = spark.range(1_000_000, 1_200_000).selectExpr(
+            "CAST(id AS STRING) AS k", "id AS y")
+        some = spark.range(199_990, 200_010).selectExpr(
+            "CAST(id AS STRING) AS k", "id AS y")
+        pruned, applied2 = apply_advice(spark, big, far.union(some), "k",
+                                        broadcast_bytes=1_000)
+        assert applied2["join"]["advice"] == "bloom_prune_then_shuffle"
+        expect = {tuple(r) for r in big.join(far.union(some), "k").collect()}
+        assert {tuple(r) for r in pruned.collect()} == expect
+        assert len(expect) == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
