@@ -539,7 +539,11 @@ def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
     - ``n_docs``, ``n_tokens``, ``mean_doc_tokens``,
     - ``gopher_keep_rate`` and the three highest-signal rule hit-rates
       (word count, repetition, stopwords),
-    - ``mojibake_rate`` (scrub audit),
+    - ``mojibake_rate`` (scrub audit) AND ``n_quarantined`` — the
+      per-group COUNT of documents the curation pipeline's stage 0
+      drops (``mojibake_hits > 0``, the quarantine disposition), so the
+      datasheet states how many documents the scrub removes from each
+      source, not just the signal average,
     - ``exact_dup_rate``: fraction of documents whose content
       fingerprint appears more than once corpus-wide (dup membership is
       computed globally, then attributed to each group — a duplicate
@@ -573,6 +577,8 @@ def corpus_report(df: DataFrame, group_cols: Sequence[str] = ("source",),
             rate("rule_stopwords").alias("rule_stopwords_rate"),
             F.avg((F.col("mojibake_hits") > 0).cast("double"))
             .alias("mojibake_rate"),
+            F.count(F.when(F.col("mojibake_hits") > 0, 1))
+            .alias("n_quarantined"),
             F.avg((F.col("__fp_n") > 1).cast("double"))
             .alias("exact_dup_rate"),
         )

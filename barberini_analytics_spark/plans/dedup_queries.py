@@ -378,7 +378,10 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.id_a, p.id_b
     )
     SELECT i.id_a, i.id_b,
-           CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+           CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard,
+           CAST(za.n AS BIGINT) AS n_sh_a,
+           CAST(zb.n AS BIGINT) AS n_sh_b,
+           CAST((SELECT count(*) FROM ids) AS BIGINT) AS n_docs_block
     FROM inter i
     JOIN sizes za ON za.doc_id = i.id_a
     JOIN sizes zb ON zb.doc_id = i.id_b
@@ -391,6 +394,12 @@ def ngram_jaccard_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact-similarity primitive that MinHash approximates; bounded
     blocking keeps the pair space quadratic only within the block —
     the pattern used for within-bucket verification at scale.
+
+    GROUP-grain evidence rides every pair (r9 verdict item 6): the exact
+    per-doc shingle counts (``n_sh_a``/``n_sh_b``) and the block's doc
+    count (``n_docs_block``), so a bucketing/blocking bug that drops a
+    document or miscounts a shingle set breaks the oracle hash even when
+    the surviving pairs' Jaccard values happen to agree.
     """
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     sh = D.word_shingles(docs, "doc_id", k=_SHINGLE_K)
@@ -400,7 +409,18 @@ def ngram_jaccard_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ids.select(F.col("doc_id").alias("id_b")),
               F.col("id_a") < F.col("id_b"))
     )
-    return D.jaccard_pairs(sh, pairs, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    block = ids.agg(F.count(F.lit(1)).alias("n_docs_block"))
+    return (
+        D.jaccard_pairs(sh, pairs, "doc_id")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("id_a"),
+                                       F.col("__n").alias("n_sh_a"))),
+              "id_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("id_b"),
+                                       F.col("__n").alias("n_sh_b"))),
+              "id_b")
+        .crossJoin(F.broadcast(block))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -782,6 +782,9 @@ def test_corpus_report_datasheet_rates(spark):
     assert a.gopher_keep_rate == pytest.approx(2 / 3)
     assert b.mojibake_rate == pytest.approx(1 / 2)
     assert a.mojibake_rate == 0.0
+    # quarantine DISPOSITION, not just the signal average: the count of
+    # docs stage 0 of the curation pipeline would drop per group
+    assert a.n_quarantined == 0 and b.n_quarantined == 1
     assert a.n_tokens == 72 + 72 + 2
 
 
