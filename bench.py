@@ -504,7 +504,16 @@ def main() -> None:
     # timeout killing the whole record, and stamp which SF ran.
     try:
         profile_dir = sf_dir
-        if elapsed() > repeat_deadline + 60:
+        # sf0.1 attribution costs ~2× the fused 39 s wall; run it unless
+        # the run is already deep into the window (interference-inflated
+        # sweeps), then fall back to sf0.01 rather than risk the external
+        # timeout killing the whole record.  The threshold is its own
+        # budget, NOT the repeat deadline (repeats alone always push past
+        # repeat_deadline, which silently forced sf0.01 every round).
+        profile_budget = float(
+            os.environ.get("BENCH_PROFILE_SF_BUDGET", "430"))
+        at_start = round(elapsed(), 1)
+        if at_start > profile_budget:
             smaller = os.path.join(
                 os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
             if os.path.isdir(smaller) and smaller != sf_dir:
@@ -516,6 +525,7 @@ def main() -> None:
         scale_timings["scale_curate_stage_profile"] = {
             "sec": round(time.perf_counter() - t0, 3),
             "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+            "elapsed_at_start": at_start,
             "stages": stage_rows,
         }
     except Exception as exc:  # noqa: BLE001
