@@ -69,9 +69,15 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str = "text",
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
     # repartition before the explode: corpus tables often arrive as few large
     # files (locally: one), and the shingle explode + downstream md5 hashing
-    # is CPU-bound — spread it across the cluster before fan-out
+    # is CPU-bound — spread it across the cluster before fan-out.  The
+    # partition COUNT must be explicit: a bare repartition(col) is
+    # advisory to AQE, whose size-based coalescing sees the few input
+    # bytes and collapses the exchange to ~1 partition, serializing the
+    # whole shingle stage (measured 6× on the sf0.1 table); with an
+    # explicit count AQE leaves user repartitions alone.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        df.repartition(F.col(id_col))
+        df.repartition(n, F.col(id_col))
         .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias(out_col))
     )
 
