@@ -87,12 +87,21 @@ def dbscan_distributed(vectors, id_col: str = "vec_id",
     from pyspark.sql import functions as F
 
     from ..core.cache import scoped_checkpoint
-    from ..operators.similarity import cosine, srp_candidate_pairs
+    from ..operators.similarity import _dot, l2_normalize, srp_candidate_pairs
 
     ids = vectors.select(F.col(id_col).alias("id")).distinct()
-    pairs = srp_candidate_pairs(vectors, id_col, vec_col, dim, bands, bits)
+    # normalize ONCE per vector before the bucket fan-out: each vector
+    # appears in ~bucket-size candidate pairs, and a per-pair cosine()
+    # would recompute its norm every time.  SRP bucket keys are sign-only
+    # (scale-invariant), so candidates are identical; the ε-check becomes
+    # a plain dot — the same unit ∙ unit form the driver-side
+    # cosine_dbscan computes (numpy `unit @ unit.T`), which the
+    # LSH-vs-driver equivalence tests compare against.
+    unit = vectors.select(
+        F.col(id_col), l2_normalize(F.col(vec_col), dim).alias(vec_col))
+    pairs = srp_candidate_pairs(unit, id_col, vec_col, dim, bands, bits)
     near = (
-        pairs.withColumn("cos", cosine(F.col("e1"), F.col("e2")))
+        pairs.withColumn("cos", _dot(F.col("e1"), F.col("e2")))
         .filter(F.col("cos") >= 1.0 - eps)
         .select("id1", "id2")
     )
