@@ -125,8 +125,17 @@ def test_curate_stage_profile_matches_fused_pipeline(spark):
         curate_corpus, curate_stage_profile)
 
     docs = load_table(spark, SF_DIR, "documents")
+    before = {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs()
+              .keySet().toArray()}
     prof = curate_stage_profile(docs, source_col="source", scrub=True,
                                 shard_tokens=50_000)
+    # no-leak contract: boundary checkpoints are freed as the next one
+    # materializes, and stage-INTERNAL scoped checkpoints (per-round
+    # label propagation) are released via the scope mark on exit — a
+    # standalone profiler call must pin nothing for the session
+    after = {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs()
+             .keySet().toArray()}
+    assert after <= before, f"profiler leaked persisted RDDs: {after - before}"
     assert [p["stage"] for p in prof] == [
         "scrub", "gates", "exact_dedup", "segment_dedup", "near_dup",
         "mix", "split", "pack"]

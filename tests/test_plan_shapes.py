@@ -306,3 +306,20 @@ def test_ivf_assign_is_aggregate_not_window(spark):
                             6)))
     assert direct.filter(
         F.col("__direct") != F.col("cell_cosine")).count() == 0
+
+
+def test_word_shingles_exchange_is_pinned_by_num(spark):
+    """The shingle-stage repartition must be REPARTITION_BY_NUM, not
+    REPARTITION_BY_COL: a bare repartition(col) is advisory to AQE,
+    whose size-based coalescing sees the few input bytes of the
+    documents scan and collapses the exchange to ~1 partition —
+    serializing the CPU-bound shingle explode + md5 hashing that feeds
+    every MinHash/decontamination/segment-dedup consumer (measured 6×
+    at sf0.1)."""
+    from barberini_analytics_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = word_shingles(docs, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    assert "REPARTITION_BY_COL" not in plan, plan[:2000]
