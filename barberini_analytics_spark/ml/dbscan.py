@@ -62,7 +62,8 @@ def cosine_dbscan(vectors: np.ndarray, eps: float = 0.37,
 def dbscan_distributed(vectors, id_col: str = "vec_id",
                        vec_col: str = "embedding", dim: int = 64,
                        eps: float = 0.37, min_samples: int = 2,
-                       bands: int = 8, bits: int = 4, max_iter: int = 25):
+                       bands: int = 8, bits: int = 4, max_iter: int = 25,
+                       max_bucket: int | None = None):
     """Distributed cosine DBSCAN — the documented LSH scale path.
 
     Candidate ε-neighbors come from SRP-LSH banding
@@ -99,7 +100,8 @@ def dbscan_distributed(vectors, id_col: str = "vec_id",
     # LSH-vs-driver equivalence tests compare against.
     unit = vectors.select(
         F.col(id_col), l2_normalize(F.col(vec_col), dim).alias(vec_col))
-    pairs = srp_candidate_pairs(unit, id_col, vec_col, dim, bands, bits)
+    pairs = srp_candidate_pairs(unit, id_col, vec_col, dim, bands, bits,
+                                max_bucket=max_bucket)
     near = (
         pairs.withColumn("cos", _dot(F.col("e1"), F.col("e2")))
         .filter(F.col("cos") >= 1.0 - eps)

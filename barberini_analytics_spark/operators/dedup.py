@@ -102,12 +102,27 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        num_perm: int = 8, bands: int = 4) -> DataFrame:
+                        num_perm: int = 8, bands: int = 4,
+                        max_bucket: int | None = None) -> DataFrame:
     """LSH banding: docs whose signature agrees on ALL rows of ≥1 band.
 
     Returns distinct candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``.
     The self-join key is ``(band_index, band_hash)`` — at scale this is the
     classic band-bucket shuffle; no all-pairs comparison ever happens.
+
+    ``max_bucket`` is the 100 TB degenerate-bucket guard: a band value
+    shared by ``b`` documents emits ``b(b-1)/2`` pairs, so ONE hot bucket
+    (boilerplate band, near-constant field) turns the bucket join
+    quadratic — the standard MinHash-at-scale failure.  With a cap,
+    buckets larger than ``max_bucket`` are excluded before the self-join
+    (one extra (band, hash) count aggregate — map-side combining, output
+    one row per bucket).  A band shared by that many documents carries
+    near-zero discriminative signal (it behaves like a stopword), and a
+    true near-dup pair is lost only if EVERY band it shares is
+    degenerate; exact/segment dedup upstream removes the identical-text
+    mass that would otherwise create such buckets.  ``None`` (default)
+    preserves exact classic semantics — the oracle-checked entries use
+    the default.
     """
     rows_per_band = num_perm // bands
     band_structs = []
@@ -125,6 +140,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
         .select(id_col, F.col("bb.band").alias("band"),
                 F.col("bb.band_hash").alias("band_hash"))
     )
+    if max_bucket is not None:
+        from ..core.cache import scoped_persist
+
+        banded = scoped_persist(banded)  # reused: sizes + both join sides
+        ok = (banded.groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).alias("__bn"))
+              .filter(F.col("__bn") <= max_bucket)
+              .select("band", "band_hash"))
+        banded = banded.join(ok, ["band", "band_hash"])
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -167,7 +191,8 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str,
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
                             k: int = 3, num_perm: int = 8, bands: int = 4,
                             threshold: float = 0.5,
-                            min_sig_matches: int = 0) -> DataFrame:
+                            min_sig_matches: int = 0,
+                            max_bucket: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → verify.
 
     Returns ``(id_a, id_b, jaccard)`` for verified pairs above threshold.
@@ -194,7 +219,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
 
     sh = scoped_persist(word_shingles(df, id_col, text_col, k))
     sigs = scoped_persist(minhash_signatures(sh, id_col, num_perm))
-    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
+                               max_bucket=max_bucket)
     if min_sig_matches > 1:
         sa = sigs.select(F.col(id_col).alias("id_a"),
                          *[F.col(f"mh_{j}").alias(f"__a_{j}")
@@ -252,7 +278,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text",
 
 def near_dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
                     k: int = 3, num_perm: int = 8, bands: int = 4,
-                    threshold: float = 0.5) -> DataFrame:
+                    threshold: float = 0.5,
+                    max_bucket: int | None = None) -> DataFrame:
     """Resolve verified near-dup PAIRS into transitive GROUPS and pick one
     representative per group — the step a 100 TB dedup actually keeps:
     "A≈B and B≈C" must collapse to ONE surviving document even when A and
@@ -272,7 +299,8 @@ def near_dup_groups(df: DataFrame, id_col: str, text_col: str = "text",
 
     pairs = minhash_near_duplicates(df, id_col, text_col, k=k,
                                     num_perm=num_perm, bands=bands,
-                                    threshold=threshold)
+                                    threshold=threshold,
+                                    max_bucket=max_bucket)
     nodes = df.select(F.col(id_col).alias("id"))
     comp = connected_components(
         nodes, pairs.select(F.col("id_a").alias("id1"),

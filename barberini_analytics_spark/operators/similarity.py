@@ -181,7 +181,8 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 
 def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
-                        bands: int = 4, bits: int = 6) -> DataFrame:
+                        bands: int = 4, bits: int = 6,
+                        max_bucket: int | None = None) -> DataFrame:
     """Signed-random-projection LSH candidate pairs (AND-OR banding).
 
     Deterministic pseudo-hyperplanes (same integer-coefficient family as
@@ -194,6 +195,13 @@ def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
     (band, bucket) — candidate volume is O(sum of bucket sizes squared),
     never O(n²).  ``bands``/``bits`` are the recall/cost dials: more
     bands raise recall, more bits shrink buckets.
+
+    ``max_bucket``: the same degenerate-bucket guard as
+    :func:`..dedup.lsh_candidate_pairs` — a (band, bucket) shared by
+    ``b`` vectors emits ``b(b-1)/2`` pairs, so one hot bucket (a dense
+    region, a constant embedding) turns the self-join quadratic;
+    buckets above the cap are excluded before the join.  ``None``
+    keeps exact classic semantics (the oracle-checked entries' mode).
     """
     projs = [
         F.expr(
@@ -218,6 +226,15 @@ def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
                        band_structs.alias("bb"))
         .select("__id", "__vec", "bb.band", "bb.bucket")
     )
+    if max_bucket is not None:
+        from ..core.cache import scoped_persist
+
+        banded = scoped_persist(banded)  # reused: sizes + both join sides
+        ok = (banded.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("__bn"))
+              .filter(F.col("__bn") <= max_bucket)
+              .select("band", "bucket"))
+        banded = banded.join(ok, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -801,3 +801,61 @@ def test_repetition_signals_total_on_tiny_docs(spark):
     # one bigram total -> the top one is all of them
     assert rows[2].top_bigram_frac == 1.0 and rows[2].dup_trigram_frac is None
     assert rows[3].dup_trigram_frac == 0.0
+
+
+def test_lsh_max_bucket_guards_degenerate_buckets(spark):
+    """The 100 TB hot-bucket guard: a band value shared by b documents
+    emits b(b-1)/2 candidate pairs, so one degenerate bucket (here: 40
+    IDENTICAL documents whose every band collides) turns the bucket
+    join quadratic.  With max_bucket the oversized buckets are excluded
+    before the self-join; genuinely similar pairs in small buckets
+    still come through, and default None preserves classic semantics."""
+    from barberini_analytics_spark.operators.dedup import (
+        minhash_signatures, lsh_candidate_pairs, word_shingles)
+
+    boiler = "the same boilerplate text repeated across every mirror page"
+    distinct = ("an unusual sentence about cadmium pigments in painting "
+                "restoration workflows")
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100, distinct), (101, distinct + " extended")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(word_shingles(df, "doc_id"), "doc_id")
+
+    classic = lsh_candidate_pairs(sigs, "doc_id", bands=4).collect()
+    classic_pairs = {(r.id_a, r.id_b) for r in classic}
+    assert (100, 101) in classic_pairs
+    assert len(classic_pairs) >= 40 * 39 / 2          # quadratic blow-up
+
+    capped = lsh_candidate_pairs(sigs, "doc_id", bands=4,
+                                 max_bucket=10).collect()
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in capped_pairs                 # small bucket kept
+    assert not any(a < 100 and b < 100 for a, b in capped_pairs), (
+        "hot-bucket pairs leaked through the cap")
+
+
+def test_srp_max_bucket_guards_degenerate_buckets(spark):
+    """Same guard on the embedding side: a dense region (here 30
+    IDENTICAL vectors) floods every band bucket; with max_bucket those
+    buckets are excluded while a genuinely similar small pair
+    survives."""
+    import numpy as np
+
+    from barberini_analytics_spark.operators.similarity import (
+        srp_candidate_pairs)
+
+    rng = np.random.default_rng(3)
+    hot = [float(x) for x in rng.normal(0, 1, 64)]
+    a = [float(x) for x in rng.normal(0, 1, 64)]
+    b = [x + float(e) for x, e in zip(a, rng.normal(0, 0.01, 64))]
+    rows = [(i, hot) for i in range(30)] + [(100, a), (101, b)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    classic = {(r.id1, r.id2) for r in srp_candidate_pairs(df).collect()}
+    assert (100, 101) in classic
+    assert len(classic) >= 30 * 29 / 2
+
+    capped = {(r.id1, r.id2)
+              for r in srp_candidate_pairs(df, max_bucket=10).collect()}
+    assert (100, 101) in capped
+    assert not any(i < 100 and j < 100 for i, j in capped)
