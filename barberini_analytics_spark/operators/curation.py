@@ -42,6 +42,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   lm_quantile: float | None = 0.95,
                   seg_tokens: int = 10,
                   near_dup_threshold: float = 0.5,
+                  near_dup_max_bucket: int | None = None,
                   targets: dict[str, float] | None = None,
                   split_weights: Sequence[float] = (0.9, 0.05, 0.05),
                   shard_tokens: int | None = None,
@@ -73,7 +74,8 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     for _name, fn in _curation_stages(
             id_col, text_col, source_col, min_tokens, min_alpha_ratio,
             lm_quantile, seg_tokens, near_dup_threshold, targets,
-            split_weights, shard_tokens, seed, scrub, gopher):
+            split_weights, shard_tokens, seed, scrub, gopher,
+            near_dup_max_bucket):
         out = fn(out)
     return out
 
@@ -81,7 +83,8 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
 def _curation_stages(id_col, text_col, source_col, min_tokens,
                      min_alpha_ratio, lm_quantile, seg_tokens,
                      near_dup_threshold, targets, split_weights,
-                     shard_tokens, seed, scrub, gopher):
+                     shard_tokens, seed, scrub, gopher,
+                     near_dup_max_bucket=None):
     """The curation recipe as named ``(stage, DataFrame→DataFrame)``
     steps — one definition serves both the fused lazy composition
     (:func:`curate_corpus`) and the per-stage profiler
@@ -146,8 +149,13 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
 
     # -- 4. near-dup dedup, longest member survives ------------------------
     def stage_near_dup(seg_kept):
+        # near_dup_max_bucket: the hot-bucket guard of
+        # lsh_candidate_pairs — exact/segment dedup upstream removed the
+        # identical-text mass, so any bucket still above the cap is a
+        # degenerate boilerplate band, not a recoverable duplicate set
         return dedup_keep_best(seg_kept, id_col, "n_tokens", text_col,
-                               threshold=near_dup_threshold)
+                               threshold=near_dup_threshold,
+                               max_bucket=near_dup_max_bucket)
 
     # -- 5. source mixing (or the trivial one-copy attach) ------------------
     def stage_mix(deduped):
@@ -194,6 +202,7 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                          lm_quantile: float | None = 0.95,
                          seg_tokens: int = 10,
                          near_dup_threshold: float = 0.5,
+                         near_dup_max_bucket: int | None = None,
                          targets: dict[str, float] | None = None,
                          split_weights: Sequence[float] = (0.9, 0.05, 0.05),
                          shard_tokens: int | None = None,
@@ -272,7 +281,8 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
         for name, fn in _curation_stages(
                 id_col, text_col, source_col, min_tokens, min_alpha_ratio,
                 lm_quantile, seg_tokens, near_dup_threshold, targets,
-                split_weights, shard_tokens, seed, scrub, gopher):
+                split_weights, shard_tokens, seed, scrub, gopher,
+                near_dup_max_bucket):
             t0 = time.perf_counter()
             raw = fn(prev)
             nxt, nxt_handle = checkpoint(raw)
