@@ -389,6 +389,13 @@ def test_apply_advice_changes_chosen_plan(spark):
         assert f"hashpartitioning(k#" in agg_plan and \
             f", {n_rec})" in agg_plan, agg_plan[:2000]
 
+        # symmetric case: tiny LEFT side gets the BuildLeft broadcast
+        joined_l, applied_l = apply_advice(spark, small, big, "k")
+        assert applied_l["join"]["advice"] == "broadcast_left"
+        plan_l = joined_l._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_l and "BuildLeft" in plan_l, \
+            plan_l[:2000]
+
         # bloom-pruned strategy: applied join == plain join, row for row
         far = spark.range(1_000_000, 1_200_000).selectExpr(
             "CAST(id AS STRING) AS k", "id AS y")
