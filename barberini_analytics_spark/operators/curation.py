@@ -274,8 +274,10 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
 
     mark = scope_mark()
     profile: list[dict] = []
+    live: list[set[int]] = []   # boundary handles not yet freed
     try:
         cur, handle = checkpoint(docs.select(*base_cols))
+        live.append(handle)
         rows = cur.count()
         prev = condition(cur, rows)
         for name, fn in _curation_stages(
@@ -286,6 +288,7 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
             t0 = time.perf_counter()
             raw = fn(prev)
             nxt, nxt_handle = checkpoint(raw)
+            live.append(nxt_handle)
             n = nxt.count()
             sec = time.perf_counter() - t0
             profile.append({
@@ -300,10 +303,17 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                 "loadavg1m": round(os.getloadavg()[0], 2),
             })
             free(handle)
+            live.remove(handle)
             prev, handle, rows = condition(nxt, n), nxt_handle, n
-        free(handle)
     finally:
-        # stage-internal scoped checkpoints (per-round label propagation)
+        # free any boundary still checkpointed (the normal exit leaves
+        # exactly one; a mid-stage exception leaves up to two), then the
+        # stage-INTERNAL scoped checkpoints (per-round label propagation)
+        for h in live:
+            try:
+                free(h)
+            except Exception:
+                pass
         release_scoped(since=mark)
     return profile
 
