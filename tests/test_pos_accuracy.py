@@ -123,6 +123,43 @@ LABELED: list[tuple[str, str]] = [
      "DET NOUN VERB ADP ADJ NOUN"),
     ("Eine gelungene Mischung aus alter und neuer Kunst",
      "DET ADJ NOUN ADP ADJ CCONJ ADJ NOUN"),
+    # --- round-10 extension: written AFTER the verb word-shape rules
+    # were frozen, deliberately using open-class words that appear in NO
+    # lexicon list (malte, bestellten, spielten, erklärte, wirken,
+    # spürte, probte, hängen, findet, gestohlen, zurückgebracht,
+    # beschreibt, wartete, zeigten, loben, Wachmann, Orangerie, …) so
+    # the cascade's morphology rules are measured on unseen vocabulary,
+    # not on memorized entries ------------------------------------------
+    ("Der Künstler malte dieses Porträt in Paris",
+     "DET NOUN VERB DET NOUN ADP NOUN"),
+    ("Wir bestellten zwei Karten im Voraus",
+     "PRON VERB NUM NOUN ADP NOUN"),
+    ("Die Kinder spielten im Innenhof des Palais",
+     "DET NOUN VERB ADP NOUN DET NOUN"),
+    ("Ein Wachmann erklärte uns den Weg zur Orangerie",
+     "DET NOUN VERB PRON DET NOUN ADP NOUN"),
+    ("Die Skulpturen wirken lebendig und kräftig",
+     "DET NOUN VERB ADJ CCONJ ADJ"),
+    ("Man spürte die Begeisterung der Besucher",
+     "PRON VERB DET NOUN DET NOUN"),
+    ("Das Orchester probte hinter der Bühne",
+     "DET NOUN VERB ADP DET NOUN"),
+    ("Seine Werke hängen seit Jahren in unserer Galerie",
+     "DET NOUN VERB ADP NOUN ADP DET NOUN"),
+    ("Die Renovierung dauerte fast vier Monate",
+     "DET NOUN VERB ADV NUM NOUN"),
+    ("Ihr findet die Garderobe neben dem Aufzug",
+     "PRON VERB DET NOUN ADP DET NOUN"),
+    ("Ein Gemälde wurde gestohlen und danach zurückgebracht",
+     "DET NOUN AUX VERB CCONJ ADV VERB"),
+    ("Die Broschüre beschreibt jede Epoche im Detail",
+     "DET NOUN VERB DET NOUN ADP NOUN"),
+    ("Man wartete kaum zehn Minuten",
+     "PRON VERB ADV NUM NOUN"),
+    ("Die Fotografien zeigten das alte Potsdam",
+     "DET NOUN VERB DET ADJ NOUN"),
+    ("Besucher loben den neuen Audioguide",
+     "NOUN VERB DET ADJ NOUN"),
 ]
 
 
