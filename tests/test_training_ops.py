@@ -380,6 +380,19 @@ def test_curate_corpus_every_stage_fires(spark):
     # split/shard assigned everywhere
     assert all(r.split in (0, 1, 2) and r.shard is not None for r in out)
     assert all(r.copy_id == 1 for r in out)
+    # near_dup_max_bucket plumbing reaches the LSH join: a cap larger
+    # than any bucket on this corpus is a no-op (identical output), and
+    # a cap of 0 excludes every bucket so near-dup grouping finds
+    # nothing — doc 5 (the shorter near-dup) then survives too
+    capped = curate_corpus(docs, source_col="source", min_tokens=5,
+                           lm_quantile=None, shard_tokens=8,
+                           near_dup_max_bucket=1_000).collect()
+    assert {(r.doc_id, r.text, r.split, r.shard) for r in capped} == \
+        {(r.doc_id, r.text, r.split, r.shard) for r in out}
+    no_lsh = curate_corpus(docs, source_col="source", min_tokens=5,
+                           lm_quantile=None, shard_tokens=8,
+                           near_dup_max_bucket=0).collect()
+    assert {r.doc_id for r in no_lsh} == {1, 3, 4, 5, 6}
 
 
 def test_curate_corpus_lm_gate_drops_gibberish(spark):
