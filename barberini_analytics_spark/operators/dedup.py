@@ -20,7 +20,7 @@ hash functions in results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import hash56
 
@@ -486,6 +486,163 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
                     F.when(kept, F.struct(F.col("seg_index").alias("p"),
                                           F.col("segment").alias("s"))))),
                 lambda x: x["s"])).alias("text_kept_first"),
+        )
+    )
+
+
+def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
+                      k: int = 50) -> DataFrame:
+    """Overlapping token ``k``-gram fingerprints with positions: one row
+    per ``(id, pos, kgram_fp)`` for every start position ``pos`` in
+    ``0..n_tokens-k`` (normalized lowercase whitespace tokens).
+
+    This is the substring-dedup grain (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): the suffix-array
+    structure the paper builds is single-machine; the Spark-first
+    equivalent is this linear fingerprint stream — ~one output row per
+    corpus token, the same O(n) footprint as the suffix array, but
+    shuffle-partitioned instead of memory-resident.  The k-token concat
+    feeding each hash is transient inside the codegen ``transform``; only
+    ``(id, pos, 8-byte fp)`` leaves the scan.
+
+    Documents shorter than ``k`` tokens emit no rows (they have no
+    ``k``-token substring; document-grain exact dedup covers them).
+    """
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    fps = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - k),
+        lambda p: hash56(F.concat_ws(" ", F.slice(tokens, p + 1, k))),
+    )
+    # explicit-count repartition before the CPU-bound fan-out (see
+    # word_shingles: bare repartition(col) is AQE-coalescible to ~1)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+    return (
+        df.filter(F.size(tokens) >= k)
+        .repartition(n_part, F.col(id_col))
+        .select(F.col(id_col),
+                F.posexplode(fps).alias("pos", "kgram_fp"))
+    )
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 50) -> DataFrame:
+    """Maximal duplicated token spans per document — exact substring
+    dedup at span grain (Lee et al. 2021 semantics, keep-first policy).
+
+    A position is *duplicated* when its ``k``-gram's content occurred
+    earlier in the corpus (global order ``(id, pos)`` — the corpus-wide
+    keep-first convention :func:`dedup_segments` also uses; the paper
+    drops every copy, keep-first additionally preserves one).
+    Overlapping/adjacent duplicated ``k``-grams are merged into maximal
+    half-open token spans ``[span_start, span_end)``.
+
+    Returns one row per span: ``(id, span_start, span_end, n_kgram_hits)``.
+
+    100 TB shape: the only corpus-size shuffle is the fingerprint
+    aggregate (map-side-combining ``min(struct(id, pos)) + count``, one
+    8-byte key); the hit join reuses that hash partitioning; the
+    interval merge is a per-document window over the *duplicated* rows
+    only (a corpus-duplication-fraction subset, each document's rows
+    bounded by its own length).  A k-gram shared by millions of
+    documents is an aggregate fan-in plus an equi-join fan-out — never a
+    self-join, so no hot bucket goes quadratic.
+    """
+    from ..core.cache import scoped_persist
+
+    # the occurrence stream feeds the first-occurrence aggregate AND the
+    # hit join; persist so the O(n·k) k-gram hashing scan runs once
+    occ = scoped_persist(kgram_occurrences(df, id_col, text_col, k))
+    first = occ.groupBy("kgram_fp").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("__first"),
+    )
+    dups = (
+        occ.join(first, "kgram_fp")
+        .filter(~((F.col("__first.i") == F.col(id_col))
+                  & (F.col("__first.p") == F.col("pos"))))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1) \
+        .otherwise(0)
+    spans = (
+        dups.withColumn("__new", is_new)
+        .withColumn("__span", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "__span")
+        .agg(F.min("pos").cast("long").alias("span_start"),
+             (F.max("pos") + k).cast("long").alias("span_end"),
+             F.count(F.lit(1)).alias("n_kgram_hits"))
+        .drop("__span")
+    )
+    return spans
+
+
+def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                k: int = 50) -> DataFrame:
+    """Document-grain exact substring dedup: remove every maximal token
+    span (≥ ``k`` tokens) whose content appeared earlier in the corpus,
+    and reassemble the surviving text.
+
+    The missing member of the dedup family between :func:`exact_dedup`
+    (whole-document grain) and :func:`dedup_segments` (fixed
+    non-overlapping block grain): block dedup cannot see a duplicated
+    passage that straddles a block boundary or starts mid-block; the
+    overlapping ``k``-gram stream sees every duplicated substring of
+    length ≥ ``k`` at its exact extent, which is what Lee et al. 2021
+    showed matters for memorization.
+
+    Returns one row per input document:
+
+    - ``n_tokens`` — normalized token count;
+    - ``n_dup_kgrams`` — duplicated ``k``-gram positions;
+    - ``n_dup_spans`` — maximal duplicated spans;
+    - ``n_dup_span_tokens`` — tokens covered by those spans (spans are
+      disjoint after merging, so this is exact coverage);
+    - ``text_span_deduped`` — the document re-joined from uncovered
+      tokens in original order ('' when fully covered).
+
+    Reconstruction is per-document codegen array work (``filter`` over
+    the position range against the ≤ len/k merged spans) — no second
+    corpus shuffle beyond the one the span derivation already pays plus
+    the join back on the document id.
+    """
+    spans = duplicate_spans(df, id_col, text_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_kgram_hits").alias("n_dup_kgrams"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .alias("n_dup_span_tokens"),
+        F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                F.col("span_end").alias("e")))
+        .alias("__spans"),
+    )
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"]))
+    kept = F.filter(F.sequence(F.lit(0), F.size("__toks") - 1),
+                    lambda i: ~covered(i))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("__toks", tokens)
+        .withColumn("__spans", F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<s:long,e:long>>")))
+        .select(
+            id_col,
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_kgrams"), F.lit(0)).cast("long")
+            .alias("n_dup_kgrams"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("n_dup_span_tokens"), F.lit(0)).cast("long")
+            .alias("n_dup_span_tokens"),
+            F.concat_ws(" ", F.transform(
+                kept, lambda i: F.get("__toks", i)))
+            .alias("text_span_deduped"),
         )
     )
 

@@ -51,6 +51,79 @@ _BAND_UNION = "\n        UNION ALL ".join(
 
 _SEG_TOKENS = 10
 
+#: substring-span dedup k-gram width for the registry entry — 8 tokens so
+#: the sf0.01 fixture's planted duplication actually fires (the operator's
+#: production default is the Lee et al. 50)
+_SPAN_K = 8
+
+_SPAN_CTES = rf"""
+    kgarr AS (
+        SELECT doc_id,
+               [{_hash56_sql(f"array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')")}
+                for i in generate_series(1, len(toks) - {_SPAN_K - 1})] AS fps
+        FROM t WHERE len(toks) >= {_SPAN_K}
+    ),
+    kg AS (
+        SELECT doc_id, generate_subscripts(fps, 1) - 1 AS pos, unnest(fps) AS fp
+        FROM kgarr
+    ),
+    kfirst AS (
+        SELECT fp, doc_id AS fd, pos AS fpos FROM (
+            SELECT fp, doc_id, pos,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, pos) AS rn
+            FROM kg) WHERE rn = 1
+    ),
+    kdup AS (
+        SELECT kg.doc_id, kg.pos
+        FROM kg JOIN kfirst USING (fp)
+        WHERE NOT (kg.doc_id = kfirst.fd AND kg.pos = kfirst.fpos)
+    ),
+    kmark AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(max(pos + {_SPAN_K}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM kdup
+    ),
+    kspan AS (
+        SELECT doc_id, span_id, min(pos) AS s, max(pos) + {_SPAN_K} AS e
+        FROM (SELECT doc_id, pos,
+                     sum(is_new) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS span_id
+              FROM kmark)
+        GROUP BY 1, 2
+    ),
+    kcov AS (
+        SELECT doc_id, unnest(generate_series(s, e - 1)) AS ti FROM kspan
+    ),
+    ktok AS (
+        SELECT doc_id, generate_subscripts(toks, 1) - 1 AS ti,
+               unnest(toks) AS tk
+        FROM t
+    ),
+    kkept AS (
+        SELECT k.doc_id, k.ti, k.tk
+        FROM ktok k LEFT JOIN kcov c ON k.doc_id = c.doc_id AND k.ti = c.ti
+        WHERE c.ti IS NULL
+    ),
+    kdoc AS (
+        SELECT t.doc_id,
+               CAST(coalesce(d.nk, 0) AS BIGINT) AS n_dup_kgrams,
+               CAST(coalesce(sp.ns, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(sp.nt, 0) AS BIGINT) AS n_dup_span_tokens,
+               md5(coalesce(kept.txt, '')) AS span_digest
+        FROM t
+        LEFT JOIN (SELECT doc_id, count(*) AS nk
+                   FROM kdup GROUP BY 1) d USING (doc_id)
+        LEFT JOIN (SELECT doc_id, count(*) AS ns, sum(e - s) AS nt
+                   FROM kspan GROUP BY 1) sp USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS txt
+                   FROM kkept GROUP BY 1) kept USING (doc_id)
+    )
+"""
+
 _SIMHASH_BITS = 16
 
 _BIT_SUMS = ",\n               ".join(
@@ -145,13 +218,16 @@ _SIG_SUM = " + ".join(
     ),
     sims AS (
         SELECT doc_id, CAST({_SIG_SUM} AS BIGINT) AS simhash FROM simsum
-    )
+    ),
+    {_SPAN_CTES}
     SELECT f.doc_id, f.fingerprint, g.rep_id, g.n_dups,
            f.doc_id = g.rep_id AS is_rep,
            sd.n_segments, sd.n_kept_first, sd.n_common_segments,
-           sd.dedup_digest, sims.simhash
+           sd.dedup_digest, sims.simhash,
+           kd.n_dup_kgrams, kd.n_dup_spans, kd.n_dup_span_tokens,
+           kd.span_digest
     FROM f JOIN g USING (fingerprint) JOIN segd sd USING (doc_id)
-    JOIN sims USING (doc_id)
+    JOIN sims USING (doc_id) JOIN kdoc kd USING (doc_id)
     """,
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +253,13 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     of signature width.  (Consolidated here because the correctness
     driver records at most 50 registry entries; the operator keeps its
     own unit tests.)
+
+    Substring-span half (:func:`...operators.dedup.dedup_spans`, the
+    Lee et al. 2021 grain): maximal duplicated ≥``_SPAN_K``-token spans
+    removed keep-first, with the reconstructed text hash-checked through
+    ``span_digest`` — the oracle reproduces the overlapping k-gram
+    fingerprints, the global first-occurrence ranking, the windowed
+    interval merge, AND the span-removal reassembly bit-exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     per_doc = X.fingerprint(docs).select("doc_id", "fingerprint")
@@ -184,10 +267,14 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = D.dedup_segments(docs, "doc_id",
                             tokens_per_segment=_SEG_TOKENS, min_docs=2)
     sims = D.simhash(docs, "doc_id", bits=_SIMHASH_BITS)
+    spans = D.dedup_spans(docs, "doc_id", k=_SPAN_K)
     return (
         per_doc.join(groups, "fingerprint")
         .join(segs, "doc_id")
         .join(sims, "doc_id")
+        .join(spans.select(
+            "doc_id", "n_dup_kgrams", "n_dup_spans", "n_dup_span_tokens",
+            F.md5("text_span_deduped").alias("span_digest")), "doc_id")
         .select(
             "doc_id", "fingerprint", "rep_id",
             F.col("n_dups").cast("long").alias("n_dups"),
@@ -198,6 +285,8 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_common_segments"),
             F.md5("text_kept_first").alias("dedup_digest"),
             "simhash",
+            "n_dup_kgrams", "n_dup_spans", "n_dup_span_tokens",
+            "span_digest",
         )
     )
 

@@ -323,3 +323,26 @@ def test_word_shingles_exchange_is_pinned_by_num(spark):
         .executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan, plan[:2000]
     assert "REPARTITION_BY_COL" not in plan, plan[:2000]
+
+
+def test_dedup_spans_plan_shape(spark):
+    """Substring-span dedup's 100 TB contract: the k-gram length gate is
+    pushed into the scan, the O(n·k) k-gram fan-out sits behind a
+    REPARTITION_BY_NUM exchange (AQE-immune, same rationale as
+    word_shingles), the occurrence stream is persisted so the hashing
+    scan runs ONCE for both the first-occurrence aggregate and the hit
+    join, and nothing in the plan is a cartesian product — the
+    duplicated-k-gram derivation is aggregate + equi-join, never a
+    self-join, so a k-gram shared by millions of docs cannot go
+    quadratic."""
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = dedup_spans(docs, "doc_id", k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    assert "InMemoryRelation" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "size(split" in plan.split("FileScan", 1)[1].split(
+        "ReadSchema")[0] or "DataFilters: [(size" in plan, \
+        "token-count gate not pushed to the scan"

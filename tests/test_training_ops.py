@@ -872,3 +872,112 @@ def test_srp_max_bucket_guards_degenerate_buckets(spark):
               for r in srp_candidate_pairs(df, max_bucket=10).collect()}
     assert (100, 101) in capped
     assert not any(i < 100 and j < 100 for i, j in capped)
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al. 2021 grain)
+# ---------------------------------------------------------------------------
+
+def _span_rows(spark, docs, k):
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r.doc_id: r for r in dedup_spans(df, "doc_id", k=k).collect()}
+
+
+def test_dedup_spans_removes_copied_passage_exactly(spark):
+    # doc b embeds tokens 5..16 of doc a (12 tokens) inside unique text;
+    # block-grain segment dedup would miss this (the copy starts mid-block)
+    a = [f"w{i}" for i in range(20)]
+    b = ["x0", "x1", "x2"] + a[5:17] + ["y0", "y1"]
+    out = _span_rows(spark, [("a", " ".join(a)), ("b", " ".join(b)),
+                             ("c", "entirely unrelated tokens only")], k=8)
+    # keep-first: the original is untouched
+    assert out["a"].n_dup_spans == 0
+    assert out["a"].text_span_deduped == " ".join(a)
+    # the copy is removed at its exact 12-token extent, nothing more
+    assert out["b"].n_dup_spans == 1
+    assert out["b"].n_dup_span_tokens == 12
+    assert out["b"].n_dup_kgrams == 12 - 8 + 1
+    assert out["b"].text_span_deduped == "x0 x1 x2 y0 y1"
+    assert out["c"].n_dup_spans == 0
+
+
+def test_dedup_spans_straddling_block_boundary_caught(spark):
+    # the case that motivates span grain: a 10-token copy placed so it
+    # straddles a 10-token block boundary in the copying doc — block-grain
+    # dedup_segments sees no duplicate block, span dedup sees the copy
+    from barberini_analytics_spark.operators.dedup import dedup_segments
+
+    a = [f"a{i}" for i in range(30)]
+    copied = a[0:10]
+    b = [f"b{i}" for i in range(5)] + copied + [f"c{i}" for i in range(5)]
+    docs = [("a", " ".join(a)), ("b", " ".join(b))]
+    seg = {r.doc_id: r for r in dedup_segments(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        "doc_id", tokens_per_segment=10).collect()}
+    assert seg["b"].n_kept_first == seg["b"].n_segments  # blocks blind
+    out = _span_rows(spark, docs, k=10)
+    assert out["b"].n_dup_spans == 1
+    assert out["b"].n_dup_span_tokens == 10
+    assert out["b"].text_span_deduped == \
+        " ".join([f"b{i}" for i in range(5)] + [f"c{i}" for i in range(5)])
+
+
+def test_dedup_spans_adjacent_and_overlapping_hits_merge(spark):
+    # two copied passages separated by ONE unique token stay two spans;
+    # back-to-back copies merge into one maximal span
+    a = [f"s{i}" for i in range(8)]
+    b = [f"t{i}" for i in range(8)]
+    gap_doc = a + ["u0"] + b                   # two spans
+    fused_doc = a + b                          # one maximal span
+    # keep-first is global (doc_id, pos) order — name originals so they
+    # sort first
+    out = _span_rows(spark, [
+        ("a1", " ".join(a)), ("a2", " ".join(b)),
+        ("gap", " ".join(gap_doc)), ("fused", " ".join(fused_doc)),
+    ], k=8)
+    assert out["gap"].n_dup_spans == 2
+    assert out["gap"].n_dup_span_tokens == 16
+    assert out["gap"].text_span_deduped == "u0"
+    assert out["fused"].n_dup_spans == 1
+    assert out["fused"].n_dup_span_tokens == 16
+    assert out["fused"].text_span_deduped == ""
+
+
+def test_dedup_spans_intra_document_repeat(spark):
+    # a doc repeating its own opening: the SECOND occurrence is the dup
+    a = [f"r{i}" for i in range(8)]
+    doc = a + ["mid"] + a
+    out = _span_rows(spark, [("solo", " ".join(doc))], k=8)
+    assert out["solo"].n_dup_spans == 1
+    assert out["solo"].n_dup_span_tokens == 8
+    assert out["solo"].text_span_deduped == " ".join(a + ["mid"])
+
+
+def test_dedup_spans_short_and_empty_docs_pass_through(spark):
+    out = _span_rows(spark, [("short", "only three tokens"),
+                             ("empty", "   ")], k=8)
+    assert out["short"].n_dup_spans == 0
+    assert out["short"].text_span_deduped == "only three tokens"
+    assert out["empty"].n_dup_spans == 0
+    assert out["empty"].text_span_deduped == ""
+
+
+def test_dedup_spans_partitioning_invariant(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(40)]
+    base = [" ".join(rng.choices(vocab, k=rng.randint(4, 30)))
+            for _ in range(30)]
+    # plant copies: doc i>=30 embeds a slice of doc i-30
+    docs = [(f"d{i}", t) for i, t in enumerate(base)]
+    docs += [(f"d{i + 30}", "pre " + t + " post") for i, t in enumerate(base)]
+    df1 = spark.createDataFrame(docs, ["doc_id", "text"])
+    df8 = df1.repartition(8)
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    r1 = {tuple(r) for r in dedup_spans(df1, "doc_id", k=5).collect()}
+    r8 = {tuple(r) for r in dedup_spans(df8, "doc_id", k=5).collect()}
+    assert r1 == r8
