@@ -41,6 +41,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   min_tokens: int = 5, min_alpha_ratio: float = 0.0,
                   lm_quantile: float | None = 0.95,
                   seg_tokens: int = 10,
+                  span_k: int | None = None,
                   near_dup_threshold: float = 0.5,
                   near_dup_max_bucket: int | None = None,
                   targets: dict[str, float] | None = None,
@@ -66,6 +67,12 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     ``gopher=True`` adds the published Gopher rule gate
     (:func:`..text.gopher_quality_filter` ``keep``) alongside stage
     1's cheap gates — both still map-only, so the stage stays one scan.
+    ``span_k`` (e.g. 50, the Lee et al. 2021 default) inserts exact
+    substring-span dedup between segment and near-dup dedup: maximal
+    duplicated ≥``span_k``-token spans are cut at their exact extent
+    (keep-first), catching cross-boundary copies the block-grain stage
+    cannot see; fully-covered documents drop out here instead of
+    reaching the LSH stage as trivial near-dups.
     """
     if targets is not None and source_col is None:
         raise ValueError("targets given but source_col is None")
@@ -75,7 +82,7 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             id_col, text_col, source_col, min_tokens, min_alpha_ratio,
             lm_quantile, seg_tokens, near_dup_threshold, targets,
             split_weights, shard_tokens, seed, scrub, gopher,
-            near_dup_max_bucket):
+            near_dup_max_bucket, span_k):
         out = fn(out)
     return out
 
@@ -84,7 +91,7 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
                      min_alpha_ratio, lm_quantile, seg_tokens,
                      near_dup_threshold, targets, split_weights,
                      shard_tokens, seed, scrub, gopher,
-                     near_dup_max_bucket=None):
+                     near_dup_max_bucket=None, span_k=None):
     """The curation recipe as named ``(stage, DataFrame→DataFrame)``
     steps — one definition serves both the fused lazy composition
     (:func:`curate_corpus`) and the per-stage profiler
@@ -147,6 +154,21 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
                         F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
         )
 
+    # -- 3.5 optional exact substring-span dedup ----------------------------
+    def stage_span_dedup(seg_kept):
+        from .dedup import dedup_spans
+
+        spand = dedup_spans(seg_kept, id_col, text_col, k=span_k)
+        return (
+            seg_kept.drop(text_col, "n_tokens")
+            .join(spand.filter(F.col("text_span_deduped") != "")
+                  .select(id_col,
+                          F.col("text_span_deduped").alias(text_col),
+                          (F.col("n_tokens")
+                           - F.col("n_dup_span_tokens")).alias("n_tokens")),
+                  id_col)
+        )
+
     # -- 4. near-dup dedup, longest member survives ------------------------
     def stage_near_dup(seg_kept):
         # near_dup_max_bucket: the hot-bucket guard of
@@ -187,6 +209,8 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
     stages.append(("gates", stage_gates))
     stages.append(("exact_dedup", stage_exact))
     stages.append(("segment_dedup", stage_segment))
+    if span_k is not None:
+        stages.append(("span_dedup", stage_span_dedup))
     stages.append(("near_dup", stage_near_dup))
     stages.append(("mix", stage_mix))
     stages.append(("split", stage_split))
@@ -201,6 +225,7 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                          min_tokens: int = 5, min_alpha_ratio: float = 0.0,
                          lm_quantile: float | None = 0.95,
                          seg_tokens: int = 10,
+                         span_k: int | None = None,
                          near_dup_threshold: float = 0.5,
                          near_dup_max_bucket: int | None = None,
                          targets: dict[str, float] | None = None,
@@ -284,7 +309,7 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                 id_col, text_col, source_col, min_tokens, min_alpha_ratio,
                 lm_quantile, seg_tokens, near_dup_threshold, targets,
                 split_weights, shard_tokens, seed, scrub, gopher,
-                near_dup_max_bucket):
+                near_dup_max_bucket, span_k):
             t0 = time.perf_counter()
             raw = fn(prev)
             nxt, nxt_handle = checkpoint(raw)

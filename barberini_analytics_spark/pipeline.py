@@ -262,6 +262,7 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
                      lm_quantile: float | None = 0.95,
                      targets: dict[str, float] | None = None,
                      near_dup_max_bucket: int | None = None,
+                     span_k: int | None = None,
                      seed: int = 42) -> dict[str, int]:
     """The LLM-corpus counterpart of :func:`fill_db`: one call takes the
     raw ``documents`` parquet through the full curation recipe
@@ -293,7 +294,7 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
         docs, source_col="source", lm_quantile=lm_quantile,
         targets=targets, shard_tokens=shard_tokens, seed=seed,
         scrub=scrub, gopher=gopher,
-        near_dup_max_bucket=near_dup_max_bucket)
+        near_dup_max_bucket=near_dup_max_bucket, span_k=span_k)
     curated = scoped_persist(curated)
     from .core.sinks import shard_manifest
 

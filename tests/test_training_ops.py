@@ -981,3 +981,60 @@ def test_dedup_spans_partitioning_invariant(spark):
     r1 = {tuple(r) for r in dedup_spans(df1, "doc_id", k=5).collect()}
     r8 = {tuple(r) for r in dedup_spans(df8, "doc_id", k=5).collect()}
     assert r1 == r8
+
+
+def test_curate_corpus_span_dedup_stage(spark):
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    # doc 1 is the original; doc 2 embeds a 12-token passage of doc 1
+    # between unique halves (NOT aligned to the 10-token segment grid, so
+    # the block stage alone cannot remove it); doc 3 is entirely a copy
+    # of doc 1's interior plus nothing else — fully covered, must drop
+    # out at the span stage; doc 4 is independent.
+    a = [f"a{i}" for i in range(30)]
+    copied = a[7:19]
+    d2 = [f"x{i}" for i in range(9)] + copied + [f"y{i}" for i in range(9)]
+    docs = spark.createDataFrame([
+        (1, " ".join(a), "s0"),
+        (2, " ".join(d2), "s0"),
+        (3, " ".join(a[5:25]), "s0"),
+        (4, " ".join(f"z{i}" for i in range(20)), "s1"),
+    ], ["doc_id", "text", "source"])
+
+    out = curate_corpus(docs, source_col="source", min_tokens=5,
+                        lm_quantile=None, span_k=10).collect()
+    rows = {r.doc_id: r for r in out}
+    # without span_k doc 2 keeps the copied passage — blocks are blind
+    # to the straddling copy (doc 3, a pure subset, still dies later at
+    # the near-dup stage; the span stage catches it EXACTLY, earlier)
+    base = {r.doc_id: r for r in curate_corpus(
+        docs, source_col="source", min_tokens=5,
+        lm_quantile=None).collect()}
+    assert " ".join(copied) in base[2].text
+    # with span_k: exact-extent cut, fully-covered doc gone
+    assert set(rows) == {1, 2, 4}
+    assert rows[2].text == " ".join(
+        [f"x{i}" for i in range(9)] + [f"y{i}" for i in range(9)])
+    assert rows[2].n_tokens == 18
+    assert rows[1].text == " ".join(a)   # keep-first: original intact
+
+
+def test_curate_stage_profile_includes_span_stage(spark):
+    from barberini_analytics_spark.operators.curation import (
+        curate_stage_profile)
+
+    a = [f"p{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(a), "s0"),
+         (2, "q0 q1 " + " ".join(a[3:23]) + " q2 q3", "s0"),
+         (3, " ".join(f"r{i}" for i in range(25)), "s1")],
+        ["doc_id", "text", "source"])
+    prof = curate_stage_profile(docs, source_col="source",
+                                lm_quantile=None, span_k=10)
+    stages = [p["stage"] for p in prof]
+    assert "span_dedup" in stages
+    i = stages.index("span_dedup")
+    assert stages[i - 1] == "segment_dedup" and stages[i + 1] == "near_dup"
+    span_row = prof[i]
+    assert span_row["rows_in"] == 3 and span_row["rows_out"] == 3
+    assert span_row["plan_chars"] < 2_000_000
