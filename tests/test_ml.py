@@ -315,3 +315,128 @@ def test_dbscan_chain_on_externally_written_embedding_parquet(spark,
             # singleton label groups legitimately have no pairwise cosine
             if r.sem_dup_of >= 0:
                 assert r.sem_max_cosine is not None
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (hashed-feature logistic regression)
+# ---------------------------------------------------------------------------
+
+def _lr_fixture(spark):
+    import random
+
+    rng = random.Random(11)
+    clean = ["the", "museum", "opens", "a", "new", "exhibition", "about",
+             "modern", "art", "with", "guided", "tours", "every", "day"]
+    junk = ["click", "here", "buy", "now", "$$$", "free", "winner",
+            "@@@", "spam", "qqq"]
+    rows = [(i, " ".join(rng.choices(clean, k=rng.randint(8, 25))), 1.0)
+            for i in range(120)]
+    rows += [(i + 120, " ".join(rng.choices(junk, k=rng.randint(8, 25))), 0.0)
+             for i in range(120)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_quality_classifier_separates_and_generalizes(spark):
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.ml.logreg import (
+        quality_classifier_score, train_quality_classifier)
+
+    df = _lr_fixture(spark)
+    model = train_quality_classifier(df, "doc_id", "label",
+                                     dim=128, iters=15)
+    scored = quality_classifier_score(df, model)
+    acc = scored.select(
+        ((F.col("quality_prob") > 0.5).cast("int")
+         == F.col("label").cast("int")).cast("int").alias("ok")) \
+        .agg(F.avg("ok")).first()[0]
+    assert acc >= 0.95
+    # held-out docs from the same distributions score on the right side
+    test = spark.createDataFrame([
+        (1000, "the museum opens guided tours about modern art"),
+        (1001, "click here free winner buy now spam"),
+    ], ["doc_id", "text"])
+    probs = {r.doc_id: r.quality_prob
+             for r in quality_classifier_score(test, model).collect()}
+    assert probs[1000] > 0.7 > 0.3 > probs[1001]
+
+
+def test_quality_classifier_apply_matches_sparse_training_path(spark):
+    """The map-only per-token fold and the trainer's sparse
+    Σ w_b·tf_b formulation must be the SAME number (modulo float
+    associativity) — otherwise the corpus-scale apply path scores a
+    different model than the one trained."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.ml.logreg import (
+        hashed_token_counts, quality_classifier_score,
+        train_quality_classifier)
+
+    df = _lr_fixture(spark)
+    model = train_quality_classifier(df, "doc_id", "label",
+                                     dim=64, iters=5)
+    fast = {r.doc_id: r.quality_prob
+            for r in quality_classifier_score(df, model).collect()}
+    wt = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(model["weights"])],
+        ["bucket", "__w"])
+    sparse = {
+        r.doc_id: 1.0 / (1.0 + math.exp(-(r.m + model["bias"])))
+        for r in hashed_token_counts(df, "doc_id", dim=64)
+        .join(wt, "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("__w")).alias("m")).collect()}
+    assert set(fast) == set(sparse)
+    assert all(abs(fast[d] - sparse[d]) < 1e-9 for d in fast)
+
+
+def test_quality_classifier_featurization_is_portable_md5(spark):
+    """Bucket assignment is the engine-portable hash56 (md5) — pinned
+    against an independent hashlib computation so the featurization can
+    be reproduced outside Spark (e.g. to apply the model in another
+    engine)."""
+    import hashlib
+
+    from barberini_analytics_spark.ml.logreg import hashed_token_counts
+
+    df = spark.createDataFrame([(1, "alpha beta beta gamma")],
+                               ["doc_id", "text"])
+    rows = {r.bucket: r.cnt
+            for r in hashed_token_counts(df, "doc_id", dim=32).collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:14], 16) % 32
+
+    expected = {}
+    for tok, n in (("alpha", 1.0), ("beta", 2.0), ("gamma", 1.0)):
+        b = bucket(tok)
+        expected[b] = expected.get(b, 0.0) + n
+    assert rows == expected
+
+
+def test_quality_classifier_apply_is_map_only(spark):
+    """The corpus-scale path must not shuffle: no Exchange, no UDF —
+    the weight array rides the plan as a bounded O(dim) literal."""
+    from barberini_analytics_spark.ml.logreg import quality_classifier_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = {"weights": [0.01] * 64, "bias": -0.5, "dim": 64}
+    plan = quality_classifier_score(docs, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_empty_doc_scores_bias(spark):
+    import math
+
+    from barberini_analytics_spark.ml.logreg import quality_classifier_score
+
+    df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
+    model = {"weights": [5.0] * 16, "bias": -1.25, "dim": 16}
+    probs = {r.doc_id: r.quality_prob
+             for r in quality_classifier_score(df, model).collect()}
+    want = 1.0 / (1.0 + math.exp(1.25))
+    assert all(abs(p - want) < 1e-12 for p in probs.values())
