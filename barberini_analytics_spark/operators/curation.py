@@ -49,7 +49,9 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   shard_tokens: int | None = None,
                   seed: int = 42,
                   scrub: bool = False,
-                  gopher: bool = False) -> DataFrame:
+                  gopher: bool = False,
+                  quality_model: dict | None = None,
+                  quality_threshold: float = 0.5) -> DataFrame:
     """Run the full curation recipe; returns one row per surviving
     document COPY with ``n_tokens``, ``lm_score``, ``split``,
     ``copy_id`` and (when ``shard_tokens`` is set) ``shard`` attached.
@@ -73,6 +75,11 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     (keep-first), catching cross-boundary copies the block-grain stage
     cannot see; fully-covered documents drop out here instead of
     reaching the LSH stage as trivial near-dups.
+    ``quality_model`` (a :func:`..ml.logreg.train_quality_classifier`
+    model dict) adds the trained webtext-filter gate alongside stage
+    1's heuristics: documents scoring under ``quality_threshold`` are
+    dropped.  Map-only against the broadcast weight literal, so the
+    stage stays one scan.
     """
     if targets is not None and source_col is None:
         raise ValueError("targets given but source_col is None")
@@ -82,7 +89,8 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             id_col, text_col, source_col, min_tokens, min_alpha_ratio,
             lm_quantile, seg_tokens, near_dup_threshold, targets,
             split_weights, shard_tokens, seed, scrub, gopher,
-            near_dup_max_bucket, span_k):
+            near_dup_max_bucket, span_k, quality_model,
+            quality_threshold):
         out = fn(out)
     return out
 
@@ -91,7 +99,8 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
                      min_alpha_ratio, lm_quantile, seg_tokens,
                      near_dup_threshold, targets, split_weights,
                      shard_tokens, seed, scrub, gopher,
-                     near_dup_max_bucket=None, span_k=None):
+                     near_dup_max_bucket=None, span_k=None,
+                     quality_model=None, quality_threshold=0.5):
     """The curation recipe as named ``(stage, DataFrame→DataFrame)``
     steps — one definition serves both the fused lazy composition
     (:func:`curate_corpus`) and the per-stage profiler
@@ -112,6 +121,13 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
         if gopher:
             docs = (gopher_quality_filter(docs, text_col)
                     .filter(F.col("keep"))
+                    .select(*base_cols))
+        if quality_model is not None:
+            from ..ml.logreg import quality_classifier_score
+
+            docs = (quality_classifier_score(docs, quality_model,
+                                             text_col)
+                    .filter(F.col("quality_prob") >= quality_threshold)
                     .select(*base_cols))
         prof = quality_features(docs.select(*base_cols), text_col)
         gated = prof.filter(
@@ -232,7 +248,9 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                          split_weights: Sequence[float] = (0.9, 0.05, 0.05),
                          shard_tokens: int | None = None,
                          seed: int = 42, scrub: bool = False,
-                         gopher: bool = False) -> list[dict]:
+                         gopher: bool = False,
+                         quality_model: dict | None = None,
+                         quality_threshold: float = 0.5) -> list[dict]:
     """Instrumented :func:`curate_corpus`: materialize each stage
     boundary and report wall time, rows in/out, and the stage's own plan
     size — the table that identifies the dominant stage at a given SF.
@@ -309,7 +327,8 @@ def curate_stage_profile(docs: DataFrame, id_col: str = "doc_id",
                 id_col, text_col, source_col, min_tokens, min_alpha_ratio,
                 lm_quantile, seg_tokens, near_dup_threshold, targets,
                 split_weights, shard_tokens, seed, scrub, gopher,
-                near_dup_max_bucket, span_k):
+                near_dup_max_bucket, span_k, quality_model,
+                quality_threshold):
             t0 = time.perf_counter()
             raw = fn(prev)
             nxt, nxt_handle = checkpoint(raw)

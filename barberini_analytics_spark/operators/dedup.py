@@ -526,16 +526,19 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                    k: int = 50) -> DataFrame:
+                    k: int = 50, policy: str = "keep_first") -> DataFrame:
     """Maximal duplicated token spans per document — exact substring
     dedup at span grain (Lee et al. 2021 semantics, keep-first policy).
 
-    A position is *duplicated* when its ``k``-gram's content occurred
-    earlier in the corpus (global order ``(id, pos)`` — the corpus-wide
-    keep-first convention :func:`dedup_segments` also uses; the paper
-    drops every copy, keep-first additionally preserves one).
-    Overlapping/adjacent duplicated ``k``-grams are merged into maximal
-    half-open token spans ``[span_start, span_end)``.
+    Under ``policy="keep_first"`` (default) a position is *duplicated*
+    when its ``k``-gram's content occurred earlier in the corpus
+    (global order ``(id, pos)`` — the corpus-wide keep-first convention
+    :func:`dedup_segments` also uses, preserving one copy of every
+    passage).  ``policy="drop_all"`` is the paper's exact semantics:
+    EVERY occurrence of a corpus-repeated ``k``-gram is duplicated,
+    including the first (Lee et al. remove all copies of a repeated
+    substring).  Overlapping/adjacent duplicated ``k``-grams are merged
+    into maximal half-open token spans ``[span_start, span_end)``.
 
     Returns one row per span: ``(id, span_start, span_end, n_kgram_hits)``.
 
@@ -552,17 +555,21 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
     # the occurrence stream feeds the first-occurrence aggregate AND the
     # hit join; persist so the O(n·k) k-gram hashing scan runs once
+    if policy not in ("keep_first", "drop_all"):
+        raise ValueError(f"unknown policy {policy!r}")
     occ = scoped_persist(kgram_occurrences(df, id_col, text_col, k))
     first = occ.groupBy("kgram_fp").agg(
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col("pos").alias("p"))).alias("__first"),
+        F.count(F.lit(1)).alias("__n_occ"),
     )
-    dups = (
-        occ.join(first, "kgram_fp")
-        .filter(~((F.col("__first.i") == F.col(id_col))
-                  & (F.col("__first.p") == F.col("pos"))))
-        .select(id_col, "pos")
-    )
+    joined = occ.join(first, "kgram_fp")
+    if policy == "drop_all":
+        dup_cond = F.col("__n_occ") > 1
+    else:
+        dup_cond = ~((F.col("__first.i") == F.col(id_col))
+                     & (F.col("__first.p") == F.col("pos")))
+    dups = joined.filter(dup_cond).select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -582,7 +589,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                k: int = 50) -> DataFrame:
+                k: int = 50, policy: str = "keep_first") -> DataFrame:
     """Document-grain exact substring dedup: remove every maximal token
     span (≥ ``k`` tokens) whose content appeared earlier in the corpus,
     and reassemble the surviving text.
@@ -610,7 +617,7 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
     corpus shuffle beyond the one the span derivation already pays plus
     the join back on the document id.
     """
-    spans = duplicate_spans(df, id_col, text_col, k)
+    spans = duplicate_spans(df, id_col, text_col, k, policy)
     per_doc = spans.groupBy(id_col).agg(
         F.sum("n_kgram_hits").alias("n_dup_kgrams"),
         F.count(F.lit(1)).alias("n_dup_spans"),

@@ -263,6 +263,8 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
                      targets: dict[str, float] | None = None,
                      near_dup_max_bucket: int | None = None,
                      span_k: int | None = None,
+                     quality_model: dict | None = None,
+                     quality_threshold: float = 0.5,
                      seed: int = 42) -> dict[str, int]:
     """The LLM-corpus counterpart of :func:`fill_db`: one call takes the
     raw ``documents`` parquet through the full curation recipe
@@ -294,7 +296,8 @@ def curate_to_shards(spark: SparkSession, sf_dir: str, out_dir: str,
         docs, source_col="source", lm_quantile=lm_quantile,
         targets=targets, shard_tokens=shard_tokens, seed=seed,
         scrub=scrub, gopher=gopher,
-        near_dup_max_bucket=near_dup_max_bucket, span_k=span_k)
+        near_dup_max_bucket=near_dup_max_bucket, span_k=span_k,
+        quality_model=quality_model, quality_threshold=quality_threshold)
     curated = scoped_persist(curated)
     from .core.sinks import shard_manifest
 

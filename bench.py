@@ -519,9 +519,13 @@ def main() -> None:
             if os.path.isdir(smaller) and smaller != sf_dir:
                 profile_dir = smaller
         t0 = time.perf_counter()
+        # span_k=25: the profile also times the substring-span dedup
+        # stage (r10) under bench conditions; 25 (vs the Lee et al.
+        # production 50) matches the bench corpus' shorter documents
         stage_rows = CUR.curate_stage_profile(
             load_table(spark, profile_dir, "documents"),
-            source_col="source", scrub=True, shard_tokens=50_000)
+            source_col="source", scrub=True, shard_tokens=50_000,
+            span_k=25)
         scale_timings["scale_curate_stage_profile"] = {
             "sec": round(time.perf_counter() - t0, 3),
             "sf_dir": os.path.basename(profile_dir.rstrip("/")),

@@ -1038,3 +1038,67 @@ def test_curate_stage_profile_includes_span_stage(spark):
     span_row = prof[i]
     assert span_row["rows_in"] == 3 and span_row["rows_out"] == 3
     assert span_row["plan_chars"] < 2_000_000
+
+
+def test_curate_corpus_trained_quality_gate(spark):
+    """The trained webtext filter composes into stage 1: junk documents
+    that sail past the heuristic gates (long enough, alphabetic, LM gate
+    off) are dropped by the classifier; clean docs and the rest of the
+    pipeline are untouched."""
+    import random
+
+    from barberini_analytics_spark.ml.logreg import (
+        train_quality_classifier)
+    from barberini_analytics_spark.operators.curation import curate_corpus
+
+    rng = random.Random(5)
+    clean_v = ["museum", "opens", "new", "exhibition", "modern", "art",
+               "guided", "tours", "visitors", "enjoy", "paintings"]
+    junk_v = ["click", "here", "buy", "now", "free", "winner", "spam",
+              "offer", "cash", "prize"]
+    labeled = spark.createDataFrame(
+        [(i, " ".join(rng.choices(clean_v, k=15)), 1.0)
+         for i in range(80)]
+        + [(i + 80, " ".join(rng.choices(junk_v, k=15)), 0.0)
+           for i in range(80)],
+        ["doc_id", "text", "label"])
+    model = train_quality_classifier(labeled, "doc_id", "label",
+                                     dim=64, iters=12)
+
+    target = spark.createDataFrame([
+        (1, " ".join(rng.choices(clean_v, k=20)), "s0"),
+        (2, " ".join(rng.choices(junk_v, k=20)), "s0"),
+        (3, " ".join(rng.choices(clean_v, k=20)), "s1"),
+    ], ["doc_id", "text", "source"])
+    base = {r.doc_id for r in curate_corpus(
+        target, source_col="source", min_tokens=5,
+        lm_quantile=None).collect()}
+    assert base == {1, 2, 3}          # heuristics alone keep the junk
+    gated = {r.doc_id for r in curate_corpus(
+        target, source_col="source", min_tokens=5, lm_quantile=None,
+        quality_model=model).collect()}
+    assert gated == {1, 3}
+
+
+def test_dedup_spans_drop_all_policy(spark):
+    """policy='drop_all' is the paper's exact semantics: EVERY copy of
+    a corpus-repeated passage goes, including the first occurrence."""
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    a = [f"w{i}" for i in range(8)]
+    docs = spark.createDataFrame([
+        ("a1", " ".join(a + ["tail1"])),
+        ("b1", " ".join(["head2"] + a)),
+        ("c1", " ".join(f"u{i}" for i in range(10))),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           dedup_spans(docs, "doc_id", k=8, policy="drop_all").collect()}
+    assert out["a1"].text_span_deduped == "tail1"     # first copy ALSO cut
+    assert out["b1"].text_span_deduped == "head2"
+    assert out["c1"].n_dup_spans == 0
+    kept = {r.doc_id: r for r in
+            dedup_spans(docs, "doc_id", k=8).collect()}
+    assert kept["a1"].text_span_deduped == " ".join(a + ["tail1"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup_spans(docs, "doc_id", k=8, policy="nope").collect()
