@@ -265,7 +265,9 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
 def curate_stream(docs: DataFrame, corpus_bloom: DataFrame,
                   min_tokens: int = 5, min_alpha_ratio: float = 0.0,
                   watermark: str = "2 hours",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  quality_model: dict | None = None,
+                  quality_threshold: float = 0.5) -> DataFrame:
     """Streaming ingestion guard for a training corpus — the
     stream-shaped front half of ``operators/curation.curate_corpus``:
 
@@ -278,7 +280,11 @@ def curate_stream(docs: DataFrame, corpus_bloom: DataFrame,
        false-positive fraction of genuinely-new docs goes with it —
        conservative by design, the batch reconcile pass recovers them
        with the exact anti-join);
-    4. map-side quality gates (token count, alphabetic ratio).
+    4. map-side quality gates (token count, alphabetic ratio), plus the
+       trained webtext filter when ``quality_model`` is given — the
+       classifier apply path is a stateless per-token fold against a
+       broadcast weight literal (``ml/logreg.py``), so it is
+       streaming-legal by construction.
 
     Heavier scoring (LM cross-entropy, near-dup LSH) stays in the batch
     layer — those need corpus-level aggregation, which is exactly what a
@@ -294,11 +300,18 @@ def curate_stream(docs: DataFrame, corpus_bloom: DataFrame,
     d = bloom_flag(d, corpus_bloom, "fingerprint")
     d = d.filter(~F.col("might_be_member")).drop("might_be_member")
     d = quality_features(d, text_col)
-    return (d.filter((F.col("n_tokens") >= min_tokens)
-                     & (F.col("alpha_ratio") >= min_alpha_ratio))
-            .drop("tokens", "n_chars", "n_distinct_tokens", "n_stopwords",
-                  "mean_token_len", "stopword_ratio", "alpha_ratio",
-                  "distinct_ratio"))
+    d = (d.filter((F.col("n_tokens") >= min_tokens)
+                  & (F.col("alpha_ratio") >= min_alpha_ratio))
+         .drop("tokens", "n_chars", "n_distinct_tokens", "n_stopwords",
+               "mean_token_len", "stopword_ratio", "alpha_ratio",
+               "distinct_ratio"))
+    if quality_model is not None:
+        from ..ml.logreg import quality_classifier_score
+
+        d = (quality_classifier_score(d, quality_model, text_col)
+             .filter(F.col("quality_prob") >= quality_threshold)
+             .drop("quality_prob"))
+    return d
 
 
 def upsert_stream(events: DataFrame, path: str, pk: Sequence[str],

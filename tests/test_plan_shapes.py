@@ -34,8 +34,12 @@ PRUNING_CASES = [
     # half's (fp,id) aggregate, fp aggregate, occurrence join, and
     # doc-grain reassembly (each a keyed shuffle of narrow rows), plus
     # the consolidated simhash rider: its doc-grain bit-sum aggregate
-    # and the doc-id join back (r7: registry capped at 50 entries)
-    ("exact_dedup_documents", 11, "n_chars"),
+    # and the doc-id join back (r7: registry capped at 50 entries),
+    # plus the r10 substring-span rider: the k-gram re-spread, the
+    # first-occurrence fp aggregate + hit join, the per-doc interval-
+    # merge window, the span aggregate, and the doc-grain join back —
+    # again all keyed shuffles of narrow (id, pos, fp) rows
+    ("exact_dedup_documents", 18, "n_chars"),
     # profile is a map pipeline plus one explicit scan re-spread (the
     # local parquet is a single unsplittable row group) and the shard
     # packer's two exchanges (range partition + the pid-keyed window

@@ -302,3 +302,59 @@ def test_curate_stream_matches_batch_guard(spark, tmp_path):
     # and the short doc are dropped
     assert ids == list(range(8))
     assert "fingerprint" in got.columns and "n_tokens" in got.columns
+
+
+def test_curate_stream_trained_quality_gate(spark, tmp_path):
+    """The trained webtext filter runs inside the streaming guard: the
+    classifier apply path is a stateless map-only fold, so it composes
+    with watermark dedup + Bloom novelty without new state."""
+    import datetime
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from barberini_analytics_spark.ml.logreg import (
+        train_quality_classifier)
+    from barberini_analytics_spark.operators.dedup import fingerprint_index
+
+    rng = random.Random(3)
+    clean_v = ["museum", "opens", "new", "exhibition", "modern", "art",
+               "guided", "tours", "visitors", "enjoy"]
+    junk_v = ["click", "here", "buy", "now", "free", "winner", "spam",
+              "offer", "cash", "prize"]
+    labeled = spark.createDataFrame(
+        [(i, " ".join(rng.choices(clean_v, k=12)), 1.0)
+         for i in range(60)]
+        + [(i + 60, " ".join(rng.choices(junk_v, k=12)), 0.0)
+           for i in range(60)],
+        ["doc_id", "text", "label"])
+    model = train_quality_classifier(labeled, "doc_id", "label",
+                                     dim=64, iters=10)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, " ".join(rng.choices(clean_v, k=15))),
+        (2, t0 + datetime.timedelta(minutes=1),
+         " ".join(rng.choices(junk_v, k=15))),
+        (3, t0 + datetime.timedelta(minutes=2),
+         " ".join(rng.choices(clean_v, k=15))),
+    ]
+    d = tmp_path / "feed"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(
+        rows, columns=["doc_id", "ts", "text"])), str(d / "f1.parquet"),
+        coerce_timestamps="us")
+    corpus = spark.createDataFrame([(0, "unrelated historical doc")],
+                                   ["doc_id", "text"])
+    _, bloom = fingerprint_index(corpus, "doc_id")
+    schema = spark.read.parquet(str(d)).schema
+    stream = (spark.readStream.schema(schema).parquet(str(d))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    got = SJ.run_available_now(
+        SJ.curate_stream(stream, bloom, min_tokens=4,
+                         quality_model=model), "curated_q",
+        output_mode="append").toPandas()
+    assert sorted(got["doc_id"].tolist()) == [1, 3]
+    assert "quality_prob" not in got.columns
