@@ -335,3 +335,66 @@ def test_scrub_text_total_idempotent_and_clean(spark, texts):
         assert not (set(r.text) & forbidden), f"doc {i}: {r.text!r}"
         assert rows2[i] == r.text, "scrub must be idempotent"
         assert r.mojibake_hits >= 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(4, 12),
+       st.sampled_from(["keep_first", "drop_all"]))
+def test_dedup_spans_matches_python_reference(spark, seed, n_docs, policy):
+    """Substring-span dedup vs an exhaustive Python reference on random
+    corpora with planted copied passages: duplicated-k-gram counts,
+    maximal-span merging, exact coverage, and the reassembled text all
+    agree under BOTH policies."""
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    k = 3
+    rng = np.random.default_rng(seed)
+    base = [[f"w{rng.integers(12)}" for _ in range(rng.integers(1, 15))]
+            for _ in range(n_docs)]
+    # plant copies: ~half the docs get a slice of another doc spliced in
+    for i in range(n_docs):
+        if rng.random() < 0.5:
+            src = base[rng.integers(n_docs)]
+            if len(src) >= k:
+                a = rng.integers(0, len(src) - k + 1)
+                b = rng.integers(a + k, len(src) + 1)
+                cut = rng.integers(0, len(base[i]) + 1)
+                base[i] = base[i][:cut] + src[a:b] + base[i][cut:]
+    docs = [(i, " ".join(t)) for i, t in enumerate(base)]
+    toks = {i: t[:] for i, t in enumerate(base)}
+
+    # python reference: global first occurrence / occurrence counts
+    fp_first, fp_count, occ = {}, {}, []
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(max(len(t) - k + 1, 0)):
+            c = " ".join(t[p:p + k])
+            occ.append((i, p, c))
+            fp_count[c] = fp_count.get(c, 0) + 1
+            fp_first.setdefault(c, (i, p))
+    dup_pos: dict[int, list[int]] = {}
+    for i, p, c in occ:
+        dup = (fp_count[c] > 1 if policy == "drop_all"
+               else fp_first[c] != (i, p))
+        if dup:
+            dup_pos.setdefault(i, []).append(p)
+    expect = {}
+    for i in sorted(toks):
+        ps = sorted(dup_pos.get(i, []))
+        spans: list[list[int]] = []
+        for p in ps:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e))
+        kept = [t for j, t in enumerate(toks[i]) if j not in covered]
+        expect[i] = (len(ps), len(spans), len(covered), " ".join(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_dup_kgrams, r.n_dup_spans, r.n_dup_span_tokens,
+                      r.text_span_deduped)
+           for r in dedup_spans(df, "doc_id", k=k, policy=policy).collect()}
+    assert got == expect
