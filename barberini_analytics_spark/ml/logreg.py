@@ -133,6 +133,31 @@ def train_quality_classifier(labeled: DataFrame, id_col: str,
     return {"weights": w, "bias": b, "dim": dim}
 
 
+def save_quality_model(spark, model: dict, path: str) -> None:
+    """Persist a trained model as a plain parquet of ``(bucket, weight)``
+    rows plus a ``bucket = -1`` bias row — the build-once/apply-many
+    split (same production shape as ``ivf_pq_build``/``ivf_pq_search``):
+    train where the labeled sample lives, apply in any later job or any
+    other engine (the featurization hash is portable md5).  Overwrite
+    write: re-training replaces the model atomically at the parquet
+    directory grain."""
+    rows = [(int(i), float(w)) for i, w in enumerate(model["weights"])]
+    rows.append((-1, float(model["bias"])))
+    spark.createDataFrame(rows, ["bucket", "weight"]) \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_quality_model(spark, path: str) -> dict:
+    """Inverse of :func:`save_quality_model`; ``dim`` is recovered from
+    the row count, so the file is self-describing."""
+    rows = spark.read.parquet(path).collect()
+    weights = {r.bucket: r.weight for r in rows}
+    bias = weights.pop(-1)
+    dim = len(weights)
+    return {"weights": [weights[i] for i in range(dim)], "bias": bias,
+            "dim": dim}
+
+
 def quality_classifier_score(df: DataFrame, model: dict,
                              text_col: str = "text",
                              out_col: str = "quality_prob") -> DataFrame:

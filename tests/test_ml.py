@@ -440,3 +440,27 @@ def test_quality_classifier_empty_doc_scores_bias(spark):
              for r in quality_classifier_score(df, model).collect()}
     want = 1.0 / (1.0 + math.exp(1.25))
     assert all(abs(p - want) < 1e-12 for p in probs.values())
+
+
+def test_quality_classifier_model_roundtrip(spark, tmp_path):
+    """save → load → score is the identity: the persisted parquet is
+    the build-once/apply-many handoff, so scores after a round trip are
+    bit-identical to the in-memory model's."""
+    from barberini_analytics_spark.ml.logreg import (
+        load_quality_model, quality_classifier_score, save_quality_model,
+        train_quality_classifier)
+
+    df = _lr_fixture(spark)
+    model = train_quality_classifier(df, "doc_id", "label",
+                                     dim=32, iters=4)
+    path = str(tmp_path / "qmodel")
+    save_quality_model(spark, model, path)
+    back = load_quality_model(spark, path)
+    assert back["dim"] == model["dim"]
+    assert back["bias"] == model["bias"]
+    assert back["weights"] == model["weights"]
+    a = {r.doc_id: r.quality_prob
+         for r in quality_classifier_score(df, model).collect()}
+    b = {r.doc_id: r.quality_prob
+         for r in quality_classifier_score(df, back).collect()}
+    assert a == b
