@@ -138,34 +138,98 @@ def save_quality_model(spark, model: dict, path: str) -> None:
     rows plus a ``bucket = -1`` bias row — the build-once/apply-many
     split (same production shape as ``ivf_pq_build``/``ivf_pq_search``):
     train where the labeled sample lives, apply in any later job or any
-    other engine (the featurization hash is portable md5).  Overwrite
-    write: re-training replaces the model atomically at the parquet
-    directory grain."""
+    other engine (the featurization hash is portable md5).
+
+    Replacement semantics: on a local filesystem the new model is
+    written to a sibling temp directory and swapped in with two
+    renames, so a concurrent :func:`load_quality_model` can race only
+    with a millisecond rename pair, never with the parquet write
+    itself (Spark's ``mode("overwrite")`` deletes-then-writes, which
+    would expose a missing or torn directory for the whole write).
+    For non-local URIs (``scheme://``) rename semantics vary by store,
+    so the plain overwrite is used and replacement is NOT atomic for
+    concurrent readers — version the path and flip a pointer there.
+    """
+    import os
+    import shutil
+    import uuid
+
     rows = [(int(i), float(w)) for i, w in enumerate(model["weights"])]
     rows.append((-1, float(model["bias"])))
-    spark.createDataFrame(rows, ["bucket", "weight"]) \
-        .coalesce(1).write.mode("overwrite").parquet(path)
+    frame = spark.createDataFrame(rows, ["bucket", "weight"]).coalesce(1)
+    if "://" in path:
+        frame.write.mode("overwrite").parquet(path)
+        return
+    tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex}"
+    frame.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex}"
+    try:
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def load_quality_model(spark, path: str) -> dict:
     """Inverse of :func:`save_quality_model`; ``dim`` is recovered from
-    the row count, so the file is self-describing."""
+    the row count, so the file is self-describing.
+
+    The loaded rows are validated — bias row present, bucket ids
+    contiguous ``0..dim-1`` with no duplicates — so a torn or
+    hand-damaged model file raises a descriptive :class:`ValueError`
+    naming the path instead of a bare ``KeyError`` deep in scoring.
+    """
     rows = spark.read.parquet(path).collect()
+    buckets = [r.bucket for r in rows]
+    if len(set(buckets)) != len(buckets):
+        dupes = sorted({b for b in buckets if buckets.count(b) > 1})[:5]
+        raise ValueError(
+            f"quality model at {path!r} is corrupt: duplicate bucket "
+            f"rows {dupes}")
     weights = {r.bucket: r.weight for r in rows}
+    if -1 not in weights:
+        raise ValueError(
+            f"quality model at {path!r} is corrupt: missing the "
+            f"bucket=-1 bias row ({len(rows)} rows present)")
     bias = weights.pop(-1)
     dim = len(weights)
+    missing = [i for i in range(dim) if i not in weights]
+    if missing:
+        raise ValueError(
+            f"quality model at {path!r} is corrupt: bucket ids are not "
+            f"contiguous 0..{dim - 1} (first missing: {missing[:5]}, "
+            f"unexpected: {sorted(b for b in weights if not 0 <= b < dim)[:5]})")
     return {"weights": [weights[i] for i in range(dim)], "bias": bias,
             "dim": dim}
 
 
+#: above this ``dim`` the weight array rides a one-row broadcast table
+#: instead of a plan literal — same bound-the-plan pattern as the ADC
+#: LUT path (``operators/similarity.py`` ``lut_literal_max``): a
+#: dim=2^20 model as a literal would be megabytes of plan text re-parsed
+#: per query, while the broadcast row is data, not plan.
+WEIGHT_LITERAL_MAX = 4096
+
+
 def quality_classifier_score(df: DataFrame, model: dict,
                              text_col: str = "text",
-                             out_col: str = "quality_prob") -> DataFrame:
+                             out_col: str = "quality_prob",
+                             weight_literal_max: int | None = None,
+                             ) -> DataFrame:
     """Map-only application: ``σ(b + Σ_tokens w[h(token)])`` as a fold
-    over the token array against the broadcast weight literal — no
-    feature vector, no shuffle, no UDF.  This is the path that runs over
-    the full 100 TB corpus; plan size is O(dim) (the weight literal),
-    independent of data.
+    over the token array against the broadcast weight array — no
+    feature vector, no shuffle, no UDF.  This is the path that runs
+    over the full 100 TB corpus.
+
+    Plan size is bounded: models up to ``weight_literal_max`` buckets
+    (default :data:`WEIGHT_LITERAL_MAX`) embed the weights as an O(dim)
+    array literal; larger models ride a ONE-ROW broadcast table through
+    a broadcast nested-loop join (still map-only — no shuffle of corpus
+    rows, and the plan is O(1) in ``dim``).  Both paths compute the
+    identical fold, test-pinned against each other.
 
     The token-sum formulation is exactly the sparse ``Σ_b w_b·tf_b`` the
     trainer optimizes — per-token lookup and per-bucket count·weight are
@@ -173,13 +237,25 @@ def quality_classifier_score(df: DataFrame, model: dict,
     """
     w = model["weights"]
     dim = model["dim"]
-    weights_lit = F.array(*[F.lit(float(x)) for x in w])
+    cap = WEIGHT_LITERAL_MAX if weight_literal_max is None \
+        else weight_literal_max
+    drop_cols: list[str] = []
+    if dim <= cap:
+        weights_arr = F.array(*[F.lit(float(x)) for x in w])
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame([([float(x) for x in w],)],
+                                    "__qc_weights: array<double>")
+        df = df.crossJoin(F.broadcast(wdf))
+        weights_arr = F.col("__qc_weights")
+        drop_cols = ["__qc_weights"]
     tokens = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "")
     margin = F.aggregate(
         tokens, F.lit(float(model["bias"])),
-        lambda acc, t: acc + F.get(weights_lit,
+        lambda acc, t: acc + F.get(weights_arr,
                                    F.pmod(hash56(t), F.lit(dim))
                                    .cast("int")))
-    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
+    return df.withColumn(
+        out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).drop(*drop_cols)

@@ -464,3 +464,95 @@ def test_quality_classifier_model_roundtrip(spark, tmp_path):
     b = {r.doc_id: r.quality_prob
          for r in quality_classifier_score(df, back).collect()}
     assert a == b
+
+
+def test_quality_classifier_table_path_matches_literal(spark):
+    """Above the literal bound the weights ride a one-row broadcast
+    table; the fold must be the same number as the literal path (r10
+    advice: the ADC-LUT treatment for the classifier weights)."""
+    import random
+
+    from barberini_analytics_spark.ml.logreg import quality_classifier_score
+
+    rng = random.Random(7)
+    dim = 512
+    model = {"weights": [rng.uniform(-1, 1) for _ in range(dim)],
+             "bias": 0.3, "dim": dim}
+    df = _lr_fixture(spark).drop("label")
+    lit = {r.doc_id: r.quality_prob
+           for r in quality_classifier_score(
+               df, model, weight_literal_max=dim).collect()}
+    tab = {r.doc_id: r.quality_prob
+           for r in quality_classifier_score(
+               df, model, weight_literal_max=dim - 1).collect()}
+    assert set(lit) == set(tab)
+    assert all(abs(lit[d] - tab[d]) < 1e-12 for d in lit)
+    # the helper column must not leak into the output schema
+    cols = quality_classifier_score(
+        df, model, weight_literal_max=dim - 1).columns
+    assert "__qc_weights" not in cols
+
+
+def test_quality_classifier_plan_bounded_at_large_dim(spark):
+    """A dim=2^16 model must NOT inflate the plan: the weights are a
+    broadcast row (data), so plan text stays small and the scan side
+    still has no shuffle Exchange."""
+    from barberini_analytics_spark.ml.logreg import quality_classifier_score
+
+    dim = 1 << 16
+    model = {"weights": [0.0001] * dim, "bias": -0.5, "dim": dim}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = quality_classifier_score(docs, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 50_000, f"plan grew with dim: {len(plan)} chars"
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert out.count() > 0
+
+
+def test_load_quality_model_validates_torn_file(spark, tmp_path):
+    """A model parquet missing the bias row or with gapped buckets (the
+    state a torn overwrite can leave) raises a ValueError naming the
+    path, not a bare KeyError (r10 advice)."""
+    import pytest
+
+    from barberini_analytics_spark.ml.logreg import load_quality_model
+
+    no_bias = str(tmp_path / "no_bias")
+    spark.createDataFrame([(0, 0.1), (1, 0.2)], ["bucket", "weight"]) \
+        .write.parquet(no_bias)
+    with pytest.raises(ValueError, match="bias row"):
+        load_quality_model(spark, no_bias)
+
+    gapped = str(tmp_path / "gapped")
+    spark.createDataFrame([(-1, 0.0), (0, 0.1), (2, 0.2)],
+                          ["bucket", "weight"]).write.parquet(gapped)
+    with pytest.raises(ValueError, match="contiguous"):
+        load_quality_model(spark, gapped)
+
+    duped = str(tmp_path / "duped")
+    spark.createDataFrame([(-1, 0.0), (0, 0.1), (0, 0.2)],
+                          ["bucket", "weight"]).write.parquet(duped)
+    with pytest.raises(ValueError, match="duplicate"):
+        load_quality_model(spark, duped)
+
+
+def test_save_quality_model_swaps_via_rename(spark, tmp_path):
+    """Re-training over an existing local model leaves no temp/old
+    residue and the re-loaded model is the new one (the rename-swap
+    replacement path)."""
+    import os
+
+    from barberini_analytics_spark.ml.logreg import (
+        load_quality_model, save_quality_model)
+
+    path = str(tmp_path / "model")
+    save_quality_model(spark, {"weights": [1.0, 2.0], "bias": 0.5,
+                               "dim": 2}, path)
+    save_quality_model(spark, {"weights": [3.0, 4.0], "bias": -0.5,
+                               "dim": 2}, path)
+    back = load_quality_model(spark, path)
+    assert back == {"weights": [3.0, 4.0], "bias": -0.5, "dim": 2}
+    residue = [d for d in os.listdir(tmp_path)
+               if "__tmp_" in d or "__old_" in d]
+    assert residue == []
