@@ -126,6 +126,8 @@ def join_advice(left: DataFrame, right: DataFrame, on: str,
 
 
 def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
+                 how: str = "inner",
+                 set_partitions: bool = True,
                  broadcast_bytes: int = 10 * 1024 * 1024,
                  low_containment: float = 0.2,
                  target_partition_bytes: int = 128 * 1024 * 1024,
@@ -152,31 +154,47 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
     planning spend a 100 TB pipeline pays before an expensive join.
     ``tests/test_sinks.py`` pins that applying the advice actually flips
     the chosen physical plan.
+
+    ``how`` supports non-inner joins with the semantics-preserving
+    subset of strategies only: a LEFT join keeps unmatched left rows,
+    so Bloom-pruning the left side or broadcasting it (Spark builds
+    the hash table on the non-preserved side) would change results or
+    be unplannable — for ``how != "inner"`` only ``broadcast_right``
+    is applied and everything else degrades to the plain join.
+    ``set_partitions=False`` skips the shuffle-sizing probe entirely
+    (``"partition"`` is ``None`` in the evidence): for a hinted join
+    INSIDE a larger query, mutating the session-global partition count
+    would leak into unrelated stages — callers own that knob, and
+    paying the sizing aggregate for evidence nobody applies doubles
+    the probe cost for nothing.
     """
     adv = join_advice(left, right, on, broadcast_bytes,
                       low_containment, ndv_rsd).first().asDict()
-    bigger = left if adv["left_rows"] >= adv["right_rows"] else right
-    part = partition_advice(bigger, [on], target_partition_bytes,
-                            max_skew_ratio, ndv_rsd).first().asDict()
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(part["shuffle_partitions"]))
+    part = None
+    if set_partitions:
+        bigger = left if adv["left_rows"] >= adv["right_rows"] else right
+        part = partition_advice(bigger, [on], target_partition_bytes,
+                                max_skew_ratio, ndv_rsd).first().asDict()
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(part["shuffle_partitions"]))
     strategy = adv["advice"]
+    inner = how == "inner"
     if strategy == "broadcast_right":
-        out = left.join(F.broadcast(right), on)
-    elif strategy == "broadcast_left":
-        out = F.broadcast(left).join(right, on)
-    elif strategy == "bloom_prune_then_shuffle":
+        out = left.join(F.broadcast(right), on, how)
+    elif strategy == "broadcast_left" and inner:
+        out = F.broadcast(left).join(right, on, how)
+    elif strategy == "bloom_prune_then_shuffle" and inner:
         from ..operators.sketch import bloom_build, bloom_probe
 
         if adv["left_rows"] >= adv["right_rows"]:
             out = bloom_probe(left, bloom_build(right.select(on), on),
-                              on).join(right, on)
+                              on).join(right, on, how)
         else:
             out = left.join(
                 bloom_probe(right, bloom_build(left.select(on), on), on),
-                on)
+                on, how)
     else:
-        out = left.join(right, on)
+        out = left.join(right, on, how)
     return out, {"join": adv, "partition": part}
 
 

@@ -312,7 +312,8 @@ def exhibition_day(t: dict[str, DataFrame], today: str | Column) -> DataFrame:
 # customer_characteristics (migration_034.sql:7-193)
 # ---------------------------------------------------------------------------
 
-def customer_characteristics(t: dict[str, DataFrame]) -> DataFrame:
+def customer_characteristics(t: dict[str, DataFrame],
+                             advise: bool = False) -> DataFrame:
     """Per-customer order/booking/event aggregates, five mode-per-group
     columns, and the ``is_tourism_specialist`` 3VL flag.
 
@@ -321,13 +322,38 @@ def customer_characteristics(t: dict[str, DataFrame]) -> DataFrame:
     ``customer_id``.  Tie order of ``array_agg(... ORDER BY cnt DESC)[1]``
     is unspecified in Postgres — pinned here to (count DESC, value ASC) via
     ``mode_per_group``.
+
+    ``advise=True`` routes the view's one row-multiplying join — orders
+    ⋈ order_contains, the fact-to-fact join the view's other (dimension
+    -sized) joins don't compare to — through the statistics advisor
+    loop (:func:`..core.stats.apply_advice`): one-pass stats + HLL
+    probes pick broadcast / bloom-prune / plain shuffle from OBSERVED
+    sizes rather than Spark's static estimates (which go blind behind
+    filters and non-parquet sources at 100 TB).  Strategy-hint only —
+    the session-global shuffle-partition knob is not touched from
+    inside a registry query (``set_partitions=False``).  Results are
+    identical either way; the plan flip is pinned in
+    ``tests/test_plan_shapes.py``.
     """
     cust, orders = t["gomus_customer"], t["gomus_order"]
     oc, bookings, events = (t["gomus_order_contains"], t["gomus_booking"],
                             t["gomus_event"])
 
+    # project to the join's consumed columns BEFORE advising: the stats
+    # probes analyze what they are given, so handing them full rows
+    # would pay per-column NDV/length aggregates for columns the join
+    # never reads (and the plain path gets the same explicit pruning)
+    o_slim = orders.select("order_id", "customer_id")
+    oc_slim = oc.select("order_id", "quantity", "price")
+    if advise:
+        from ..core.stats import apply_advice
+
+        ordered, _ = apply_advice(orders.sparkSession, o_slim, oc_slim,
+                                  "order_id", set_partitions=False)
+    else:
+        ordered = o_slim.join(oc_slim, ["order_id"])
     per_order = (
-        orders.join(oc, ["order_id"])
+        ordered
         .groupBy("order_id", "customer_id")
         .agg(F.sum("quantity").alias("q"), F.sum("price").alias("p"))
     )

@@ -534,8 +534,12 @@ def customer_characteristics_view(spark: SparkSession,
     eight left joins, five mode-per-group columns, 3VL tourism flag —
     run by the real ``domain.views.customer_characteristics`` builder.
     The cleansed + geocoded P8 columns (migration_036.sql:5-7) pass
-    through from the gomus customer table into the BI-facing view."""
-    out = V.customer_characteristics(_gomus_tables(spark, sf_dir))
+    through from the gomus customer table into the BI-facing view.
+    ``advise=True`` exercises the closed statistics-advisor loop on the
+    orders ⋈ order_contains join (strategy hint from observed stats;
+    semantics unchanged — this entry stays hash-green either way)."""
+    out = V.customer_characteristics(_gomus_tables(spark, sf_dir),
+                                     advise=True)
     return out.select(
         "customer_id", "order_count", "ordered_article_count",
         F.col("sum_order_price").alias("sum_order_price_cents"),

@@ -347,6 +347,46 @@ def test_dedup_spans_plan_shape(spark):
     assert "REPARTITION_BY_NUM" in plan, plan[:2000]
     assert "InMemoryRelation" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+    # the first-occurrence aggregate and the per-doc span frame are
+    # corpus-scale, but their size estimates flow through the k-gram
+    # posexplode whose fan-out Catalyst cannot see — unhinted, Spark
+    # plans corpus-size BROADCASTS here (measured: a >1 GiB driver
+    # collect at 1M docs).  The merge hints must hold at every size.
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
     assert "size(split" in plan.split("FileScan", 1)[1].split(
         "ReadSchema")[0] or "DataFilters: [(size" in plan, \
         "token-count gate not pushed to the scan"
+
+
+def test_customer_view_advised_join_flips_plan(spark):
+    """The advisor loop is live inside a real registry query (r10
+    verdict ask 7): with Spark's auto-broadcast disabled (static
+    estimates blind), ``customer_characteristics(advise=True)`` still
+    gets a BroadcastHashJoin for orders ⋈ order_contains because the
+    OBSERVED-stats advice fires — while the unadvised build falls back
+    to a sort-merge join.  Same rows either way (the registry entry's
+    hash-green run is the semantic proof)."""
+    from barberini_analytics_spark.domain import views as V
+    from barberini_analytics_spark.plans.domain_queries import _gomus_tables
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tables = _gomus_tables(spark, SF_SMOKE)
+        plain = V.customer_characteristics(tables)._jdf \
+            .queryExecution().executedPlan().toString()
+        advised = V.customer_characteristics(tables, advise=True)._jdf \
+            .queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # with auto-broadcast off, broadcast joins can only come from
+    # explicit hints: the upstream table builders carry their own (the
+    # postal-lookup joins), identical in both builds — the advised build
+    # must show exactly ONE more, the advisor's orders ⋈ order_contains
+    # hint (the view's other order_id join, ticket_qty, is deliberately
+    # unadvised and stays a sort-merge join in both)
+    assert advised.count("BroadcastHashJoin") == \
+        plain.count("BroadcastHashJoin") + 1, \
+        f"plain={plain.count('BroadcastHashJoin')} " \
+        f"advised={advised.count('BroadcastHashJoin')}"
+    assert "SortMergeJoin [order_id" in plain, plain[:3000]
