@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .text import hash56
+from .text import hash112, hash56
 
 
 # ---------------------------------------------------------------------------
@@ -471,7 +471,11 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
                            F.col("__first_idx").alias("p"))).alias("__first"),
         )
     )
-    joined = segs.join(occ, "seg_fp")
+    # merge hint for the same reason as duplicate_spans' hit join: occ is
+    # segment-count-sized but its static size estimate passes through the
+    # posexplode fan-out, which Catalyst cannot see — unhinted, a corpus
+    # of long documents gets a corpus-size broadcast here
+    joined = segs.join(occ.hint("merge"), "seg_fp")
     kept = (F.col("__first.i") == F.col(id_col)) & \
         (F.col("__first.p") == F.col("seg_index"))
     return (
@@ -503,7 +507,15 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
     corpus token, the same O(n) footprint as the suffix array, but
     shuffle-partitioned instead of memory-resident.  The k-token concat
     feeding each hash is transient inside the codegen ``transform``; only
-    ``(id, pos, 8-byte fp)`` leaves the scan.
+    ``(id, pos, fp)`` leaves the scan.
+
+    The fingerprint is the FULL-width 112-bit :func:`..text.hash112`
+    (struct of two 56-bit md5 halves), not the 56-bit hash the
+    document/segment grains use: those grains key ~one hash per document
+    or block, while this one keys ~one per corpus TOKEN — at the 100 TB
+    target that is ~1e13 keys, where 56-bit birthday collisions
+    (~n²/2⁵⁷ ≈ 1e9 pairs) would each silently delete ≥k real tokens.
+    At 112 bits the expected colliding pairs are ~1e-8.
 
     Documents shorter than ``k`` tokens emit no rows (they have no
     ``k``-token substring; document-grain exact dedup covers them).
@@ -511,7 +523,7 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     fps = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - k),
-        lambda p: hash56(F.concat_ws(" ", F.slice(tokens, p + 1, k))),
+        lambda p: hash112(F.concat_ws(" ", F.slice(tokens, p + 1, k))),
     )
     # explicit-count repartition before the CPU-bound fan-out (see
     # word_shingles: bare repartition(col) is AQE-coalescible to ~1)
@@ -544,7 +556,9 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
     100 TB shape: the only corpus-size shuffle is the fingerprint
     aggregate (map-side-combining ``min(struct(id, pos)) + count``, one
-    8-byte key); the hit join reuses that hash partitioning; the
+    16-byte 112-bit key — full-width so span deletion cannot be
+    triggered by a fingerprint collision, see :func:`kgram_occurrences`);
+    the hit join reuses that hash partitioning; the
     interval merge is a per-document window over the *duplicated* rows
     only (a corpus-duplication-fraction subset, each document's rows
     bounded by its own length).  A k-gram shared by millions of
@@ -563,7 +577,14 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
                        F.col("pos").alias("p"))).alias("__first"),
         F.count(F.lit(1)).alias("__n_occ"),
     )
-    joined = occ.join(first, "kgram_fp")
+    # merge hint: `first` is corpus-scale (~one row per distinct k-gram)
+    # but Catalyst's size estimate for it passes through the posexplode,
+    # whose ~k× fan-out is INVISIBLE to static size estimation — the
+    # estimate lands under the broadcast threshold and Spark plans a
+    # corpus-size broadcast (measured: a 1 GiB driver-side collect at
+    # 1M docs).  The hit join must always be a shuffle join; it reuses
+    # the aggregate's hash partitioning on the fp.
+    joined = occ.join(first.hint("merge"), "kgram_fp")
     if policy == "drop_all":
         dup_cond = F.col("__n_occ") > 1
     else:
@@ -612,10 +633,15 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
     - ``text_span_deduped`` — the document re-joined from uncovered
       tokens in original order ('' when fully covered).
 
-    Reconstruction is per-document codegen array work (``filter`` over
-    the position range against the ≤ len/k merged spans) — no second
-    corpus shuffle beyond the one the span derivation already pays plus
-    the join back on the document id.
+    Reconstruction is per-document codegen array work, LINEAR in
+    ``tokens + spans``: the merged spans are disjoint, so sorting them
+    by start position turns the survivor set into the gap slices
+    ``[0, s₀) ∪ [e₀, s₁) ∪ … ∪ [e_last, n)`` — one ``slice`` per gap
+    ``zip_with``-folded over the span boundaries (a per-position
+    membership probe would be O(tokens × spans), ~len²/k worst case on
+    a long heavily-duplicated document).  No second corpus shuffle
+    beyond the one the span derivation already pays plus the join back
+    on the document id.
     """
     spans = duplicate_spans(df, id_col, text_col, k, policy)
     per_doc = spans.groupBy(id_col).agg(
@@ -628,12 +654,30 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
         .alias("__spans"),
     )
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    covered = lambda i: F.exists(  # noqa: E731
-        F.col("__spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"]))
-    kept = F.filter(F.sequence(F.lit(0), F.size("__toks") - 1),
-                    lambda i: ~covered(i))
+    # gap boundaries: kept-run i starts at the previous span's end (or
+    # 0) and stops at span i's start (or n); spans are disjoint after
+    # the maximal merge, so array_sort by start orders both boundary
+    # lists consistently and every gap is non-negative except the
+    # possibly-empty first ([0, s₀) when a span starts at 0) and last
+    # ([e_last, n) when a span ends at n) — greatest(…, 0) handles both
+    sorted_spans = F.array_sort(F.col("__spans"))
+    n_toks = F.size("__toks").cast("long")
+    gap_starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(sorted_spans, lambda sp: sp["e"]))
+    gap_ends = F.concat(
+        F.transform(sorted_spans, lambda sp: sp["s"]),
+        F.array(n_toks))
+    kept = F.flatten(F.zip_with(
+        gap_starts, gap_ends,
+        lambda b, s: F.slice(F.col("__toks"), (b + 1).cast("int"),
+                             F.greatest(s - b, F.lit(0)).cast("int"))))
     return (
-        df.join(per_doc, id_col, "left")
+        # merge hint: per_doc is duplication-fraction-sized, but its
+        # estimate flows through the k-gram explode (invisible fan-out,
+        # see the hit join above) — on a heavily-duplicated corpus an
+        # auto-broadcast here would collect a corpus-scale frame
+        df.join(per_doc.hint("merge"), id_col, "left")
         .withColumn("__toks", tokens)
         .withColumn("__spans", F.coalesce(
             F.col("__spans"),
@@ -647,9 +691,7 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
             .alias("n_dup_spans"),
             F.coalesce(F.col("n_dup_span_tokens"), F.lit(0)).cast("long")
             .alias("n_dup_span_tokens"),
-            F.concat_ws(" ", F.transform(
-                kept, lambda i: F.get("__toks", i)))
-            .alias("text_span_deduped"),
+            F.concat_ws(" ", kept).alias("text_span_deduped"),
         )
     )
 

@@ -23,6 +23,16 @@ def _hash56_sql(expr: str) -> str:
     return f"CAST(('0x' || substring(md5({expr}), 1, 14)) AS BIGINT)"
 
 
+def _hash112_sql(expr: str) -> str:
+    """DuckDB equivalent of ``operators.text.hash112``: the full md5
+    digest as a struct of two 56-bit BIGINT halves (the span-dedup
+    k-gram fingerprint — full-width so fingerprint collisions cannot
+    delete real spans; struct equality joins/partitions fine in both
+    engines)."""
+    return (f"{{hi: CAST(('0x' || substring(md5({expr}), 1, 14)) AS BIGINT),"
+            f" lo: CAST(('0x' || substring(md5({expr}), 15, 14)) AS BIGINT)}}")
+
+
 _SHINGLE_CTE = rf"""
     toks AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
@@ -59,7 +69,7 @@ _SPAN_K = 8
 _SPAN_CTES = rf"""
     kgarr AS (
         SELECT doc_id,
-               [{_hash56_sql(f"array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')")}
+               [{_hash112_sql(f"array_to_string(toks[i:i+{_SPAN_K - 1}], ' ')")}
                 for i in generate_series(1, len(toks) - {_SPAN_K - 1})] AS fps
         FROM t WHERE len(toks) >= {_SPAN_K}
     ),
