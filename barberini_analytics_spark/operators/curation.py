@@ -105,7 +105,31 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
     steps — one definition serves both the fused lazy composition
     (:func:`curate_corpus`) and the per-stage profiler
     (:func:`curate_stage_profile`), so the profile can never drift from
-    the shipped pipeline."""
+    the shipped pipeline.
+
+    Multiply-consumed stage boundaries are materialized: the dedup
+    stages each consume their input 2-3× (fingerprint aggregate +
+    join-back; occurrence stream + reassembly join; shingle build +
+    keep-best join), so WITHOUT a boundary each downstream consumer
+    re-executes the whole upstream subtree, and the LOGICAL plan of the
+    later stages compounds multiplicatively — the fused span recipe
+    spent 5 minutes of driver time in Catalyst over a plan whose
+    expression trees repeat the full upstream per shingle permutation
+    (and a plain ``persist`` made it worse, not better: every cache
+    LOOKUP canonicalizes those exponential trees; persist does not
+    truncate lineage — the same lesson ``curate_stage_profile``'s
+    docstring records).  So the gates output is scoped-PERSISTED (its
+    plan is one map stage — cheap to match, expensive to recompute
+    through the trained-gate fold and LM join), while the
+    segment-dedup and span-dedup outputs are scoped-CHECKPOINTED
+    (eager ``localCheckpoint`` — truncates lineage, so the near-dup
+    stage plans against a leaf instead of the whole recipe).  Both are
+    query-scoped: released on the next registry entry /
+    ``release_scoped``.  Cache-vs-recompute at 100 TB: the truncated
+    boundaries contain shuffles, re-deriving them 3× per downstream
+    consumer costs more than storing them once (MEMORY_AND_DISK
+    spill)."""
+    from ..core.cache import scoped_checkpoint, scoped_persist
     from .text import gopher_quality_filter, scrub_text
 
     base_cols = [id_col, text_col] + ([source_col] if source_col else [])
@@ -145,7 +169,12 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
                      .filter(F.col("lm_score").isNull()
                              | (F.col("lm_score") <= F.col("__q")))
                      .drop("__q"))
-        return gated.select(*base_cols, "n_tokens", "lm_score")
+        # exact dedup consumes this twice (fingerprint aggregate + semi
+        # join) and the gate expressions (trained-score fold, LM join)
+        # are the pipeline's most expensive per-row work — one persist
+        # caps them at one evaluation
+        return scoped_persist(
+            gated.select(*base_cols, "n_tokens", "lm_score"))
 
     # -- 2. exact dedup (smallest id per content survives) ----------------
     def stage_exact(gated):
@@ -159,7 +188,7 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
     def stage_segment(exact):
         segd = dedup_segments(exact, id_col, text_col,
                               tokens_per_segment=seg_tokens)
-        return (
+        return scoped_checkpoint(
             exact.drop(text_col)
             .join(segd.filter(F.col("text_kept_first") != "")
                   .select(id_col,
@@ -175,7 +204,7 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
         from .dedup import dedup_spans
 
         spand = dedup_spans(seg_kept, id_col, text_col, k=span_k)
-        return (
+        return scoped_checkpoint(
             seg_kept.drop(text_col, "n_tokens")
             .join(spand.filter(F.col("text_span_deduped") != "")
                   .select(id_col,
