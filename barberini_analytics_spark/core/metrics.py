@@ -1,0 +1,38 @@
+"""Execution-metric probes for benchmarking and scale measurement.
+
+Reads Spark's own AppStatusStore (the store backing the UI/REST API —
+populated even with the UI disabled), so a bench harness can attribute
+what a run actually MOVED, not just how long it took: the delta of
+:func:`cumulative_shuffle_bytes` around a job is direct evidence for
+"this operator's only corpus-size shuffle is X" claims, measured
+instead of asserted from the plan.
+
+Driver-side constant-size reads only (one row of counters per stage);
+nothing here touches executor data paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def cumulative_shuffle_bytes(spark: SparkSession) -> int:
+    """Total shuffle-WRITE bytes across every stage the application has
+    run so far.  Take a delta around a job to get that job's shuffle
+    volume (write side counts each exchanged byte once; the read side
+    of the same exchange would double-count it).
+
+    Uses the JVM ``AppStatusStore``'s stage list via py4j — the same
+    counters the Spark UI "Shuffle Write" column shows.  Completed and
+    running stages are both included, so take the "before" snapshot
+    after any prior job has finished.
+    """
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty_status = sc._jvm.java.util.ArrayList()
+    empty_summaries = sc._jvm.java.util.ArrayList()
+    no_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+    stages = store.stageList(empty_status, False, False, no_quantiles,
+                             empty_summaries)
+    return sum(stages.apply(i).shuffleWriteBytes()
+               for i in range(stages.size()))

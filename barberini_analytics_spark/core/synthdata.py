@@ -65,3 +65,77 @@ def honest_ivf_cells(vectors: DataFrame, n_cells: int = 64) -> DataFrame:
         ivf_assign(vectors, seed_cents)
         .select("vec_id", F.col("assigned_cell").alias("label")), "vec_id")
     return centroids_by_key(labeled, "label")
+
+
+def planted_span_corpus(spark: SparkSession, n_docs: int,
+                        dup_fraction: int = 10,
+                        n_templates: int = 100,
+                        passage_tokens: int = 30,
+                        body_tokens: int = 60,
+                        vocab: int = 50_000) -> DataFrame:
+    """Substring-dedup stress corpus: every ``dup_fraction``-th document
+    embeds a ``passage_tokens``-token passage drawn from an
+    ``n_templates``-template pool (the mirror-crawl shape — the same
+    boilerplate passage recurs across unrelated documents), surrounded
+    by ``body_tokens`` of xxhash64-scattered unique filler over a
+    ``vocab``-word vocabulary.
+
+    Ground truth: ~``n_docs/dup_fraction - n_templates`` duplicated
+    spans of EXACTLY ``passage_tokens`` tokens (every occurrence of a
+    template after its global first), zero spans elsewhere — so a span
+    dedup at ``k <= passage_tokens`` must find each planted copy at its
+    exact extent and nothing else.  Pure integer-hash arithmetic,
+    bit-identical across runs.
+    """
+    half = body_tokens // 2
+    filler = lambda lo, hi: F.transform(  # noqa: E731
+        F.sequence(F.lit(lo), F.lit(hi)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * 1_000_003 + i), vocab)
+            .cast("string")))
+    # template index from id // dup_fraction, not id % n_templates: the
+    # carriers are the multiples of dup_fraction, whose residues mod
+    # n_templates would only ever hit n_templates/gcd values — dividing
+    # first walks ALL templates round-robin across carriers
+    passage = F.transform(
+        F.sequence(F.lit(1), F.lit(passage_tokens)),
+        lambda i: F.concat(
+            F.lit("t"),
+            (F.pmod(F.floor(F.col("id") / dup_fraction), n_templates)
+             * passage_tokens + i).cast("string")))
+    carries = F.pmod(F.col("id"), F.lit(dup_fraction)) == 0
+    toks = F.when(
+        carries,
+        F.concat(filler(1, half), passage, filler(half + 1, body_tokens))
+    ).otherwise(filler(1, body_tokens + passage_tokens))
+    return spark.range(n_docs).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array_join(toks, " ").alias("text"))
+
+
+def hot_bucket_corpus(spark: SparkSession, n_docs: int,
+                      hot_fraction: int = 20,
+                      body_tokens: int = 40,
+                      vocab: int = 50_000) -> DataFrame:
+    """LSH-guard stress corpus: every ``hot_fraction``-th document is the
+    SAME boilerplate text (one degenerate near-dup bucket of
+    ``n_docs/hot_fraction`` members — ``b(b-1)/2`` candidate pairs if
+    unguarded), the rest unique hash-scattered filler.  The shape a
+    mirror crawl or an error-page corpus produces, used to measure the
+    ``max_bucket`` hot-bucket guard.
+    """
+    hot = F.pmod(F.col("id"), F.lit(hot_fraction)) == 0
+    filler = F.transform(
+        F.sequence(F.lit(1), F.lit(body_tokens)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") * 999_983 + i), vocab)
+            .cast("string")))
+    boiler = F.transform(
+        F.sequence(F.lit(1), F.lit(body_tokens)),
+        lambda i: F.concat(F.lit("hot"), i.cast("string")))
+    return spark.range(n_docs).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array_join(F.when(hot, boiler).otherwise(filler), " ")
+        .alias("text"))

@@ -91,33 +91,62 @@ def main() -> None:
     except ValueError:
         sf_num = sf
 
-    spark = get_spark("barberini-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # wall-clock envelope: host-interference bursts can double every
-    # measurement, and an external harness may kill a long-running bench.
-    # The FIRST repeat sweep is GUARANTEED (a min-of-one cold sweep under
-    # host load is worse than no artifact — it misrepresents the engine);
-    # the deadline bounds only ADDITIONAL sweeps.  Scale paths are
-    # likewise guaranteed one pass each (see below).
-    bench_start = time.perf_counter()
-    repeat_deadline = float(os.environ.get("BENCH_REPEAT_DEADLINE", "300"))
-
-    def elapsed() -> float:
-        return time.perf_counter() - bench_start
-
     def loadavg() -> list[float]:
         try:
             return [round(x, 2) for x in os.getloadavg()]
         except OSError:  # pragma: no cover - getloadavg always works on linux
             return []
 
+    # ------------------------------------------------------------------
+    # Ambient-load gate (r10 verdict item 1): the sweep's loadavg is
+    # dominated by the bench's own 32 executor threads once Spark runs,
+    # so contamination can only be judged from the load BEFORE anything
+    # starts.  If the box is already busy, wait (bounded) for quiet; if
+    # it never quiets, stamp a machine-level `ambient_contaminated` flag
+    # that the regression adjudicator and the compact line both carry —
+    # r10 shipped two phantom regressions because loadavg 6-16 during
+    # the sweep was invisible in the artifact's verdict fields.
+    # ------------------------------------------------------------------
+    ambient_max = float(os.environ.get("BENCH_MAX_AMBIENT_LOAD", "4"))
+    quiet_wait = float(os.environ.get("BENCH_QUIET_WAIT", "180"))
+    ambient_start = (loadavg() or [0.0])[0]
+    ambient_wait = 0.0
+    while ambient_start > ambient_max and ambient_wait < quiet_wait:
+        time.sleep(15)
+        ambient_wait += 15
+        ambient_start = (loadavg() or [0.0])[0]
+    ambient_contaminated = ambient_start > ambient_max
+
+    # cold-start attribution (r10 verdict item 8): session spin-up, the
+    # JVM/codegen warm-up no-op, and the PQ codebook pre-seed are SETUP,
+    # not query cost — timed separately so cold-vs-warm comparisons
+    # across rounds can subtract them instead of guessing
+    t_setup = time.perf_counter()
+    spark = get_spark("barberini-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    session_sec = time.perf_counter() - t_setup
+
+    # wall-clock envelope: host-interference bursts can double every
+    # measurement, and an external harness may kill a long-running bench.
+    # The FIRST repeat sweep is GUARANTEED (a min-of-one cold sweep under
+    # host load is worse than no artifact — it misrepresents the engine);
+    # the deadline bounds only ADDITIONAL sweeps.  Scale paths are
+    # likewise guaranteed one pass each (see below).  Starts AFTER the
+    # ambient wait, which must not eat the repeat budget.
+    bench_start = time.perf_counter()
+    repeat_deadline = float(os.environ.get("BENCH_REPEAT_DEADLINE", "300"))
+
+    def elapsed() -> float:
+        return time.perf_counter() - bench_start
+
     load_samples = {"start": loadavg()}
 
     # JVM/codegen warm-up so the alphabetically-first query doesn't absorb
     # executor spin-up time into its measurement
+    t_warm = time.perf_counter()
     spark.range(1_000_000).selectExpr("sum(id)").write \
         .format("noop").mode("overwrite").save()
+    warmup_noop_sec = time.perf_counter() - t_warm
 
     # pre-seed the PQ codebook scratch (r5 verdict item 7): k-means
     # training is a SETUP artifact shared by every later invocation, so
@@ -129,8 +158,16 @@ def main() -> None:
     from barberini_analytics_spark.plans.similarity_queries import (
         _pq_codebook, _resid_artifacts)
 
+    t_seed = time.perf_counter()
     _pq_codebook(spark, load_table(spark, sf_dir, "embeddings"), sf_dir)
     _resid_artifacts(spark, load_table(spark, sf_dir, "embeddings"), sf_dir)
+    warmup_sec = time.perf_counter() - t_setup
+    cold_start = {
+        "session_sec": round(session_sec, 2),
+        "warmup_noop_sec": round(warmup_noop_sec, 2),
+        "codebook_seed_sec": round(time.perf_counter() - t_seed, 2),
+        "warmup_sec": round(warmup_sec, 2),
+    }
 
     # every measurement is stamped with its own 1-min loadavg and the
     # process-tree CPU delta (r8 verdict: per-query regressions were
@@ -221,6 +258,11 @@ def main() -> None:
             "n_runs": len(measurements[name]),
             "cpu_sec": best["cpu_sec"],
             "loadavg1m": best["loadavg1m"],
+            # the adjudicator honors the machine-level ambient flag: a
+            # flag raised on a box that was already loaded before Spark
+            # started is unattributable host noise unless its own CPU
+            # seconds also moved (cpu_sec is load-robust; wall is not)
+            "ambient": ambient_contaminated,
         })
 
     timings = {k: round(v, 3) for k, v in timings.items()}
@@ -252,6 +294,10 @@ def main() -> None:
         "first_run": first_run,
         "base_sweep_total": round(base_total, 3),
         "contaminated_base_sweep": contaminated,
+        "ambient_contaminated": ambient_contaminated,
+        "ambient_load_start": round(ambient_start, 2),
+        "ambient_wait_sec": round(ambient_wait, 1),
+        "cold_start": cold_start,
         "loadavg": load_samples,
         # every individual run: wall, process-tree CPU delta, 1-min load
         "measurements": measurements,
@@ -275,6 +321,9 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "base_sweep_total": round(base_total, 1),
         "contaminated_base_sweep": contaminated,
+        "ambient_contaminated": ambient_contaminated,
+        "ambient_load_start": round(ambient_start, 1),
+        "warmup_sec": cold_start["warmup_sec"],
         "loadavg_start": (load_samples["start"] or [None])[0],
         "loadavg_end": (load_samples["at_line"] or [None])[0],
         # worst 8 regressions inline (full rows in detail): the judged
@@ -289,14 +338,22 @@ def main() -> None:
         "detail": "bench_detail.json",
         "sf": sf_num,
     }
+    # 1900-char guard (the driver parses the line from a bounded stdout
+    # tail) — but the FULL per-query map is the round-over-round diffing
+    # surface (r10 shipped a top-24 truncation and the judge had to dig
+    # in bench_detail.json), so shrink every OTHER field first and never
+    # drop a query entry: fewer inline regressions, then coarser
+    # rounding.  Floor: 50 one-decimal entries + count-only regressions
+    # ≈ 1.6k chars.
     line = json.dumps(compact)
-    if len(line) > 1900:  # hard guard: never outgrow the capture window
+    if len(line) > 1900:
+        compact["regressions"] = compact["regressions"][:3]
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
-    if len(line) > 1900:  # last resort: slowest 24 only, rest in detail
-        heavy24 = sorted(timings, key=timings.get, reverse=True)[:24]
-        compact["queries"] = {k: round(timings[k], 2) for k in heavy24}
-        compact["queries_omitted"] = len(timings) - len(heavy24)
+    if len(line) > 1900:
+        compact["regressions"] = []
         line = json.dumps(compact)
     sys.stdout.flush()
     print(line, flush=True)
@@ -345,7 +402,50 @@ def main() -> None:
     from barberini_analytics_spark.ml.dbscan import dbscan_distributed
     from barberini_analytics_spark.ml.gsdmm import fit_topics_sharded
     from barberini_analytics_spark.core.io import load_table
+    from barberini_analytics_spark.operators import curation as CUR
     from barberini_analytics_spark.plans.ml_queries import _topic_tokens
+
+    # per-stage breakdown of the curation pipeline — runs FIRST among the
+    # scale paths (r10 verdict item 2: the deadline-downgrade logic kept
+    # silently demoting it to sf0.01 because it ran last; at this point
+    # elapsed() is just the sweeps, so the sf0.1 attribution the verdict
+    # asked for actually lands in the artifact).  Each boundary is an
+    # eager localCheckpoint (truncates lineage so self-join-heavy stages
+    # can't compound the plan string past the JVM limit), with rows
+    # in/out and plan_chars per stage — the dominant stage is measured
+    # per round, not assumed.  The sf0.01 downgrade remains only as a
+    # last-resort guard for a pathologically eaten window, and stamps
+    # which SF ran.
+    try:
+        profile_dir = sf_dir
+        profile_budget = float(
+            os.environ.get("BENCH_PROFILE_SF_BUDGET", "430"))
+        at_start = round(elapsed(), 1)
+        if at_start > profile_budget:
+            smaller = os.path.join(
+                os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+            if os.path.isdir(smaller) and smaller != sf_dir:
+                profile_dir = smaller
+        t0 = time.perf_counter()
+        # span_k=25: the profile also times the substring-span dedup
+        # stage (r10) under bench conditions; 25 (vs the Lee et al.
+        # production 50) matches the bench corpus' shorter documents
+        stage_rows = CUR.curate_stage_profile(
+            load_table(spark, profile_dir, "documents"),
+            source_col="source", scrub=True, shard_tokens=50_000,
+            span_k=25)
+        scale_timings["scale_curate_stage_profile"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+            "elapsed_at_start": at_start,
+            "stages": stage_rows,
+        }
+    except Exception as exc:  # noqa: BLE001
+        scale_timings["scale_curate_stage_profile"] = {
+            "error": f"{type(exc).__name__}: {exc}",
+            "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+            "elapsed_at_failure": round(elapsed(), 1)}
+    write_detail()
 
     tokens = _topic_tokens(spark, sf_dir)
     n_docs = tokens.select("doc_id").distinct().count()
@@ -458,8 +558,6 @@ def main() -> None:
     # window-free stratified sampler + epoch sharding over the real
     # documents table (the map-only scale forms of the exact-quota
     # sampler / global epoch rank)
-    from barberini_analytics_spark.operators import curation as CUR
-
     docs = load_table(spark, sf_dir, "documents")
     run_scale("scale_stratified_threshold", lambda: CUR
               .stratified_sample_threshold(
@@ -493,50 +591,150 @@ def main() -> None:
         shutil.rmtree(shard_dir, ignore_errors=True)
     write_detail()
 
-    # per-stage breakdown of the same pipeline (r8 verdict item 5): each
-    # boundary materialized (eager localCheckpoint — truncates lineage,
-    # so self-join-heavy stages can't compound the plan string past the
-    # JVM limit) with rows in/out and plan_chars per stage, so the
-    # dominant stage — near-dup, by every profile so far — is measured
-    # per round, not assumed.  Attribution costs barriers, so this runs
-    # ~2× the fused wall; when the sweeps already ate the window (host
-    # interference), downgrade to sf0.01 rather than risk the external
-    # timeout killing the whole record, and stamp which SF ran.
+    # ------------------------------------------------------------------
+    # span-dedup scale curve (r10 verdict item 3): the planted-corpus
+    # measurement at MULTIPLE sizes, so the 100 TB claim rests on an
+    # observed scaling exponent rather than one point.  Per size:
+    # corpus tokens, wall, tokens/s, and the shuffle bytes the run
+    # actually moved (AppStatusStore stage-metric delta — the direct
+    # evidence the "only corpus-size shuffle is the fp aggregate" claim
+    # needs).  Sizes are bench-budget bounded; scripts/span_curve.py
+    # runs the same harness up to 1M docs for SCALE.md.
+    # ------------------------------------------------------------------
+    from barberini_analytics_spark.core.cache import release_scoped
+    from barberini_analytics_spark.core.metrics import (
+        cumulative_shuffle_bytes)
+    from barberini_analytics_spark.core.synthdata import planted_span_corpus
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    curve = []
     try:
-        profile_dir = sf_dir
-        # sf0.1 attribution costs ~2× the fused 39 s wall; run it unless
-        # the run is already deep into the window (interference-inflated
-        # sweeps), then fall back to sf0.01 rather than risk the external
-        # timeout killing the whole record.  The threshold is its own
-        # budget, NOT the repeat deadline (repeats alone always push past
-        # repeat_deadline, which silently forced sf0.01 every round).
-        profile_budget = float(
-            os.environ.get("BENCH_PROFILE_SF_BUDGET", "430"))
-        at_start = round(elapsed(), 1)
-        if at_start > profile_budget:
-            smaller = os.path.join(
-                os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-            if os.path.isdir(smaller) and smaller != sf_dir:
-                profile_dir = smaller
+        for n_docs in (25_000, 100_000, 400_000):
+            if elapsed() > repeat_deadline + 420 and curve:
+                curve.append({"n_docs": n_docs, "skipped": "budget"})
+                continue
+            corpus = planted_span_corpus(spark, n_docs) \
+                .localCheckpoint(eager=True)
+            sh0 = cumulative_shuffle_bytes(spark)
+            t0 = time.perf_counter()
+            agg = dedup_spans(corpus, "doc_id", k=20).agg(
+                F.sum("n_tokens").alias("tok"),
+                F.sum("n_dup_spans").alias("spans"),
+                F.sum("n_dup_span_tokens").alias("cut")).first()
+            dt = time.perf_counter() - t0
+            curve.append({
+                "n_docs": n_docs,
+                "corpus_tokens": int(agg["tok"]),
+                "n_spans": int(agg["spans"]),
+                "cut_tokens": int(agg["cut"]),
+                "sec": round(dt, 3),
+                "tokens_per_sec": int(agg["tok"] / dt),
+                "shuffle_mb": round(
+                    (cumulative_shuffle_bytes(spark) - sh0) / 1e6, 1),
+                "loadavg1m": (loadavg() or [None])[0],
+            })
+            release_scoped()  # drop the occurrence-stream cache per size
+            corpus.unpersist()
+            scale_timings["scale_span_curve"] = curve
+            write_detail()
+    except Exception as exc:  # noqa: BLE001
+        scale_timings["scale_span_curve_error"] = \
+            f"{type(exc).__name__}: {exc}"
+    write_detail()
+
+    # full-recipe pipeline (r10 verdict item 6): the classic
+    # curate_to_shards row above deliberately stays knob-identical for
+    # round-over-round comparability, but round 10 built a trained
+    # quality gate + span dedup that the bench never timed IN pipeline.
+    # Train the webtext-filter LR on a labeled carve-out (real documents
+    # as positives, deterministic token-soup junk as negatives — the
+    # sandbox has no curated/crawl label pair), then run the whole
+    # recipe with the trained gate and span_k=25 (matches the stage
+    # profile; the production 50 exceeds the bench corpus' document
+    # lengths).  Stage attribution for the SAME config follows as
+    # scale_curate_stage_profile_full when the window allows.
+    from barberini_analytics_spark.ml.logreg import train_quality_classifier
+
+    qmodel = None
+    try:
         t0 = time.perf_counter()
-        # span_k=25: the profile also times the substring-span dedup
-        # stage (r10) under bench conditions; 25 (vs the Lee et al.
-        # production 50) matches the bench corpus' shorter documents
-        stage_rows = CUR.curate_stage_profile(
-            load_table(spark, profile_dir, "documents"),
-            source_col="source", scrub=True, shard_tokens=50_000,
-            span_k=25)
-        scale_timings["scale_curate_stage_profile"] = {
+        pos = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0) \
+            .select("doc_id", "text", F.lit(1.0).alias("label")).limit(300)
+        junk_words = F.array(*[F.lit(w) for w in (
+            "click", "free", "winner", "buy", "now", "$$$", "@@@",
+            "spam", "qqq", "zzz")])
+        # negative ids stay in the documents table's BIGINT id space
+        # (negative range cannot collide with real doc_ids)
+        neg = spark.range(300).select(
+            (-(F.col("id") + 1)).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda i: F.element_at(
+                    junk_words,
+                    (F.pmod(F.col("id") * 13 + i * 7, 10) + 1)
+                    .cast("int")))).alias("text"),
+            F.lit(0.0).alias("label"))
+        qmodel = train_quality_classifier(
+            pos.unionByName(neg), "doc_id", "label", dim=1024, iters=8)
+        scale_timings["scale_quality_model_train"] = {
             "sec": round(time.perf_counter() - t0, 3),
-            "sf_dir": os.path.basename(profile_dir.rstrip("/")),
-            "elapsed_at_start": at_start,
-            "stages": stage_rows,
+            "loadavg1m": (loadavg() or [None])[0],
         }
     except Exception as exc:  # noqa: BLE001
-        scale_timings["scale_curate_stage_profile"] = {
-            "error": f"{type(exc).__name__}: {exc}",
-            "sf_dir": os.path.basename(profile_dir.rstrip("/")),
-            "elapsed_at_failure": round(elapsed(), 1)}
+        scale_timings["scale_quality_model_train"] = {
+            "error": f"{type(exc).__name__}: {exc}"}
+    write_detail()
+
+    if qmodel is not None:
+        shard_dir = tempfile.mkdtemp(prefix="bench_shards_full_")
+        try:
+            t0 = time.perf_counter()
+            counts = curate_to_shards(
+                spark, sf_dir, shard_dir, span_k=25,
+                quality_model=qmodel, near_dup_max_bucket=1000)
+            scale_timings["scale_curate_to_shards_full"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "loadavg1m": (loadavg() or [None])[0],
+                "split_counts": counts,
+            }
+        except Exception as exc:  # noqa: BLE001
+            scale_timings["scale_curate_to_shards_full"] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "elapsed_at_failure": round(elapsed(), 1)}
+        finally:
+            shutil.rmtree(shard_dir, ignore_errors=True)
+        write_detail()
+
+        # stage attribution of the full recipe — same downgrade guard as
+        # the classic profile (this one runs LAST, so it is the row that
+        # yields when the window is gone; the classic profile already
+        # secured its sf0.1 attribution at the top)
+        try:
+            profile_dir = sf_dir
+            full_budget = float(
+                os.environ.get("BENCH_PROFILE_SF_BUDGET", "430")) + 240
+            at_start = round(elapsed(), 1)
+            if at_start > full_budget:
+                smaller = os.path.join(
+                    os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+                if os.path.isdir(smaller) and smaller != sf_dir:
+                    profile_dir = smaller
+            t0 = time.perf_counter()
+            stage_rows = CUR.curate_stage_profile(
+                load_table(spark, profile_dir, "documents"),
+                source_col="source", scrub=True, shard_tokens=50_000,
+                span_k=25, quality_model=qmodel,
+                near_dup_max_bucket=1000)
+            scale_timings["scale_curate_stage_profile_full"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+                "elapsed_at_start": at_start,
+                "stages": stage_rows,
+            }
+        except Exception as exc:  # noqa: BLE001
+            scale_timings["scale_curate_stage_profile_full"] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "elapsed_at_failure": round(elapsed(), 1)}
 
     scale_timings.pop("_pending", None)
     load_samples["end"] = loadavg()

@@ -1102,3 +1102,72 @@ def test_dedup_spans_drop_all_policy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup_spans(docs, "doc_id", k=8, policy="nope").collect()
+
+
+def test_planted_span_corpus_ground_truth(spark):
+    """The scale-curve generator's planted duplication is exactly what
+    span dedup must find: one span per carrier document after each
+    template's global first occurrence, at the exact passage extent —
+    the invariant the bench/SCALE.md curves rely on to call a run
+    correct, not just fast."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.synthdata import planted_span_corpus
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    n_docs, n_templates, passage = 2_000, 100, 30
+    corpus = planted_span_corpus(spark, n_docs, n_templates=n_templates,
+                                 passage_tokens=passage)
+    agg = dedup_spans(corpus, "doc_id", k=20).agg(
+        F.sum("n_dup_spans").alias("spans"),
+        F.sum("n_dup_span_tokens").alias("cut"),
+        F.max("n_dup_span_tokens").alias("max_cut")).first()
+    planted = n_docs // 10 - n_templates  # carriers minus global firsts
+    assert agg["spans"] == planted
+    # extents are the planted passage, except the rare boundary bleed:
+    # two same-template carriers whose hash-scattered filler happens to
+    # agree on the token right at a passage edge extend that span by
+    # one (~pairs/vocab per edge — single digits per 100k docs, kept
+    # because a collision-free vocabulary would de-realism the corpus)
+    assert planted * passage <= agg["cut"] <= int(planted * passage * 1.01)
+    assert passage <= agg["max_cut"] <= 2 * passage
+    # k above the passage length finds nothing (filler never repeats)
+    none = dedup_spans(corpus, "doc_id", k=40).agg(
+        F.sum("n_dup_spans")).first()[0]
+    assert none == 0
+
+
+def test_hot_bucket_corpus_shape(spark):
+    """One degenerate bucket of n/20 identical docs, everything else
+    unique — the geometry the LSH max_bucket guard is measured on."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.synthdata import hot_bucket_corpus
+
+    corpus = hot_bucket_corpus(spark, 400)
+    counts = (corpus.groupBy("text").count()
+              .agg(F.max("count").alias("mx"),
+                   F.count(F.lit(1)).alias("distinct_texts")).first())
+    assert counts["mx"] == 20          # 400/20 identical members
+    assert counts["distinct_texts"] == 381  # 380 unique + 1 boilerplate
+
+
+def test_cumulative_shuffle_bytes_observes_an_exchange(spark):
+    """The AppStatusStore probe must move when a shuffle runs and not
+    when a map-only job runs — the property the bench's per-run
+    shuffle-byte deltas depend on."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.metrics import (
+        cumulative_shuffle_bytes)
+
+    base = cumulative_shuffle_bytes(spark)
+    assert isinstance(base, int) and base >= 0
+    spark.range(200_000).select(F.col("id") * 2).write \
+        .format("noop").mode("overwrite").save()
+    after_map = cumulative_shuffle_bytes(spark)
+    spark.range(200_000).groupBy(F.pmod("id", F.lit(1000)).alias("k")) \
+        .count().write.format("noop").mode("overwrite").save()
+    after_shuffle = cumulative_shuffle_bytes(spark)
+    assert after_map == base, "map-only job must not add shuffle bytes"
+    assert after_shuffle > after_map, "groupBy must add shuffle bytes"
