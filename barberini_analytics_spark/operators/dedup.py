@@ -219,6 +219,19 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str = "text",
 
     sh = scoped_persist(word_shingles(df, id_col, text_col, k))
     sigs = scoped_persist(minhash_signatures(sh, id_col, num_perm))
+    # materialize the persisted staging BEFORE the downstream joins are
+    # planned: the pre-materialization size estimates reach those joins
+    # through the shingle explode (fan-out invisible to size-only
+    # estimation) and the default width assumed for derived strings, so
+    # a billion-row shingle/signature table can be "estimated" under
+    # the broadcast threshold and statically planned as a corpus-size
+    # broadcast — the failure the span-dedup scale curve hit at 1M
+    # docs.  Once the cache is materialized its statistics are ACTUAL
+    # bytes: Catalyst then broadcasts the genuinely small sides
+    # (candidate pairs, per-doc sizes — the bench-scale win AQE keeps)
+    # and never the corpus-scale ones.  One count over frames the query
+    # materializes anyway.
+    sigs.count()
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands,
                                max_bucket=max_bucket)
     if min_sig_matches > 1:

@@ -234,10 +234,15 @@ def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
               .agg(F.count(F.lit(1)).alias("__bn"))
               .filter(F.col("__bn") <= max_bucket)
               .select("band", "bucket"))
-        banded = banded.join(ok, ["band", "bucket"])
+        banded = banded.join(ok.hint("merge"), ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
+    # merge hint: the banded frame's size estimate is blind to the band
+    # explode AND counts the embedding array at its 1-element default
+    # width, so at scale it can be "estimated" under the broadcast
+    # threshold and statically planned as a corpus-size broadcast —
+    # same failure family as dedup.lsh_candidate_pairs
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
+        a.join(b.hint("merge"), (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.__id") < F.col("b.__id")))
         .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"),
@@ -907,7 +912,10 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
     b = nv.select(F.col(cluster_col),
                   F.col(id_col).alias("__id_b"), F.col("__nv").alias("__vb"))
     pairs = (
-        a.join(b, cluster_col)
+        # merge hint: both sides are the corpus with an array column the
+        # size estimator counts at its 1-element default — broadcast of
+        # either side would be a corpus-size driver collect at scale
+        a.join(b.hint("merge"), cluster_col)
         .filter(F.col("__id_a") < F.col("__id_b"))
         .select("__id_a", "__id_b",
                 F.round(_dot(F.col("__va"), F.col("__vb")), 6)
@@ -919,7 +927,7 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
         F.max("__cos").alias("max_cosine"))
     return (
         vectors.select(id_col)
-        .join(dominated, id_col, "left")
+        .join(dominated.hint("merge"), id_col, "left")
         .select(F.col(id_col),
                 F.col("dup_of").isNull().alias("kept"),
                 "dup_of", "max_cosine")

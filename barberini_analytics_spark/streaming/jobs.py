@@ -282,9 +282,11 @@ def curate_stream(docs: DataFrame, corpus_bloom: DataFrame,
        with the exact anti-join);
     4. map-side quality gates (token count, alphabetic ratio), plus the
        trained webtext filter when ``quality_model`` is given — the
-       classifier apply path is a stateless per-token fold against a
-       broadcast weight literal (``ml/logreg.py``), so it is
-       streaming-legal by construction.
+       classifier apply path is a stateless per-token fold against the
+       broadcast weights (``ml/logreg.py``; a plan literal up to
+       ``WEIGHT_LITERAL_MAX`` buckets, a one-row stream-static
+       broadcast table above it — both stateless, so streaming-legal
+       at any model size, test-pinned).
 
     Heavier scoring (LM cross-entropy, near-dup LSH) stays in the batch
     layer — those need corpus-level aggregation, which is exactly what a

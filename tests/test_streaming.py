@@ -358,3 +358,28 @@ def test_curate_stream_trained_quality_gate(spark, tmp_path):
         output_mode="append").toPandas()
     assert sorted(got["doc_id"].tolist()) == [1, 3]
     assert "quality_prob" not in got.columns
+
+
+def test_quality_gate_table_path_is_streaming_legal(spark, tmp_path):
+    """Models above WEIGHT_LITERAL_MAX score through a one-row broadcast
+    table (stream-static broadcast join) — stateless, so the ingestion
+    guard stays streaming-legal at any model size, not just literal-size
+    ones."""
+    from barberini_analytics_spark.ml.logreg import quality_classifier_score
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "good text here"), (2, "click free spam")],
+                          ["doc_id", "text"]) \
+        .write.parquet(str(src / "batch1"))
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(str(src / "*"))
+    model = {"weights": [0.01] * 8192, "bias": -0.5, "dim": 8192}
+    q = quality_classifier_score(stream, model).writeStream \
+        .format("memory").queryName("qgate_table") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select doc_id, quality_prob from qgate_table").collect()
+    assert len(rows) == 2
+    assert all(0.0 < r.quality_prob < 1.0 for r in rows)
