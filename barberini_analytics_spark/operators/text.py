@@ -282,10 +282,22 @@ def tfidf_top_terms(tokens: DataFrame, k: int = 3, id_col: str = "doc_id",
     Scale shape: two hash aggregates + one broadcast-keyed join on
     ``word`` + one per-doc window; nothing is driver-side.
     """
-    tf = (
+    from ..core.cache import scoped_persist
+
+    # persist + materialize tf: it feeds THREE consumers (dfreq, the
+    # N-docs aggregate, and the score join), and materializing first
+    # gives the word join REAL cached statistics — the document-
+    # frequency table is vocab-sized, but its pre-materialization
+    # estimate flows through the token explode (fan-out invisible to
+    # size-only estimation), which at corpus scale can statically plan
+    # a multi-GB broadcast (same failure family as the span-dedup hit
+    # join; see operators/dedup.py).  With real stats Catalyst keeps
+    # the bench-scale broadcast win and drops it when vocab is big.
+    tf = scoped_persist(
         tokens.filter(F.col(word_col) != "")
         .groupBy(id_col, word_col).agg(F.count("*").alias("__tf"))
     )
+    tf.count()
     dfreq = tf.groupBy(word_col).agg(F.count("*").alias("__df"))
     n_docs = tf.agg(F.countDistinct(id_col).alias("__n"))
     scored = (
