@@ -20,9 +20,12 @@ cheapest to most expensive, then mixture/split/packing:
 6. split + shards — leak-free hash split and token-budgeted shard
    packing over a unique (id, copy) order.
 
-Every stage is a DataFrame→DataFrame transform: no collects, no UDFs,
-and the whole pipeline is one lazy plan per stage boundary (the dedup
-stages persist their multiply-consumed frames query-scoped).
+Every stage is a DataFrame→DataFrame transform: no collects, no UDFs.
+Multiply-consumed stage boundaries are materialized query-scoped (the
+gates output persisted, the segment/span outputs checkpointed — see
+``_curation_stages``), so the dedup stages plan against leaves instead
+of re-deriving and re-optimizing the whole upstream recipe per
+consumer.
 """
 
 from __future__ import annotations
@@ -78,8 +81,9 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     ``quality_model`` (a :func:`..ml.logreg.train_quality_classifier`
     model dict) adds the trained webtext-filter gate alongside stage
     1's heuristics: documents scoring under ``quality_threshold`` are
-    dropped.  Map-only against the broadcast weight literal, so the
-    stage stays one scan.
+    dropped.  Map-only against the broadcast weights (plan literal for
+    small models, one-row broadcast table above ``WEIGHT_LITERAL_MAX``),
+    so the stage stays one scan.
     """
     if targets is not None and source_col is None:
         raise ValueError("targets given but source_col is None")
