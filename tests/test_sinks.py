@@ -411,3 +411,41 @@ def test_apply_advice_changes_chosen_plan(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_apply_advice_left_join_preserves_semantics(spark):
+    """Non-inner joins restrict the advisor to the semantics-preserving
+    strategy subset: a LEFT join through apply_advice must return
+    exactly the rows of the plain left join under EVERY advice outcome
+    (broadcast_right applied; broadcast_left / bloom-prune degraded to
+    plain — Bloom-pruning the preserved side would drop its unmatched
+    rows)."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.stats import apply_advice
+
+    left = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"))
+    # right matches only even keys, so unmatched left rows exist
+    right = spark.range(100).select(
+        (F.col("id") * 2).alias("k"),
+        (F.col("id") + 1000).alias("payload"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in
+                      df.select("k", "grp", "payload").collect())
+
+    expect = rows(left.join(right, "k", "left"))
+    # tiny right side -> broadcast_right advice, applied as-is
+    got, ev = apply_advice(spark, left, right, "k", how="left",
+                           set_partitions=False)
+    assert rows(got) == expect
+    assert ev["partition"] is None  # probe skipped when not applied
+    # force the degrade branches: a 1-byte broadcast budget makes the
+    # advice bloom/shuffle-shaped, which a left join must NOT apply to
+    # its preserved side
+    got2, ev2 = apply_advice(spark, left, right, "k", how="left",
+                             set_partitions=False, broadcast_bytes=1)
+    assert ev2["join"]["advice"] != "broadcast_right"
+    assert rows(got2) == expect
