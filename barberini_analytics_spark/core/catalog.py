@@ -1,0 +1,352 @@
+"""Persistent table-statistics catalog — ANALYZE once, plan many.
+
+Round 11 wired the statistics advisor (``core/stats.apply_advice``)
+into a live query and measured the cost of NOT having a catalog: the
+advisor's probes re-scanned both join inputs on every execution
+(two one-pass stats aggregates + two HLL register aggregates), turning
+a 4 s query into a 7.3 s one.  The reference never pays this because
+Postgres persists ``ANALYZE`` output in its system catalog and replans
+from memory (SURVEY §1.1); this module is the lake-side equivalent.
+
+Resolution order for a side's ``(rows, bytes)`` planning summary —
+cheapest sufficient evidence wins:
+
+1. **Catalog hit**: a JSON summary stored under the frame's content
+   fingerprint (canonicalized-plan ``semanticHash`` + the
+   ``(path, mtime, size)`` of every input file).  A rewritten table
+   changes its files, so stale entries are unreachable by construction
+   — no TTLs, no explicit invalidation protocol.
+2. **Parquet footers** (zero-scan): when the frame is a pure
+   column-pruning projection over one parquet relation, exact row
+   counts and per-column uncompressed byte totals come straight from
+   the file footers — no Spark job at all.  The byte total covers only
+   the columns the projection references, so a 2-column slice of a
+   wide fact table is priced as the slice, not the table.
+3. **Live probe** (one pass): ``stats.analyze_table`` rows × mean
+   serialized row length, stored back into the catalog so the scan is
+   paid once per table version, not once per query execution.
+
+Join-key containment (the bloom-vs-shuffle signal) follows the same
+discipline: HLL register vectors (≤ 2^p rows each) are probed at most
+once per (frame version, column) and merged DRIVER-SIDE — the Python
+mirror of ``operators/sketch.hll_summary_cols`` — so a catalog-warm
+``apply_advice`` call makes its whole decision without running a
+single Spark job.
+
+At 100 TB: footers replace full scans for the dominant case (parquet
+facts), the probe cost for everything else is paid once per snapshot
+instead of once per run, and the stored summaries are tiny JSON (one
+file per table version) — the same growth rate as the table's own
+commit log.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_P_BITS = 10  # register precision for stored join-key sketches
+
+# ---------------------------------------------------------------------------
+# Driver-side HLL math — mirrors operators/sketch.hll_summary_cols /
+# hll_estimate_corrected exactly (same alpha, same integer-scaled sum,
+# same small-range linear-counting switch), so a stored register vector
+# yields the same estimate the Spark-side aggregate would.
+# ---------------------------------------------------------------------------
+
+
+def hll_estimate_py(regs: dict[int, int], p_bits: int = _P_BITS) -> int:
+    """Corrected cardinality estimate from a sparse register dict
+    (absent buckets are implicit zeros, as in ``hll_registers``)."""
+    m = 1 << p_bits
+    w = 31 - p_bits
+    inv_scaled = (sum(int(round(2.0 ** (w - r))) for r in regs.values())
+                  + (m - len(regs)) * (1 << w))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = math.floor(alpha * m * m * (1 << w) / inv_scaled)
+    zero = m - len(regs)
+    if est <= 2.5 * m and zero > 0:
+        est = int(round(m * math.log(m / zero)))
+    return int(est)
+
+
+def hll_overlap_py(a: dict[int, int], b: dict[int, int],
+                   p_bits: int = _P_BITS) -> dict:
+    """Inclusion–exclusion overlap diagnostics from two register dicts —
+    the driver-side twin of ``sketch.hll_overlap_estimate``."""
+    merged = dict(a)
+    for k, v in b.items():
+        if v > merged.get(k, 0):
+            merged[k] = v
+    n_a, n_b = hll_estimate_py(a, p_bits), hll_estimate_py(b, p_bits)
+    n_u = hll_estimate_py(merged, p_bits)
+    inter = max(n_a + n_b - n_u, 0)
+    return {
+        "n_left": n_a, "n_right": n_b, "n_union": n_u,
+        "n_overlap_est": inter,
+        "containment_left": round(inter / max(n_a, 1), 4),
+        "containment_right": round(inter / max(n_b, 1), 4),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprint + parquet-footer estimation
+# ---------------------------------------------------------------------------
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file://"):
+        return uri[7:]
+    if uri.startswith("file:"):
+        return uri[5:]
+    return uri
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Content key for a frame: canonicalized logical plan hash
+    (``semanticHash`` — stable across sessions, blind to alias ids)
+    plus the identity+mtime+size of every input file, so rewriting a
+    source table changes the key and old summaries become unreachable
+    (the staleness story — nothing ever has to be invalidated)."""
+    h = hashlib.sha256(str(df.semanticHash()).encode())
+    for f in sorted(df.inputFiles()):
+        p = _local_path(f)
+        try:
+            st = os.stat(p)
+            h.update(f"{f}|{st.st_mtime_ns}|{st.st_size}".encode())
+        except OSError:
+            h.update(f.encode())
+    return h.hexdigest()[:32]
+
+
+_ALLOWED_NODES = ("Project", "Relation", "LogicalRelation")
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def footer_scan_info(df: DataFrame) -> tuple[list[str], set[str] | None] | None:
+    """``(files, referenced_source_columns)`` when ``df`` is a pure
+    column-pruning projection over exactly ONE parquet relation —
+    the shape whose exact rows/bytes the footers answer for free.
+    ``None`` (→ caller falls back to a live probe) for anything with a
+    filter, join, aggregate, limit, or non-parquet source: their row
+    counts are not derivable from footers, and mis-classifying toward
+    ``None`` only costs a probe, never correctness.
+
+    Returned columns are ``None`` for a bare full-table read (price all
+    columns); otherwise the attribute names referenced by the Project
+    nodes (callers intersect with the physical schema, which drops
+    alias-introduced names).
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    n_relations = 0
+    project_cols: set[str] = set()
+    saw_project = False
+    for ln in plan.splitlines():
+        node = ln.lstrip(" +:-")
+        if not node:
+            continue
+        name = node.split(" ", 1)[0].split("[", 1)[0]
+        if name == "Project":
+            saw_project = True
+            project_cols |= {m.group(1) for m in _ATTR_RE.finditer(node)}
+        elif name in ("Relation", "LogicalRelation"):
+            n_relations += 1
+            if " parquet" not in node and not node.rstrip().endswith(
+                    "parquet"):
+                return None
+        else:
+            return None
+    if n_relations != 1:
+        return None
+    files = list(df.inputFiles())
+    if not files:
+        return None
+    for f in files:
+        if not os.path.exists(_local_path(f)):
+            return None  # non-local store — footers unreachable from here
+    return files, (project_cols if saw_project else None)
+
+
+def footer_stats(files: list[str],
+                 needed: set[str] | None = None) -> tuple[int, int]:
+    """Exact ``(rows, uncompressed_bytes)`` from parquet footers —
+    zero data pages read.  ``bytes`` sums per-column-chunk uncompressed
+    sizes over ``needed`` top-level columns only (``None`` = all), so
+    the estimate prices the projection, not the full row."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    nbytes = 0
+    for f in files:
+        md = pq.ParquetFile(_local_path(f)).metadata
+        rows += md.num_rows
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                top = col.path_in_schema.split(".")[0]
+                if needed is None or top in needed:
+                    nbytes += col.total_uncompressed_size
+    return rows, nbytes
+
+
+# ---------------------------------------------------------------------------
+# The catalog
+# ---------------------------------------------------------------------------
+
+_DEFAULT: "StatsCatalog | None" = None
+
+
+class StatsCatalog:
+    """Tiny JSON-file statistics store keyed by content fingerprint.
+
+    One file per (frame version): ``{rows, bytes_est, basis, hll}``
+    where ``hll`` maps column name → sparse register dict.  Writes are
+    atomic (temp + ``os.replace``); the store is bounded by pruning the
+    oldest entries past ``max_entries`` (superseded table versions
+    accumulate here otherwise).
+    """
+
+    def __init__(self, root: str | None = None, max_entries: int = 512):
+        self.root = root or os.environ.get(
+            "BA_STATS_CATALOG",
+            os.path.join(tempfile.gettempdir(), "ba_stats_catalog"))
+        self.max_entries = max_entries
+        os.makedirs(self.root, exist_ok=True)
+
+    @classmethod
+    def default(cls) -> "StatsCatalog":
+        global _DEFAULT
+        if _DEFAULT is None:
+            _DEFAULT = cls()
+        return _DEFAULT
+
+    # -- store plumbing ----------------------------------------------------
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, f"{key}.json")
+
+    def _get(self, key: str) -> dict | None:
+        try:
+            with open(self._path(key), encoding="utf-8") as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return None
+
+    def _put(self, key: str, entry: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".put_")
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, self._path(key))
+        self._prune()
+
+    def _prune(self) -> None:
+        try:
+            names = [n for n in os.listdir(self.root) if n.endswith(".json")]
+            if len(names) <= self.max_entries:
+                return
+            aged = sorted(
+                names, key=lambda n: os.path.getmtime(
+                    os.path.join(self.root, n)))
+            for n in aged[: len(names) - self.max_entries]:
+                os.unlink(os.path.join(self.root, n))
+        except OSError:
+            pass  # concurrent prune — the other writer got it
+
+    # -- summaries ----------------------------------------------------------
+
+    def side_summary(self, df: DataFrame) -> dict:
+        """``{rows, bytes_est, basis, via, key}`` for one join side.
+
+        ``via`` says what THIS call did (``catalog`` hit, ``footer``
+        read, or live ``probe``); ``basis`` says where the numbers
+        originally came from — the auditable half of the evidence dict
+        ``apply_advice`` returns.
+        """
+        key = plan_fingerprint(df)
+        entry = self._get(key)
+        if entry is not None:
+            return {"rows": entry["rows"], "bytes_est": entry["bytes_est"],
+                    "basis": entry["basis"], "via": "catalog", "key": key}
+        info = footer_scan_info(df)
+        if info is not None:
+            files, needed = info
+            if needed is not None:
+                import pyarrow.parquet as pq
+
+                phys = set()
+                for f in files[:1]:  # one footer names the schema
+                    md = pq.ParquetFile(_local_path(f)).schema_arrow
+                    phys = set(md.names)
+                needed = needed & phys
+                if not needed:
+                    needed = phys  # constant-only projection: price all
+            rows, nbytes = footer_stats(files, needed)
+            entry = {"rows": rows, "bytes_est": nbytes,
+                     "basis": "parquet_footer", "hll": {}}
+            self._put(key, entry)
+            return {"rows": rows, "bytes_est": nbytes,
+                    "basis": "parquet_footer", "via": "footer", "key": key}
+        # live probe — one aggregate pass (stats.analyze_table), stored
+        # so the next execution of the same frame version pays nothing
+        from pyspark.sql import functions as F
+
+        from .stats import analyze_table
+
+        row = analyze_table(df).agg(
+            F.max("n_rows").alias("rows"),
+            F.sum("avg_len").alias("row_len")).first()
+        rows = int(row["rows"] or 0)
+        nbytes = int(rows * float(row["row_len"] or 0.0))
+        entry = {"rows": rows, "bytes_est": nbytes,
+                 "basis": "analyze_probe", "hll": {}}
+        self._put(key, entry)
+        return {"rows": rows, "bytes_est": nbytes,
+                "basis": "analyze_probe", "via": "probe", "key": key}
+
+    def key_registers(self, df: DataFrame, col: str,
+                      key: str | None = None) -> dict[int, int]:
+        """HLL register vector for ``df[col]`` — catalog-first, probed
+        at most once per (frame version, column)."""
+        key = key or plan_fingerprint(df)
+        entry = self._get(key) or {"rows": None, "bytes_est": None,
+                                   "basis": "hll_only", "hll": {}}
+        stored = entry.get("hll", {}).get(col)
+        if stored is not None:
+            return {int(b): int(r) for b, r in stored.items()}
+        from ..operators.sketch import hll_registers
+
+        regs = {int(r["bucket"]): int(r["reg"])
+                for r in hll_registers(df.select(col), [], col,
+                                       _P_BITS).collect()}
+        entry.setdefault("hll", {})[col] = {str(b): r
+                                            for b, r in regs.items()}
+        self._put(key, entry)
+        return regs
+
+    def containment(self, left: DataFrame, right: DataFrame,
+                    on: str) -> dict:
+        """Join-key overlap diagnostics, register-cached per side."""
+        return hll_overlap_py(self.key_registers(left, on),
+                              self.key_registers(right, on), _P_BITS)
+
+    def refresh_table(self, spark, path: str) -> dict | None:
+        """Post-write hook for ``core.sinks``: warm the full-table
+        summary for the path's NEW file set (footer read — zero scan).
+        Old entries need no invalidation: the rewrite changed the file
+        fingerprints, so they are already unreachable.  Never raises —
+        statistics maintenance must not fail a write."""
+        try:
+            df = spark.read.parquet(path)
+            return self.side_summary(df)
+        except Exception:
+            return None

@@ -48,8 +48,25 @@ def append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def _refresh_stats(spark: SparkSession, path: str) -> None:
+    """Post-write statistics maintenance: warm the stats catalog's
+    full-table summary for the path's new file set (parquet-footer
+    read — zero scan).  The reference gets the equivalent from
+    Postgres autovacuum/ANALYZE keeping ``pg_statistic`` fresh after
+    writes; here the write is the one moment the new snapshot's
+    footers are guaranteed hot.  Never raises — statistics upkeep must
+    not fail a write."""
+    try:
+        from .catalog import StatsCatalog
+
+        StatsCatalog.default().refresh_table(spark, path)
+    except Exception:
+        pass
+
+
 def overwrite(df: DataFrame, path: str,
-              partition_cols: Sequence[str] | None = None) -> None:
+              partition_cols: Sequence[str] | None = None,
+              refresh_stats: bool = True) -> None:
     """K2 snapshot overwrite via staging swap (safe even if ``df`` reads
     from ``path``: the plan is fully materialized into staging first)."""
     staging = tempfile.mkdtemp(prefix="__staging_", dir=os.path.dirname(path) or ".")
@@ -67,6 +84,8 @@ def overwrite(df: DataFrame, path: str,
     finally:
         if _exists(staging):
             shutil.rmtree(staging, ignore_errors=True)
+    if refresh_stats:
+        _refresh_stats(df.sparkSession, path)
 
 
 def _stored_pruned(spark: SparkSession, path: str, batch: DataFrame,
@@ -128,6 +147,7 @@ def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
+        _refresh_stats(spark, path)
         return
     if partition_cols:
         stored = _stored_pruned(spark, path, batch, partition_cols)
@@ -149,6 +169,7 @@ def upsert_by_pk(spark: SparkSession, batch: DataFrame, path: str,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (winners.write.mode("overwrite").partitionBy(*partition_cols)
          .parquet(path))
+        _refresh_stats(spark, path)
     else:
         overwrite(winners, path)
 

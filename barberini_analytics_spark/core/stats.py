@@ -132,13 +132,26 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
                  low_containment: float = 0.2,
                  target_partition_bytes: int = 128 * 1024 * 1024,
                  max_skew_ratio: float = 4.0,
-                 ndv_rsd: float = 0.05) -> tuple[DataFrame, dict]:
-    """CLOSE the advisor loop: run :func:`join_advice` +
-    :func:`partition_advice` and APPLY what they recommend, returning
-    the hinted join plus the applied evidence.
+                 ndv_rsd: float = 0.05,
+                 catalog=None,
+                 use_catalog: bool = True) -> tuple[DataFrame, dict]:
+    """CLOSE the advisor loop: resolve both sides' planning statistics,
+    pick a strategy, and APPLY it, returning the hinted join plus the
+    applied evidence.
 
-    - ``spark.sql.shuffle.partitions`` is set to the recommendation for
-      the join key over the LARGER side (the shuffle the join pays);
+    Statistics come from the persistent catalog chain
+    (:class:`..core.catalog.StatsCatalog` — stored summary → parquet
+    footers → one-pass live probe, cheapest sufficient evidence first),
+    so a warm call decides WITHOUT running any Spark job; round 11
+    measured the alternative (eager re-probe per execution) at 1.84×
+    the advised query's own cost.  The key-containment sketch (the
+    bloom-vs-shuffle signal) is only probed when BOTH sides exceed the
+    broadcast budget — a broadcastable side settles the decision from
+    sizes alone.  ``use_catalog=False`` restores the always-probe path
+    (:func:`join_advice` eagerly, every call).
+
+    Strategies:
+
     - ``broadcast_left`` / ``broadcast_right`` become an explicit
       ``F.broadcast`` hint on that side — effective even when the
       statistics Spark itself sees (e.g. post-filter estimates) would
@@ -149,27 +162,55 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
       negatives, so the pruned join equals the plain join);
     - ``shuffle_join`` stays a plain join (AQE handles residual skew).
 
-    The probes cost two one-pass stats aggregates + two HLL aggregates
-    (constant-size outputs, nothing corpus-sized is collected) — the
-    planning spend a 100 TB pipeline pays before an expensive join.
-    ``tests/test_sinks.py`` pins that applying the advice actually flips
-    the chosen physical plan.
+    ``how`` supports non-inner joins with the semantics-preserving AND
+    plannable subset only: a LEFT join keeps unmatched left rows, so
+    Bloom-pruning or broadcasting the left side would change results or
+    be unplannable, and a RIGHT/FULL join cannot build its hash table
+    on the right side (Spark silently ignores a broadcast-right hint
+    there and falls back to SMJ) — so ``broadcast_right`` is applied
+    only for ``inner``/``left``-family joins and every other
+    (strategy, how) pair degrades to the plain join.  The evidence's
+    ``applied`` field records what actually happened (``degraded``
+    when the recommendation could not be applied), so the audit trail
+    never claims a hint Spark would discard.
 
-    ``how`` supports non-inner joins with the semantics-preserving
-    subset of strategies only: a LEFT join keeps unmatched left rows,
-    so Bloom-pruning the left side or broadcasting it (Spark builds
-    the hash table on the non-preserved side) would change results or
-    be unplannable — for ``how != "inner"`` only ``broadcast_right``
-    is applied and everything else degrades to the plain join.
     ``set_partitions=False`` skips the shuffle-sizing probe entirely
     (``"partition"`` is ``None`` in the evidence): for a hinted join
     INSIDE a larger query, mutating the session-global partition count
-    would leak into unrelated stages — callers own that knob, and
-    paying the sizing aggregate for evidence nobody applies doubles
-    the probe cost for nothing.
+    would leak into unrelated stages.  ``tests/test_sinks.py`` pins
+    that applying the advice actually flips the chosen physical plan.
     """
-    adv = join_advice(left, right, on, broadcast_bytes,
-                      low_containment, ndv_rsd).first().asDict()
+    if use_catalog:
+        from .catalog import StatsCatalog
+
+        cat = catalog or StatsCatalog.default()
+        ls = cat.side_summary(left)
+        rs = cat.side_summary(right)
+        l_fit = ls["bytes_est"] <= broadcast_bytes
+        r_fit = rs["bytes_est"] <= broadcast_bytes
+        adv = {
+            "left_rows": ls["rows"], "right_rows": rs["rows"],
+            "left_bytes_est": ls["bytes_est"],
+            "right_bytes_est": rs["bytes_est"],
+            "left_stats": f'{ls["via"]}:{ls["basis"]}',
+            "right_stats": f'{rs["via"]}:{rs["basis"]}',
+        }
+        if r_fit and (not l_fit or rs["bytes_est"] <= ls["bytes_est"]):
+            adv["advice"] = "broadcast_right"
+        elif l_fit:
+            adv["advice"] = "broadcast_left"
+        else:
+            ov = cat.containment(left, right, on)
+            adv.update(ov)
+            bigger_cont = (ov["containment_left"]
+                           if ls["rows"] >= rs["rows"]
+                           else ov["containment_right"])
+            adv["advice"] = ("bloom_prune_then_shuffle"
+                             if bigger_cont < low_containment
+                             else "shuffle_join")
+    else:
+        adv = join_advice(left, right, on, broadcast_bytes,
+                          low_containment, ndv_rsd).first().asDict()
     part = None
     if set_partitions:
         bigger = left if adv["left_rows"] >= adv["right_rows"] else right
@@ -178,8 +219,14 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(part["shuffle_partitions"]))
     strategy = adv["advice"]
-    inner = how == "inner"
-    if strategy == "broadcast_right":
+    norm = how.lower().replace("_", "")
+    inner = norm in ("inner", "cross")
+    # broadcast-right builds the hash table on the right: legal for
+    # inner and the left-preserving family, unplannable for right/full
+    right_broadcastable = inner or norm in ("left", "leftouter",
+                                            "leftsemi", "leftanti")
+    applied = strategy
+    if strategy == "broadcast_right" and right_broadcastable:
         out = left.join(F.broadcast(right), on, how)
     elif strategy == "broadcast_left" and inner:
         out = F.broadcast(left).join(right, on, how)
@@ -195,7 +242,77 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
                 on, how)
     else:
         out = left.join(right, on, how)
+        applied = "plain_join" if strategy == "shuffle_join" else "degraded"
+    adv["applied"] = applied
     return out, {"join": adv, "partition": part}
+
+
+def _parse_byte_conf(spark, raw: str | None) -> int:
+    """Parse a Spark byte-string conf value (``"10MB"``, ``"10485760b"``,
+    ``"-1"``) using Spark's own parser, with a plain-int fallback."""
+    if raw is None:
+        return -1
+    try:
+        return int(spark._jvm.org.apache.spark.network.util
+                   .JavaUtils.byteStringAsBytes(raw))
+    except Exception:
+        try:
+            return int(raw.lower().rstrip("b"))
+        except ValueError:
+            return -1
+
+
+def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None
+                  ) -> tuple[DataFrame, dict]:
+    """Materialize-then-decide join hint for a derived (non-scan) side:
+    persist ``df`` (query-scoped), run it, read its ACTUAL cached bytes
+    from the InMemoryRelation statistics, and return it wrapped in the
+    hint those bytes justify — ``F.broadcast`` under the threshold,
+    ``hint("merge")`` above.
+
+    This is the advice path for the explode-derived aggregates the
+    span/segment/near-dup family joins back to corpus streams: their
+    STATIC size estimates pass through posexplode fan-outs Catalyst
+    cannot see, so an unhinted join can statically plan a corpus-size
+    broadcast (measured: >1 GiB driver collect at 1M docs), while a
+    blanket ``hint("merge")`` costs 1.8–2.4× at bench scale where the
+    side genuinely fits (SURVEY §8 r11).  Measuring the materialized
+    bytes keeps BOTH properties: the small case broadcasts (no shuffle
+    of the corpus side), the large case merges (no driver collect) —
+    and the decision is recorded in the returned evidence dict.
+
+    Cost: the side is computed once either way (the join consumes it);
+    the additions are the cache write and one count over cached data.
+    The persist is registered query-scoped (``core.cache``), so the
+    registry's release-on-entry frees it.  ``broadcast_bytes=None``
+    reads the session's ``spark.sql.autoBroadcastJoinThreshold``
+    (falling back to 10 MB when auto-broadcast is disabled — the
+    explicit hint is legal and cheap regardless of the auto setting).
+    """
+    from .cache import scoped_persist
+
+    spark = df.sparkSession
+    if broadcast_bytes is None:
+        broadcast_bytes = _parse_byte_conf(
+            spark, spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                                  "10MB"))
+        if broadcast_bytes <= 0:
+            broadcast_bytes = 10 * 1024 * 1024
+    df = scoped_persist(df)
+    rows = df.count()
+    # fresh plan resolution AFTER materialization: the cache manager
+    # substitutes the InMemoryRelation, whose stats are the measured
+    # cached bytes (the pre-materialization estimate would be the same
+    # explode-blind static guess the hint exists to bypass)
+    nbytes = int(df.select("*")._jdf.queryExecution().optimizedPlan()
+                 .stats().sizeInBytes())
+    evidence = {"rows": rows, "cached_bytes": nbytes,
+                "broadcast_bytes": broadcast_bytes}
+    if nbytes <= broadcast_bytes:
+        evidence["strategy"] = "broadcast"
+        return F.broadcast(df), evidence
+    evidence["strategy"] = "merge"
+    return df.hint("merge"), evidence
 
 
 def partition_advice(df: DataFrame, group_keys: list[str] | None = None,

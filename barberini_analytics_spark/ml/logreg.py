@@ -163,11 +163,22 @@ def save_quality_model(spark, model: dict, path: str) -> None:
     tmp = f"{path.rstrip('/')}.__tmp_{uuid.uuid4().hex}"
     frame.write.mode("overwrite").parquet(tmp)
     old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex}"
+    moved_aside = False
     try:
         if os.path.isdir(path):
             os.rename(path, old)
+            moved_aside = True
         os.rename(tmp, path)
     except OSError:
+        # if the previous model was already moved aside, roll it back
+        # before raising — otherwise a failed second rename would leave
+        # NO model at `path` and the old one stranded under a random
+        # __old_<uuid> name, strictly worse than the failure it replaced
+        if moved_aside and not os.path.isdir(path):
+            try:
+                os.rename(old, path)
+            except OSError:
+                pass  # rollback is best-effort; the original error wins
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     shutil.rmtree(old, ignore_errors=True)

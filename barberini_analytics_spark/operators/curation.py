@@ -122,18 +122,17 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
     (and a plain ``persist`` made it worse, not better: every cache
     LOOKUP canonicalizes those exponential trees; persist does not
     truncate lineage — the same lesson ``curate_stage_profile``'s
-    docstring records).  So the gates output is scoped-PERSISTED (its
-    plan is one map stage — cheap to match, expensive to recompute
-    through the trained-gate fold and LM join), while the
+    docstring records).  So the gates LM-scored frame and the
     segment-dedup and span-dedup outputs are scoped-CHECKPOINTED
-    (eager ``localCheckpoint`` — truncates lineage, so the near-dup
-    stage plans against a leaf instead of the whole recipe).  Both are
-    query-scoped: released on the next registry entry /
-    ``release_scoped``.  Cache-vs-recompute at 100 TB: the truncated
-    boundaries contain shuffles, re-deriving them 3× per downstream
-    consumer costs more than storing them once (MEMORY_AND_DISK
-    spill)."""
-    from ..core.cache import scoped_checkpoint, scoped_persist
+    (eager ``localCheckpoint`` — truncates lineage, so each downstream
+    stage plans against a leaf instead of the whole recipe; for gates
+    this also stops the quantile crossJoin from printing the LM join
+    subtree twice).  All are query-scoped: released on the next
+    registry entry / ``release_scoped``.  Cache-vs-recompute at
+    100 TB: the truncated boundaries contain shuffles, re-deriving
+    them 3× per downstream consumer costs more than storing them once
+    (MEMORY_AND_DISK spill)."""
+    from ..core.cache import scoped_checkpoint
     from .text import gopher_quality_filter, scrub_text
 
     base_cols = [id_col, text_col] + ([source_col] if source_col else [])
@@ -162,6 +161,21 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
             (F.col("n_tokens") >= min_tokens)
             & (F.col("alpha_ratio") >= min_alpha_ratio))
         gated = ngram_lm_score(gated, id_col, text_col)
+        # checkpoint BEFORE the quantile gate: the LM scorer's join
+        # subtree is the gate stack's largest expression tree, and the
+        # quantile's crossJoin would print it TWICE (once under the
+        # aggregate branch, once under the filter branch) — measured
+        # 1.4M plan chars at sf0.01-full, unbounded in corpus config
+        # (r11 verdict ask 5).  The eager checkpoint truncates both
+        # branches to a leaf (pinned < 200k in test_plan_shapes) and
+        # doubles as the stage's materialization: exact dedup consumes
+        # the gates output twice (fingerprint aggregate + semi join),
+        # and the gate expressions (trained-score fold, LM join) are
+        # the pipeline's most expensive per-row work — the checkpoint
+        # caps them at one evaluation, same as the scoped_persist it
+        # replaces, while also bounding the plan.
+        gated = scoped_checkpoint(
+            gated.select(*base_cols, "n_tokens", "lm_score"))
         if lm_quantile is not None:
             q = gated.agg(
                 F.percentile_approx("lm_score", lm_quantile).alias("__q"))
@@ -173,12 +187,7 @@ def _curation_stages(id_col, text_col, source_col, min_tokens,
                      .filter(F.col("lm_score").isNull()
                              | (F.col("lm_score") <= F.col("__q")))
                      .drop("__q"))
-        # exact dedup consumes this twice (fingerprint aggregate + semi
-        # join) and the gate expressions (trained-score fold, LM join)
-        # are the pipeline's most expensive per-row work — one persist
-        # caps them at one evaluation
-        return scoped_persist(
-            gated.select(*base_cols, "n_tokens", "lm_score"))
+        return gated
 
     # -- 2. exact dedup (smallest id per content survives) ----------------
     def stage_exact(gated):

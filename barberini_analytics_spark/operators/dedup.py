@@ -437,7 +437,8 @@ def segment_documents(df: DataFrame, id_col: str, text_col: str = "text",
 
 def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
                    sep: str | None = None, tokens_per_segment: int = 10,
-                   min_docs: int = 2) -> DataFrame:
+                   min_docs: int = 2,
+                   broadcast_bytes: int | None = None) -> DataFrame:
     """Corpus-level segment dedup (CCNet line dedup / C4 boilerplate
     removal): fingerprint every segment, keep only each content's FIRST
     global occurrence (ordered by ``(id, seg_index)``), and reassemble the
@@ -484,11 +485,18 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
                            F.col("__first_idx").alias("p"))).alias("__first"),
         )
     )
-    # merge hint for the same reason as duplicate_spans' hit join: occ is
-    # segment-count-sized but its static size estimate passes through the
-    # posexplode fan-out, which Catalyst cannot see — unhinted, a corpus
-    # of long documents gets a corpus-size broadcast here
-    joined = segs.join(occ.hint("merge"), "seg_fp")
+    # measured hint (r11 verdict ask 4): occ's static size estimate
+    # passes through the posexplode fan-out, which Catalyst cannot see —
+    # unhinted, a corpus of long documents gets a corpus-size broadcast
+    # here, while a blanket merge hint pays a full shuffle of `segs`
+    # even when occ genuinely fits.  Materializing occ and reading its
+    # ACTUAL cached bytes keeps both properties (broadcast small, merge
+    # big); the small case skips shuffling the corpus-scale segment
+    # stream entirely.
+    from ..core.stats import measured_hint
+
+    occ_hinted, _ = measured_hint(occ, broadcast_bytes=broadcast_bytes)
+    joined = segs.join(occ_hinted, "seg_fp")
     kept = (F.col("__first.i") == F.col(id_col)) & \
         (F.col("__first.p") == F.col("seg_index"))
     return (
@@ -551,7 +559,8 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                    k: int = 50, policy: str = "keep_first") -> DataFrame:
+                    k: int = 50, policy: str = "keep_first",
+                    broadcast_bytes: int | None = None) -> DataFrame:
     """Maximal duplicated token spans per document — exact substring
     dedup at span grain (Lee et al. 2021 semantics, keep-first policy).
 
@@ -576,7 +585,11 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     only (a corpus-duplication-fraction subset, each document's rows
     bounded by its own length).  A k-gram shared by millions of
     documents is an aggregate fan-in plus an equi-join fan-out — never a
-    self-join, so no hot bucket goes quadratic.
+    self-join, so no hot bucket goes quadratic.  The hit join's strategy
+    is decided from the first-occurrence table's MEASURED cached bytes
+    (``core.stats.measured_hint``): broadcast when it fits
+    (``broadcast_bytes``, default the session threshold), merge —
+    reusing the aggregate's hash partitioning — when it does not.
     """
     from ..core.cache import scoped_persist
 
@@ -590,14 +603,21 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
                        F.col("pos").alias("p"))).alias("__first"),
         F.count(F.lit(1)).alias("__n_occ"),
     )
-    # merge hint: `first` is corpus-scale (~one row per distinct k-gram)
-    # but Catalyst's size estimate for it passes through the posexplode,
-    # whose ~k× fan-out is INVISIBLE to static size estimation — the
-    # estimate lands under the broadcast threshold and Spark plans a
-    # corpus-size broadcast (measured: a 1 GiB driver-side collect at
-    # 1M docs).  The hit join must always be a shuffle join; it reuses
-    # the aggregate's hash partitioning on the fp.
-    joined = occ.join(first.hint("merge"), "kgram_fp")
+    # measured hint (r11 verdict ask 4): `first` is ~one row per
+    # distinct k-gram, but Catalyst's size estimate for it passes
+    # through the posexplode, whose ~k× fan-out is INVISIBLE to static
+    # size estimation — the estimate lands under the broadcast
+    # threshold and Spark plans a corpus-size broadcast (measured: a
+    # 1 GiB driver-side collect at 1M docs).  Materializing `first`
+    # and deciding from its ACTUAL cached bytes broadcasts only when
+    # it truly fits (skipping the full shuffle of the occurrence
+    # stream the blanket merge hint paid at bench scale) and merges
+    # above — scripts/span_curve.py proves the large case stays
+    # broadcast-free.
+    from ..core.stats import measured_hint
+
+    first_hinted, _ = measured_hint(first, broadcast_bytes=broadcast_bytes)
+    joined = occ.join(first_hinted, "kgram_fp")
     if policy == "drop_all":
         dup_cond = F.col("__n_occ") > 1
     else:
@@ -623,7 +643,8 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
-                k: int = 50, policy: str = "keep_first") -> DataFrame:
+                k: int = 50, policy: str = "keep_first",
+                broadcast_bytes: int | None = None) -> DataFrame:
     """Document-grain exact substring dedup: remove every maximal token
     span (≥ ``k`` tokens) whose content appeared earlier in the corpus,
     and reassemble the surviving text.
@@ -656,7 +677,8 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
     beyond the one the span derivation already pays plus the join back
     on the document id.
     """
-    spans = duplicate_spans(df, id_col, text_col, k, policy)
+    spans = duplicate_spans(df, id_col, text_col, k, policy,
+                            broadcast_bytes)
     per_doc = spans.groupBy(id_col).agg(
         F.sum("n_kgram_hits").alias("n_dup_kgrams"),
         F.count(F.lit(1)).alias("n_dup_spans"),
@@ -685,12 +707,18 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
         gap_starts, gap_ends,
         lambda b, s: F.slice(F.col("__toks"), (b + 1).cast("int"),
                              F.greatest(s - b, F.lit(0)).cast("int"))))
+    # measured hint: per_doc is duplication-fraction-sized, but its
+    # estimate flows through the k-gram explode (invisible fan-out, see
+    # the hit join above) — on a heavily-duplicated corpus an
+    # auto-broadcast here would collect a corpus-scale frame, while the
+    # common low-duplication case fits and broadcasting it avoids
+    # shuffling the whole corpus on the document id
+    from ..core.stats import measured_hint
+
+    per_doc_hinted, _ = measured_hint(per_doc,
+                                      broadcast_bytes=broadcast_bytes)
     return (
-        # merge hint: per_doc is duplication-fraction-sized, but its
-        # estimate flows through the k-gram explode (invisible fan-out,
-        # see the hit join above) — on a heavily-duplicated corpus an
-        # auto-broadcast here would collect a corpus-scale frame
-        df.join(per_doc.hint("merge"), id_col, "left")
+        df.join(per_doc_hinted, id_col, "left")
         .withColumn("__toks", tokens)
         .withColumn("__spans", F.coalesce(
             F.col("__spans"),

@@ -234,7 +234,16 @@ def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
               .agg(F.count(F.lit(1)).alias("__bn"))
               .filter(F.col("__bn") <= max_bucket)
               .select("band", "bucket"))
-        banded = banded.join(ok.hint("merge"), ["band", "bucket"])
+        # the whitelist is bounded BY CONSTRUCTION at bands × 2^bits
+        # rows (two ints each) — broadcast it whenever that bound is
+        # small, at ANY corpus size, skipping a full shuffle of the
+        # banded corpus stream; the merge fallback only exists for
+        # pathological bands/bits configurations (r11 ask 4: the blunt
+        # merge hint here paid the corpus shuffle even for 256 buckets)
+        if bands * (1 << bits) <= 1 << 20:
+            banded = banded.join(F.broadcast(ok), ["band", "bucket"])
+        else:
+            banded = banded.join(ok.hint("merge"), ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     # merge hint: the banded frame's size estimate is blind to the band
     # explode AND counts the embedding array at its 1-element default
@@ -709,9 +718,33 @@ def ivf_pq_build(corpus: DataFrame, centroids: DataFrame, codebook: list,
                            passthrough=("assigned_cell",))
 
 
+def auto_shortlist(n_corpus: int, n_cells: int, nprobe: int,
+                   k: int = 10, fraction: float = 0.08) -> int:
+    """Corpus-tracking default for the ADC shortlist: re-rank
+    ``fraction`` of the rows a search EXPECTS to probe
+    (``n_corpus × nprobe / n_cells``), floored at ``k × 20``.
+
+    A fixed shortlist does not survive corpus growth: r11 measured
+    recall@10 = 0.10 at shortlist 100 on a 100k-vector corpus (where
+    100 is 0.1% of the probed mass) vs 0.88 at 400 — and at 100 TB any
+    constant is vanishingly small.  The quantity that predicts recall
+    is the re-ranked FRACTION of probed candidates, because PQ
+    distortion scrambles the ADC ordering by a roughly corpus-size-
+    independent factor; 8% holds recall@10 ≈ 0.88 for the m=8 ×
+    16-code × dim-64 regime on the honest-seeded bench corpus
+    (``scale_ivf_pq_search_np4_sl_auto``).  Finer codebooks (larger
+    ``m × n_codes``) shrink the fraction needed; the re-rank cost is
+    linear in the shortlist and negligible next to the ADC scan it
+    follows.
+    """
+    probed_est = n_corpus * nprobe / max(n_cells, 1)
+    return max(k * 20, int(probed_est * fraction) + 1)
+
+
 def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
                   queries: DataFrame, k: int = 10, nprobe: int = 4,
-                  shortlist: int = 50, m: int = 8, n_codes: int = 16,
+                  shortlist: int | None = None, m: int = 8,
+                  n_codes: int = 16,
                   dim: int = 64, id_col: str = "vec_id",
                   vec_col: str = "embedding",
                   query_id_col: str = "query_id",
@@ -737,7 +770,10 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
        ``brute_force_topk``/``ivf_search``.
 
     ``shortlist`` is the recall dial of the PQ tier the way ``nprobe``
-    is for the IVF tier.
+    is for the IVF tier.  ``None`` (the default) scales it with the
+    corpus via :func:`auto_shortlist` — a fixed value silently
+    collapses recall as the corpus grows (r11: 0.10 at shortlist 100
+    on 100k vectors), so the constant-shortlist mode is opt-in.
 
     ``residual=True`` switches the PQ tier to IVF-residual encoding
     (``codebook`` must then come from ``pq_train`` over
@@ -768,6 +804,16 @@ def ivf_pq_search(corpus: DataFrame, centroids: DataFrame, codebook: list,
                                   n_codes=n_codes, dim=dim, id_col=id_col,
                                   vec_col=vec_col, key_col=key_col,
                                   residual=residual)
+        if shortlist is None:
+            # the sizing counts below would otherwise recompute the
+            # whole inline build twice (once for the count, once for
+            # the probe join)
+            from ..core.cache import scoped_persist
+
+            compressed = scoped_persist(compressed)
+    if shortlist is None:
+        shortlist = auto_shortlist(compressed.count(), centroids.count(),
+                                   nprobe, k)
 
     c = centroids.select(F.col(key_col).alias("cell"), "centroid")
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
@@ -925,9 +971,19 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
     dominated = pairs.groupBy(F.col("__id_b").alias(id_col)).agg(
         F.min("__id_a").alias("dup_of"),
         F.max("__cos").alias("max_cosine"))
+    # measured hint (r11 ask 4): dominated is duplication-fraction-sized
+    # — usually tiny, corpus-scale only on a pathologically redundant
+    # corpus — but its static estimate flows through the within-cluster
+    # self-join, so neither Catalyst's guess nor a blanket merge hint
+    # prices it right.  Deciding from its ACTUAL cached bytes broadcasts
+    # the common case (no shuffle of the full id column) and merges the
+    # degenerate one (no corpus-size driver collect).
+    from ..core.stats import measured_hint
+
+    dominated_hinted, _ = measured_hint(dominated)
     return (
         vectors.select(id_col)
-        .join(dominated.hint("merge"), id_col, "left")
+        .join(dominated_hinted, id_col, "left")
         .select(F.col(id_col),
                 F.col("dup_of").isNull().alias("kept"),
                 "dup_of", "max_cosine")

@@ -338,7 +338,17 @@ def test_dedup_spans_plan_shape(spark):
     join, and nothing in the plan is a cartesian product — the
     duplicated-k-gram derivation is aggregate + equi-join, never a
     self-join, so a k-gram shared by millions of docs cannot go
-    quadratic."""
+    quadratic.
+
+    r12: the hit/join-back strategies come from MEASURED cached bytes
+    (``core.stats.measured_hint``), not static estimates Catalyst
+    derives blind through the posexplode.  Two regimes pinned:
+    at smoke scale the small aggregates genuinely fit and must
+    broadcast (the r11 blanket merge hints paid a full shuffle of the
+    corpus stream here, 1.8–2.4×); with the budget forced to one byte
+    — the stand-in for the 1M-doc case, where a statically-planned
+    broadcast was a >1 GiB driver collect — every join must degrade to
+    shuffle joins, never a broadcast."""
     from barberini_analytics_spark.operators.dedup import dedup_spans
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
@@ -347,15 +357,22 @@ def test_dedup_spans_plan_shape(spark):
     assert "REPARTITION_BY_NUM" in plan, plan[:2000]
     assert "InMemoryRelation" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
-    # the first-occurrence aggregate and the per-doc span frame are
-    # corpus-scale, but their size estimates flow through the k-gram
-    # posexplode whose fan-out Catalyst cannot see — unhinted, Spark
-    # plans corpus-size BROADCASTS here (measured: a >1 GiB driver
-    # collect at 1M docs).  The merge hints must hold at every size.
-    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "size(split" in plan.split("FileScan", 1)[1].split(
         "ReadSchema")[0] or "DataFilters: [(size" in plan, \
         "token-count gate not pushed to the scan"
+
+    # drop the first regime's scoped caches first: a cache hit would
+    # splice the BROADCAST-built InMemoryRelation subtrees into this
+    # plan's printout and mask the hint decision under test
+    from barberini_analytics_spark.core.cache import release_scoped
+
+    release_scoped()
+    big = dedup_spans(docs, "doc_id", k=8, broadcast_bytes=1)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_big, plan_big[:2000]
+    assert "CartesianProduct" not in plan_big
+    release_scoped()
 
 
 def test_customer_view_advised_join_flips_plan(spark):
@@ -390,3 +407,35 @@ def test_customer_view_advised_join_flips_plan(spark):
         f"plain={plain.count('BroadcastHashJoin')} " \
         f"advised={advised.count('BroadcastHashJoin')}"
     assert "SortMergeJoin [order_id" in plain, plain[:3000]
+
+
+def test_gates_stage_plan_chars_bounded(spark):
+    """r11 verdict ask 5: the full-recipe gate stack (scrub + Gopher +
+    trained classifier + features + LM score + LM quantile) reached
+    1.4M plan chars, unbounded by any pin — the quantile crossJoin
+    printed the LM scorer's join subtree twice.  The gates stage now
+    checkpoints the LM-scored frame before the quantile, so the final
+    gates plan is a filter over a leaf; pinned well under the ~500k
+    the verdict asked for."""
+    from barberini_analytics_spark.core.cache import release_scoped
+    from barberini_analytics_spark.operators.curation import \
+        _curation_stages
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    model = {"weights": [0.01] * 1024, "bias": 0.0, "dim": 1024}
+    # gopher=False: the published word-count floor drops ALL smoke-scale
+    # docs (too short), which would make the row-survival check vacuous;
+    # the plan-fattening parts are the classifier fold + LM join +
+    # quantile crossJoin, all present here
+    stages = dict(_curation_stages(
+        "doc_id", "text", "source", 5, 0.0, 0.95, 10, 0.5,
+        None, (0.9, 0.05, 0.05), 50_000, 42, True, False,
+        near_dup_max_bucket=1000, span_k=25, quality_model=model))
+    gated = stages["gates"](stages["scrub"](
+        docs.select("doc_id", "text", "source")))
+    chars = len(gated._jdf.queryExecution().toString())
+    assert chars < 200_000, f"gates plan grew to {chars} chars"
+    # the gate still gates: LM quantile keeps <= ~95% of scoreable docs
+    n_in, n_out = docs.count(), gated.count()
+    assert 0 < n_out <= n_in
+    release_scoped()
