@@ -27,6 +27,19 @@ def cumulative_shuffle_bytes(spark: SparkSession) -> int:
     running stages are both included, so take the "before" snapshot
     after any prior job has finished.
     """
+    return cumulative_stage_metrics(spark)["shuffle_write_bytes"]
+
+
+def cumulative_stage_metrics(spark: SparkSession) -> dict:
+    """Application-cumulative stage counters: shuffle-write bytes,
+    memory/disk spill bytes, executor run time, and JVM GC time (ms).
+
+    Deltas around a job attribute not just what it MOVED but what it
+    SPILLED and how much of its wall was garbage collection — the
+    two usual suspects when a scale curve's largest point goes
+    sublinear (r11: the 1M-doc span point dropped 546k → 362k
+    tokens/s with no attribution recorded).
+    """
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()
     empty_status = sc._jvm.java.util.ArrayList()
@@ -34,5 +47,13 @@ def cumulative_shuffle_bytes(spark: SparkSession) -> int:
     no_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
     stages = store.stageList(empty_status, False, False, no_quantiles,
                              empty_summaries)
-    return sum(stages.apply(i).shuffleWriteBytes()
-               for i in range(stages.size()))
+    out = {"shuffle_write_bytes": 0, "memory_spill_bytes": 0,
+           "disk_spill_bytes": 0, "executor_run_ms": 0, "jvm_gc_ms": 0}
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        out["memory_spill_bytes"] += s.memoryBytesSpilled()
+        out["disk_spill_bytes"] += s.diskBytesSpilled()
+        out["executor_run_ms"] += s.executorRunTime()
+        out["jvm_gc_ms"] += s.jvmGcTime()
+    return out

@@ -265,6 +265,42 @@ def main() -> None:
             "ambient": ambient_contaminated,
         })
 
+    # ------------------------------------------------------------------
+    # Sweep-level creep gate (r11 verdict item 3): the per-query
+    # adjudicator only flags >=1.5x jumps, so ~20% compound drift
+    # across the whole sweep shipped unflagged three rounds running
+    # (77 -> 96 -> 117 s).  Sum the queries shared with the prior
+    # round and adjudicate the TOTAL: over 1.15x on a quiet box emits
+    # a flagged record with the top per-query contributors and their
+    # cpu_sec, so sub-threshold drift is attributed instead of
+    # invisible.
+    # ------------------------------------------------------------------
+    shared = sorted(n for n in timings if prior.get(n))
+    sweep_creep = None
+    if shared:
+        cur_sum = sum(timings[n] for n in shared)
+        prev_sum = sum(prior[n] for n in shared)
+        ratio = cur_sum / prev_sum if prev_sum else 1.0
+        sweep_creep = {
+            "n_shared": len(shared),
+            "prev_sec": round(prev_sum, 2),
+            "sec": round(cur_sum, 2),
+            "ratio": round(ratio, 3),
+            "flagged": bool(ratio > 1.15 and not ambient_contaminated),
+            "ambient": ambient_contaminated,
+            "base": prior_file,
+        }
+        if ratio > 1.15:
+            worst = sorted(shared,
+                           key=lambda n: prior[n] - timings[n])[:8]
+            sweep_creep["top_contributors"] = [
+                {"query": n, "prev_sec": prior[n],
+                 "sec": round(timings[n], 3),
+                 "delta": round(timings[n] - prior[n], 2),
+                 "cpu_sec": min(measurements[n],
+                                key=lambda r: r["sec"])["cpu_sec"]}
+                for n in worst]
+
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = sum(timings.values())
     # contamination self-diagnosis: if the cold base sweep cost far more
@@ -302,7 +338,9 @@ def main() -> None:
         # every individual run: wall, process-tree CPU delta, 1-min load
         "measurements": measurements,
         "regressions": regressions,
+        "n_regressions": len(regressions),
         "regression_base": prior_file,
+        "sweep_creep": sweep_creep,
         "scale_paths": scale_timings,
         "sf": sf_num,
     }
@@ -334,6 +372,9 @@ def main() -> None:
             for r in sorted(regressions, key=lambda r: -r["ratio"])[:8]
         ],
         "n_regressions": len(regressions),
+        "creep": (None if sweep_creep is None else
+                  {"x": sweep_creep["ratio"], "n": sweep_creep["n_shared"],
+                   "flag": sweep_creep["flagged"]}),
         "regression_base": prior_file,
         "detail": "bench_detail.json",
         "sf": sf_num,
@@ -343,8 +384,14 @@ def main() -> None:
     # surface (r10 shipped a top-24 truncation and the judge had to dig
     # in bench_detail.json), so shrink every OTHER field first and never
     # drop a query entry: fewer inline regressions, then coarser
-    # rounding.  Floor: 50 one-decimal entries + count-only regressions
-    # ≈ 1.6k chars.
+    # rounding, then the secondary diagnostics (all still in the detail
+    # file), and only as the very last resort the smallest query
+    # entries — a loop that shrinks until it fits BY CONSTRUCTION
+    # (r11's chain bottomed out at 1837 chars with no further step, two
+    # more registry entries away from losing the whole line).  The
+    # truncation itself is recorded (`regressions_truncated` /
+    # `queries_truncated`) so the artifact never shows an empty list
+    # next to a nonzero count.
     line = json.dumps(compact)
     if len(line) > 1900:
         compact["regressions"] = compact["regressions"][:3]
@@ -353,8 +400,23 @@ def main() -> None:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
     if len(line) > 1900:
-        compact["regressions"] = []
+        compact.pop("regressions", None)
+        compact["regressions_truncated"] = True
         line = json.dumps(compact)
+    if len(line) > 1900:
+        for f in ("base_sweep_total", "contaminated_base_sweep",
+                  "ambient_load_start", "warmup_sec", "loadavg_start",
+                  "loadavg_end", "regression_base", "detail"):
+            compact.pop(f, None)
+        line = json.dumps(compact)
+    dropped = 0
+    while len(line) > 1900 and compact["queries"]:
+        smallest = min(compact["queries"], key=compact["queries"].get)
+        compact["queries"].pop(smallest)
+        dropped += 1
+        compact["queries_truncated"] = dropped
+        line = json.dumps(compact)
+    assert len(line) <= 1900, f"compact line still {len(line)} chars"
     sys.stdout.flush()
     print(line, flush=True)
 
@@ -447,6 +509,147 @@ def main() -> None:
             "elapsed_at_failure": round(elapsed(), 1)}
     write_detail()
 
+    # ------------------------------------------------------------------
+    # Full-recipe training + stage attribution EARLY (r11 verdict item
+    # 5): this profile ran LAST in r11 and the deadline guard downgraded
+    # it to sf0.01 every round — budgeting it before the ANN grid is
+    # what actually lands the sf0.1 attribution in the artifact.  The
+    # trained model is reused by the full-recipe end-to-end run at the
+    # bottom of the file.
+    # ------------------------------------------------------------------
+    from pyspark.sql import functions as F
+    from barberini_analytics_spark.ml.logreg import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    qmodel = None
+    try:
+        t0 = time.perf_counter()
+        pos = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0) \
+            .select("doc_id", "text", F.lit(1.0).alias("label")).limit(300)
+        junk_words = F.array(*[F.lit(w) for w in (
+            "click", "free", "winner", "buy", "now", "$$$", "@@@",
+            "spam", "qqq", "zzz")])
+        # negative ids stay in the documents table's BIGINT id space
+        # (negative range cannot collide with real doc_ids)
+        neg = spark.range(300).select(
+            (-(F.col("id") + 1)).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda i: F.element_at(
+                    junk_words,
+                    (F.pmod(F.col("id") * 13 + i * 7, 10) + 1)
+                    .cast("int")))).alias("text"),
+            F.lit(0.0).alias("label"))
+        qmodel = train_quality_classifier(
+            pos.unionByName(neg), "doc_id", "label", dim=1024, iters=8)
+        scale_timings["scale_quality_model_train"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "loadavg1m": (loadavg() or [None])[0],
+        }
+    except Exception as exc:  # noqa: BLE001
+        scale_timings["scale_quality_model_train"] = {
+            "error": f"{type(exc).__name__}: {exc}"}
+    write_detail()
+
+    if qmodel is not None:
+        try:
+            profile_dir = sf_dir
+            full_budget = float(
+                os.environ.get("BENCH_PROFILE_SF_BUDGET", "430")) + 120
+            at_start = round(elapsed(), 1)
+            if at_start > full_budget:
+                smaller = os.path.join(
+                    os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+                if os.path.isdir(smaller) and smaller != sf_dir:
+                    profile_dir = smaller
+            t0 = time.perf_counter()
+            stage_rows = CUR.curate_stage_profile(
+                load_table(spark, profile_dir, "documents"),
+                source_col="source", scrub=True, shard_tokens=50_000,
+                span_k=25, quality_model=qmodel,
+                near_dup_max_bucket=1000)
+            scale_timings["scale_curate_stage_profile_full"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sf_dir": os.path.basename(profile_dir.rstrip("/")),
+                "elapsed_at_start": at_start,
+                "stages": stage_rows,
+            }
+        except Exception as exc:  # noqa: BLE001
+            scale_timings["scale_curate_stage_profile_full"] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "elapsed_at_failure": round(elapsed(), 1)}
+        write_detail()
+
+    # ------------------------------------------------------------------
+    # 1M-doc span point, EARLY and attributed (r11 verdict item 6): the
+    # manual SCALE.md curve's largest point ran last under self-driven
+    # loadavg ~27 and dropped 546k -> 362k tokens/s with nothing in the
+    # record to name the cause.  Run it before the ANN grid and bracket
+    # it with stage-metric deltas — shuffle bytes, memory/disk spill,
+    # and JVM GC time — so a sublinear tail is attributable (spill, GC,
+    # or plain load) instead of mysterious.  The corpus rides a SCOPED
+    # checkpoint (ADVICE r11: DataFrame.unpersist after localCheckpoint
+    # is a no-op, so the r11 curve accumulated up to 1M-doc corpora in
+    # storage across sizes — release_scoped frees checkpoint blocks by
+    # recorded rdd id).
+    # ------------------------------------------------------------------
+    from barberini_analytics_spark.core.cache import (
+        release_scoped, scoped_checkpoint)
+    from barberini_analytics_spark.core.metrics import (
+        cumulative_stage_metrics)
+    from barberini_analytics_spark.core.synthdata import planted_span_corpus
+    from barberini_analytics_spark.operators.dedup import dedup_spans
+
+    span_1m_budget = float(os.environ.get("BENCH_SPAN_1M_BUDGET", "900"))
+    if elapsed() > span_1m_budget:
+        scale_timings["scale_span_1m"] = {
+            "skipped": "budget", "elapsed_at_start": round(elapsed(), 1)}
+    else:
+        try:
+            t_gen = time.perf_counter()
+            corpus_1m = scoped_checkpoint(
+                planted_span_corpus(spark, 1_000_000))
+            gen_sec = time.perf_counter() - t_gen
+            m0 = cumulative_stage_metrics(spark)
+            t0 = time.perf_counter()
+            agg = dedup_spans(corpus_1m, "doc_id", k=20).agg(
+                F.sum("n_tokens").alias("tok"),
+                F.sum("n_dup_spans").alias("spans"),
+                F.sum("n_dup_span_tokens").alias("cut")).first()
+            dt = time.perf_counter() - t0
+            m1 = cumulative_stage_metrics(spark)
+            scale_timings["scale_span_1m"] = {
+                "n_docs": 1_000_000,
+                "corpus_tokens": int(agg["tok"]),
+                "n_spans": int(agg["spans"]),
+                "cut_tokens": int(agg["cut"]),
+                "sec": round(dt, 3),
+                "corpus_gen_sec": round(gen_sec, 2),
+                "tokens_per_sec": int(agg["tok"] / dt),
+                "shuffle_mb": round(
+                    (m1["shuffle_write_bytes"]
+                     - m0["shuffle_write_bytes"]) / 1e6, 1),
+                "mem_spill_mb": round(
+                    (m1["memory_spill_bytes"]
+                     - m0["memory_spill_bytes"]) / 1e6, 1),
+                "disk_spill_mb": round(
+                    (m1["disk_spill_bytes"]
+                     - m0["disk_spill_bytes"]) / 1e6, 1),
+                "gc_sec": round(
+                    (m1["jvm_gc_ms"] - m0["jvm_gc_ms"]) / 1e3, 1),
+                "executor_cpu_sec": round(
+                    (m1["executor_run_ms"] - m0["executor_run_ms"]) / 1e3,
+                    1),
+                "loadavg1m": (loadavg() or [None])[0],
+                "elapsed_at_start": round(elapsed() - dt - gen_sec, 1),
+            }
+            release_scoped()  # frees the corpus checkpoint + occ caches
+        except Exception as exc:  # noqa: BLE001
+            scale_timings["scale_span_1m"] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "elapsed_at_failure": round(elapsed(), 1)}
+    write_detail()
+
     tokens = _topic_tokens(spark, sf_dir)
     n_docs = tokens.select("doc_id").distinct().count()
     run_scale("scale_gsdmm_sharded", lambda: fit_topics_sharded(
@@ -521,6 +724,34 @@ def main() -> None:
                     "corpus_rows": 100_000,
                     "loadavg1m": (loadavg() or [None])[0],
                 }
+        # auto-shortlist regime (r11 verdict item 2): shortlist=None
+        # derives the shortlist from the probed row count
+        # (operators/similarity.auto_shortlist — 8% of expected probed
+        # rows, floored at k*20), the default that replaces the fixed
+        # constants whose recall collapses as the corpus grows (0.10 at
+        # sl=100 on this very corpus).  The row pins the recall the
+        # auto default actually delivers at the 100k bench regime.
+        sl_auto = SIM.auto_shortlist(100_000, cents.count(), 4, k=10)
+        t0 = time.perf_counter()
+        got_auto: dict[int, set] = {}
+        for r in SIM.ivf_pq_search(
+                cvecs, cents, cb_resid, ann_queries, k=10, nprobe=4,
+                shortlist=None, residual=True,
+                compressed=codes).collect():
+            got_auto.setdefault(r["query_id"], set()).add(r["vec_id"])
+        dt = time.perf_counter() - t0
+        recall_auto = sum(len(exact[q] & got_auto.get(q, set())) / 10
+                          for q in exact) / len(exact)
+        scale_timings["scale_ivf_pq_search_np4_sl_auto"] = {
+            "sec": round(dt, 3),
+            "qps": round(len(exact) / dt, 2),
+            "recall_at_10": round(recall_auto, 3),
+            "shortlist": sl_auto,
+            "n_queries": len(exact),
+            "corpus_rows": 100_000,
+            "loadavg1m": (loadavg() or [None])[0],
+        }
+        write_detail()
         # batch-QPS regimes (r9 verdict item 5): the "QPS scales with
         # batch size, not against it" claim, measured.  Same persisted
         # index, same nprobe/shortlist; only the query-batch size
@@ -557,8 +788,7 @@ def main() -> None:
 
     # window-free stratified sampler + epoch sharding over the real
     # documents table (the map-only scale forms of the exact-quota
-    # sampler / global epoch rank)
-    docs = load_table(spark, sf_dir, "documents")
+    # sampler / global epoch rank; `docs` loaded before the model train)
     run_scale("scale_stratified_threshold", lambda: CUR
               .stratified_sample_threshold(
                   docs, ["source"], fraction=0.25, key_col="doc_id"))
@@ -598,24 +828,22 @@ def main() -> None:
     # corpus tokens, wall, tokens/s, and the shuffle bytes the run
     # actually moved (AppStatusStore stage-metric delta — the direct
     # evidence the "only corpus-size shuffle is the fp aggregate" claim
-    # needs).  Sizes are bench-budget bounded; scripts/span_curve.py
-    # runs the same harness up to 1M docs for SCALE.md.
+    # needs).  Sizes are bench-budget bounded; the 1M point ran EARLY
+    # as scale_span_1m (above); scripts/span_curve.py runs the same
+    # harness standalone for SCALE.md.  The per-size corpus rides a
+    # SCOPED checkpoint so release_scoped actually frees its blocks
+    # between sizes (ADVICE r11: unpersist after localCheckpoint is a
+    # no-op, so corpora accumulated across sizes and pressured exactly
+    # the later, larger measurements).
     # ------------------------------------------------------------------
-    from barberini_analytics_spark.core.cache import release_scoped
-    from barberini_analytics_spark.core.metrics import (
-        cumulative_shuffle_bytes)
-    from barberini_analytics_spark.core.synthdata import planted_span_corpus
-    from barberini_analytics_spark.operators.dedup import dedup_spans
-
     curve = []
     try:
         for n_docs in (25_000, 100_000, 400_000):
             if elapsed() > repeat_deadline + 420 and curve:
                 curve.append({"n_docs": n_docs, "skipped": "budget"})
                 continue
-            corpus = planted_span_corpus(spark, n_docs) \
-                .localCheckpoint(eager=True)
-            sh0 = cumulative_shuffle_bytes(spark)
+            corpus = scoped_checkpoint(planted_span_corpus(spark, n_docs))
+            sh0 = cumulative_stage_metrics(spark)["shuffle_write_bytes"]
             t0 = time.perf_counter()
             agg = dedup_spans(corpus, "doc_id", k=20).agg(
                 F.sum("n_tokens").alias("tok"),
@@ -630,11 +858,13 @@ def main() -> None:
                 "sec": round(dt, 3),
                 "tokens_per_sec": int(agg["tok"] / dt),
                 "shuffle_mb": round(
-                    (cumulative_shuffle_bytes(spark) - sh0) / 1e6, 1),
+                    (cumulative_stage_metrics(spark)["shuffle_write_bytes"]
+                     - sh0) / 1e6, 1),
                 "loadavg1m": (loadavg() or [None])[0],
             })
-            release_scoped()  # drop the occurrence-stream cache per size
-            corpus.unpersist()
+            # frees the occurrence/first/per_doc caches AND the corpus
+            # checkpoint blocks per size
+            release_scoped()
             scale_timings["scale_span_curve"] = curve
             write_detail()
     except Exception as exc:  # noqa: BLE001
@@ -644,47 +874,11 @@ def main() -> None:
 
     # full-recipe pipeline (r10 verdict item 6): the classic
     # curate_to_shards row above deliberately stays knob-identical for
-    # round-over-round comparability, but round 10 built a trained
-    # quality gate + span dedup that the bench never timed IN pipeline.
-    # Train the webtext-filter LR on a labeled carve-out (real documents
-    # as positives, deterministic token-soup junk as negatives — the
-    # sandbox has no curated/crawl label pair), then run the whole
-    # recipe with the trained gate and span_k=25 (matches the stage
-    # profile; the production 50 exceeds the bench corpus' document
-    # lengths).  Stage attribution for the SAME config follows as
-    # scale_curate_stage_profile_full when the window allows.
-    from barberini_analytics_spark.ml.logreg import train_quality_classifier
-
-    qmodel = None
-    try:
-        t0 = time.perf_counter()
-        pos = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0) \
-            .select("doc_id", "text", F.lit(1.0).alias("label")).limit(300)
-        junk_words = F.array(*[F.lit(w) for w in (
-            "click", "free", "winner", "buy", "now", "$$$", "@@@",
-            "spam", "qqq", "zzz")])
-        # negative ids stay in the documents table's BIGINT id space
-        # (negative range cannot collide with real doc_ids)
-        neg = spark.range(300).select(
-            (-(F.col("id") + 1)).alias("doc_id"),
-            F.concat_ws(" ", F.transform(
-                F.sequence(F.lit(1), F.lit(20)),
-                lambda i: F.element_at(
-                    junk_words,
-                    (F.pmod(F.col("id") * 13 + i * 7, 10) + 1)
-                    .cast("int")))).alias("text"),
-            F.lit(0.0).alias("label"))
-        qmodel = train_quality_classifier(
-            pos.unionByName(neg), "doc_id", "label", dim=1024, iters=8)
-        scale_timings["scale_quality_model_train"] = {
-            "sec": round(time.perf_counter() - t0, 3),
-            "loadavg1m": (loadavg() or [None])[0],
-        }
-    except Exception as exc:  # noqa: BLE001
-        scale_timings["scale_quality_model_train"] = {
-            "error": f"{type(exc).__name__}: {exc}"}
-    write_detail()
-
+    # round-over-round comparability; this one runs the whole recipe
+    # with the trained gate (fit EARLY, before the profiles) and
+    # span_k=25 (matches the stage profile; the production 50 exceeds
+    # the bench corpus' document lengths).  Stage attribution for the
+    # SAME config already ran early as scale_curate_stage_profile_full.
     if qmodel is not None:
         shard_dir = tempfile.mkdtemp(prefix="bench_shards_full_")
         try:
@@ -704,37 +898,6 @@ def main() -> None:
         finally:
             shutil.rmtree(shard_dir, ignore_errors=True)
         write_detail()
-
-        # stage attribution of the full recipe — same downgrade guard as
-        # the classic profile (this one runs LAST, so it is the row that
-        # yields when the window is gone; the classic profile already
-        # secured its sf0.1 attribution at the top)
-        try:
-            profile_dir = sf_dir
-            full_budget = float(
-                os.environ.get("BENCH_PROFILE_SF_BUDGET", "430")) + 240
-            at_start = round(elapsed(), 1)
-            if at_start > full_budget:
-                smaller = os.path.join(
-                    os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
-                if os.path.isdir(smaller) and smaller != sf_dir:
-                    profile_dir = smaller
-            t0 = time.perf_counter()
-            stage_rows = CUR.curate_stage_profile(
-                load_table(spark, profile_dir, "documents"),
-                source_col="source", scrub=True, shard_tokens=50_000,
-                span_k=25, quality_model=qmodel,
-                near_dup_max_bucket=1000)
-            scale_timings["scale_curate_stage_profile_full"] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "sf_dir": os.path.basename(profile_dir.rstrip("/")),
-                "elapsed_at_start": at_start,
-                "stages": stage_rows,
-            }
-        except Exception as exc:  # noqa: BLE001
-            scale_timings["scale_curate_stage_profile_full"] = {
-                "error": f"{type(exc).__name__}: {exc}",
-                "elapsed_at_failure": round(elapsed(), 1)}
 
     scale_timings.pop("_pending", None)
     load_samples["end"] = loadavg()

@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from barberini_analytics_spark.core.cache import release_scoped  # noqa: E402
+from barberini_analytics_spark.core.cache import (  # noqa: E402
+    release_scoped, scoped_checkpoint)
 from barberini_analytics_spark.core.metrics import (  # noqa: E402
     cumulative_shuffle_bytes)
 from barberini_analytics_spark.core.session import get_spark  # noqa: E402
@@ -55,8 +56,11 @@ def main() -> None:
     # ---- span-dedup curve: planted passages, k=20 --------------------
     span_curve = []
     for n_docs in span_sizes:
-        corpus = planted_span_corpus(spark, n_docs) \
-            .localCheckpoint(eager=True)
+        # scoped checkpoint: DataFrame.unpersist after localCheckpoint
+        # is a no-op (core/cache.py contract), so the bare variant
+        # accumulated every size's corpus in storage and pressured the
+        # largest measurements — release_scoped below frees the blocks
+        corpus = scoped_checkpoint(planted_span_corpus(spark, n_docs))
         sh0 = cumulative_shuffle_bytes(spark)
         t0 = time.perf_counter()
         agg = D.dedup_spans(corpus, "doc_id", k=20).agg(
@@ -78,8 +82,7 @@ def main() -> None:
                 (cumulative_shuffle_bytes(spark) - sh0) / 1e6, 1),
             "loadavg1m": round(os.getloadavg()[0], 2),
         })
-        release_scoped()  # drop the occurrence-stream cache per size
-        corpus.unpersist()
+        release_scoped()  # occurrence caches AND the corpus checkpoint
         print(json.dumps({"span_progress": span_curve[-1]}),
               file=sys.stderr, flush=True)
     out["span_dedup_k20"] = span_curve
@@ -90,8 +93,7 @@ def main() -> None:
     # exponent without a multi-hour tail
     hot_curve = []
     for n_docs in hot_sizes:
-        corpus = hot_bucket_corpus(spark, n_docs) \
-            .localCheckpoint(eager=True)
+        corpus = scoped_checkpoint(hot_bucket_corpus(spark, n_docs))
         row: dict[str, object] = {
             "n_docs": n_docs,
             "hot_docs": n_docs // 20,
@@ -117,7 +119,7 @@ def main() -> None:
             release_scoped()
         row["loadavg1m"] = round(os.getloadavg()[0], 2)
         hot_curve.append(row)
-        corpus.unpersist()
+        release_scoped()  # frees the corpus checkpoint blocks
         print(json.dumps({"hot_progress": row}), file=sys.stderr,
               flush=True)
     out["hot_bucket_guard"] = hot_curve
