@@ -15,6 +15,8 @@ lakes.
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -262,6 +264,13 @@ def _parse_byte_conf(spark, raw: str | None) -> int:
             return -1
 
 
+#: bounded audit trail of measured_hint decisions (newest last) — a
+#: bench or operator can snapshot it around a run to PROVE which joins
+#: broadcast and which merged at that scale, instead of asserting it
+#: from the plan (e.g. the 1M-doc span point must show merge-only)
+HINT_DECISIONS: deque = deque(maxlen=64)
+
+
 def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None
                   ) -> tuple[DataFrame, dict]:
     """Materialize-then-decide join hint for a derived (non-scan) side:
@@ -310,8 +319,10 @@ def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None
                 "broadcast_bytes": broadcast_bytes}
     if nbytes <= broadcast_bytes:
         evidence["strategy"] = "broadcast"
+        HINT_DECISIONS.append(evidence)
         return F.broadcast(df), evidence
     evidence["strategy"] = "merge"
+    HINT_DECISIONS.append(evidence)
     return df.hint("merge"), evidence
 
 

@@ -606,10 +606,13 @@ def main() -> None:
             "skipped": "budget", "elapsed_at_start": round(elapsed(), 1)}
     else:
         try:
+            from barberini_analytics_spark.core.stats import HINT_DECISIONS
+
             t_gen = time.perf_counter()
             corpus_1m = scoped_checkpoint(
                 planted_span_corpus(spark, 1_000_000))
             gen_sec = time.perf_counter() - t_gen
+            HINT_DECISIONS.clear()
             m0 = cumulative_stage_metrics(spark)
             t0 = time.perf_counter()
             agg = dedup_spans(corpus_1m, "doc_id", k=20).agg(
@@ -642,6 +645,10 @@ def main() -> None:
                     1),
                 "loadavg1m": (loadavg() or [None])[0],
                 "elapsed_at_start": round(elapsed() - dt - gen_sec, 1),
+                # measured-hint audit: which joins broadcast vs merged
+                # at 1M docs — the "large case stays broadcast-free"
+                # claim as a recorded decision, not a plan assertion
+                "hint_decisions": list(HINT_DECISIONS),
             }
             release_scoped()  # frees the corpus checkpoint + occ caches
         except Exception as exc:  # noqa: BLE001

@@ -18,10 +18,13 @@ SF = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 
 def test_decode_unknown_container_raises(spark):
-    """Containers that need external codec libs (e.g. JPEG) raise — the
-    honest boundary; known lib-free containers decode for real."""
+    """Containers that need external codec libs raise — the honest
+    boundary; known lib-free containers decode for real.  (JPEG moved
+    to its own optional-Pillow guard in r12 — covered by
+    tests/test_real_artifacts.py — so the unknown-magic case here uses
+    a container nothing sniffs.)"""
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0JFIF-ish"))],
+        [(1, bytearray(b"\x00\x00\x00\x18ftypmp42-ish"))],
         "media_id long, data binary")
     with pytest.raises(Exception, match="unsupported media container"):
         M.decode_media(df).collect()

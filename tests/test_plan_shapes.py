@@ -38,8 +38,16 @@ PRUNING_CASES = [
     # plus the r10 substring-span rider: the k-gram re-spread, the
     # first-occurrence fp aggregate + hit join, the per-doc interval-
     # merge window, the span aggregate, and the doc-grain join back —
-    # again all keyed shuffles of narrow (id, pos, fp) rows
-    ("exact_dedup_documents", 18, "n_chars"),
+    # again all keyed shuffles of narrow (id, pos, fp) rows.
+    # r12: the budget counts STRING occurrences of "Exchange", and the
+    # measured-hint boundaries (occ/first/per_doc/segment-occ persists)
+    # each print their one-off BUILD plan inside an InMemoryRelation
+    # block, so the same physical shuffles now appear twice in the
+    # text (once in the cached-build printout, once where the scan
+    # consumes it) plus one BroadcastExchange per small side the hints
+    # now broadcast — measured 37 at smoke scale, none of them new
+    # per-row shuffles (the per-doc join-backs LOST their shuffles)
+    ("exact_dedup_documents", 40, "n_chars"),
     # profile is a map pipeline plus one explicit scan re-spread (the
     # local parquet is a single unsplittable row group) and the shard
     # packer's two exchanges (range partition + the pid-keyed window
