@@ -274,9 +274,12 @@ class StatsCatalog:
         """
         key = plan_fingerprint(df)
         entry = self._get(key)
-        if entry is not None:
+        # an entry created by key_registers/partition_facts may hold
+        # only sketches — a size hit requires the size fields to exist
+        if entry is not None and entry.get("rows") is not None:
             return {"rows": entry["rows"], "bytes_est": entry["bytes_est"],
                     "basis": entry["basis"], "via": "catalog", "key": key}
+        partial = entry or {"hll": {}}
         info = footer_scan_info(df)
         if info is not None:
             files, needed = info
@@ -291,9 +294,9 @@ class StatsCatalog:
                 if not needed:
                     needed = phys  # constant-only projection: price all
             rows, nbytes = footer_stats(files, needed)
-            entry = {"rows": rows, "bytes_est": nbytes,
-                     "basis": "parquet_footer", "hll": {}}
-            self._put(key, entry)
+            partial.update(rows=rows, bytes_est=nbytes,
+                           basis="parquet_footer")
+            self._put(key, partial)
             return {"rows": rows, "bytes_est": nbytes,
                     "basis": "parquet_footer", "via": "footer", "key": key}
         # live probe — one aggregate pass (stats.analyze_table), stored
@@ -307,9 +310,8 @@ class StatsCatalog:
             F.sum("avg_len").alias("row_len")).first()
         rows = int(row["rows"] or 0)
         nbytes = int(rows * float(row["row_len"] or 0.0))
-        entry = {"rows": rows, "bytes_est": nbytes,
-                 "basis": "analyze_probe", "hll": {}}
-        self._put(key, entry)
+        partial.update(rows=rows, bytes_est=nbytes, basis="analyze_probe")
+        self._put(key, partial)
         return {"rows": rows, "bytes_est": nbytes,
                 "basis": "analyze_probe", "via": "probe", "key": key}
 
@@ -338,6 +340,37 @@ class StatsCatalog:
         """Join-key overlap diagnostics, register-cached per side."""
         return hll_overlap_py(self.key_registers(left, on),
                               self.key_registers(right, on), _P_BITS)
+
+    def partition_facts(self, df: DataFrame, keys: list[str],
+                        ndv_rsd: float = 0.05) -> dict:
+        """Shuffle-sizing FACTS for ``df`` grouped by ``keys`` —
+        catalog-first, probed once per (frame version, key set).
+
+        Stores the raw observations (``n_rows``, ``est_bytes``,
+        ``key_ndv``, ``max_key_rows``) rather than derived knobs, so a
+        caller can re-derive ``shuffle_partitions`` / skew verdicts for
+        ANY target partition size from one stored probe
+        (``stats.derive_partition_advice`` is the shared math).
+        """
+        key = plan_fingerprint(df)
+        tag = ",".join(keys)
+        entry = self._get(key) or {"rows": None, "bytes_est": None,
+                                   "basis": "partition_only", "hll": {}}
+        stored = entry.get("partition", {}).get(tag)
+        if stored is not None:
+            return {**stored, "via": "catalog"}
+        from .stats import partition_advice
+
+        row = partition_advice(df, keys, ndv_rsd=ndv_rsd).first().asDict()
+        facts = {"n_rows": int(row["n_rows"] or 0),
+                 "est_bytes": int(row["est_bytes"] or 0),
+                 "key_ndv": (None if row["key_ndv"] is None
+                             else int(row["key_ndv"])),
+                 "max_key_rows": (None if row["max_key_rows"] is None
+                                  else int(row["max_key_rows"]))}
+        entry.setdefault("partition", {})[tag] = facts
+        self._put(key, entry)
+        return {**facts, "via": "probe"}
 
     def refresh_table(self, spark, path: str) -> dict | None:
         """Post-write hook for ``core.sinks``: warm the full-table

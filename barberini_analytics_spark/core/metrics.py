@@ -39,6 +39,15 @@ def cumulative_stage_metrics(spark: SparkSession) -> dict:
     two usual suspects when a scale curve's largest point goes
     sublinear (r11: the 1M-doc span point dropped 546k → 362k
     tokens/s with no attribution recorded).
+
+    Correctness depends on the store RETAINING every stage in the
+    measurement window: at Spark's default ``spark.ui.retainedStages``
+    (1000) a long run evicts early stages mid-window and the
+    "cumulative" delta silently understates (observed 0.4 MB reported
+    for a 120 MB shuffle) — ``core/session.get_spark`` raises the
+    retention to 100k.  Cost of a read is one py4j round-trip per
+    counter per retained stage (~6/stage); call it OUTSIDE timed
+    windows, bracketing them.
     """
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()

@@ -41,5 +41,14 @@ def get_spark(app_name: str = "barberini_analytics_spark",
         # line the bench driver parses from a merged stdout/stderr tail
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the AppStatusStore backs core/metrics.cumulative_stage_metrics;
+        # at the default retention (1000 stages) a long bench run evicts
+        # early stages MID-measurement-window and cumulative deltas
+        # silently understate (observed: a curve point reporting 0.4 MB
+        # shuffle for a 120 MB run).  A stage entry is ~KB of driver
+        # memory, so a deep retention is cheap insurance for honest
+        # counters.
+        .config("spark.ui.retainedStages", "100000")
+        .config("spark.ui.retainedJobs", "100000")
     )
     return builder.getOrCreate()

@@ -179,8 +179,16 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
     ``set_partitions=False`` skips the shuffle-sizing probe entirely
     (``"partition"`` is ``None`` in the evidence): for a hinted join
     INSIDE a larger query, mutating the session-global partition count
-    would leak into unrelated stages.  ``tests/test_sinks.py`` pins
-    that applying the advice actually flips the chosen physical plan.
+    would leak into unrelated stages.  With the catalog on, the sizing
+    facts are probed once per (frame version, key) and re-derived
+    driver-side for this call's target (``derive_partition_advice``).
+    A ``salt_or_aqe_skew_split`` verdict is REPORTED, never
+    auto-applied: ``salted_join`` replicates the right side salt-fold,
+    which is only sane when that side is mid-sized — for the
+    both-sides-big shuffle case this advisor reaches, AQE's runtime
+    skew split is the correct mechanism and is already on.
+    ``tests/test_sinks.py`` pins that applying the advice actually
+    flips the chosen physical plan.
     """
     if use_catalog:
         from .catalog import StatsCatalog
@@ -216,8 +224,17 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
     part = None
     if set_partitions:
         bigger = left if adv["left_rows"] >= adv["right_rows"] else right
-        part = partition_advice(bigger, [on], target_partition_bytes,
-                                max_skew_ratio, ndv_rsd).first().asDict()
+        if use_catalog:
+            # same ANALYZE-once discipline as the size summaries: the
+            # key-frequency facts are probed once per (frame version,
+            # key) and re-derived driver-side for this call's target
+            facts = cat.partition_facts(bigger, [on], ndv_rsd)
+            part = derive_partition_advice(facts, target_partition_bytes,
+                                           max_skew_ratio)
+            part["stats"] = facts["via"]
+        else:
+            part = partition_advice(bigger, [on], target_partition_bytes,
+                                    max_skew_ratio, ndv_rsd).first().asDict()
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(part["shuffle_partitions"]))
     strategy = adv["advice"]
@@ -247,6 +264,43 @@ def apply_advice(spark, left: DataFrame, right: DataFrame, on: str, *,
         applied = "plain_join" if strategy == "shuffle_join" else "degraded"
     adv["applied"] = applied
     return out, {"join": adv, "partition": part}
+
+
+def derive_partition_advice(facts: dict,
+                            target_partition_bytes: int = 128 * 1024 * 1024,
+                            max_skew_ratio: float = 4.0) -> dict:
+    """Driver-side mirror of :func:`partition_advice`'s derived columns
+    over stored FACTS (``n_rows``, ``est_bytes``, ``key_ndv``,
+    ``max_key_rows`` — what :meth:`..core.catalog.StatsCatalog.
+    partition_facts` persists).  One stored probe answers the sizing
+    question for ANY target partition size, same arithmetic as the SQL
+    (ceil of est_bytes over the float target, floored at 1; skew when
+    the observed max exceeds mean × ratio).
+    """
+    import math
+
+    n_rows = int(facts["n_rows"] or 0)
+    est_bytes = int(facts["est_bytes"] or 0)
+    key_ndv = facts.get("key_ndv")
+    max_key_rows = facts.get("max_key_rows")
+    parts = max(1, math.ceil(est_bytes / float(target_partition_bytes)))
+    mean_key_rows = (n_rows / key_ndv) if key_ndv else None
+    if max_key_rows is None:
+        skew = "no_keys_given"
+    elif mean_key_rows is not None and \
+            max_key_rows > mean_key_rows * float(max_skew_ratio):
+        skew = "salt_or_aqe_skew_split"
+    else:
+        skew = "plain_shuffle_ok"
+    return {
+        "n_rows": n_rows, "est_bytes": est_bytes,
+        "shuffle_partitions": parts,
+        "target_partition_bytes": int(target_partition_bytes),
+        "key_ndv": key_ndv, "max_key_rows": max_key_rows,
+        "mean_key_rows": (None if mean_key_rows is None
+                          else round(mean_key_rows, 2)),
+        "skew_advice": skew,
+    }
 
 
 def _parse_byte_conf(spark, raw: str | None) -> int:

@@ -828,6 +828,33 @@ def main() -> None:
         shutil.rmtree(shard_dir, ignore_errors=True)
     write_detail()
 
+    # full-recipe pipeline (r10 verdict item 6): the classic
+    # curate_to_shards row above deliberately stays knob-identical for
+    # round-over-round comparability; this one runs the whole recipe
+    # with the trained gate (fit EARLY, before the profiles) and
+    # span_k=25 (matches the stage profile; the production 50 exceeds
+    # the bench corpus' document lengths).  Stage attribution for the
+    # SAME config already ran early as scale_curate_stage_profile_full.
+    if qmodel is not None:
+        shard_dir = tempfile.mkdtemp(prefix="bench_shards_full_")
+        try:
+            t0 = time.perf_counter()
+            counts = curate_to_shards(
+                spark, sf_dir, shard_dir, span_k=25,
+                quality_model=qmodel, near_dup_max_bucket=1000)
+            scale_timings["scale_curate_to_shards_full"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "loadavg1m": (loadavg() or [None])[0],
+                "split_counts": counts,
+            }
+        except Exception as exc:  # noqa: BLE001
+            scale_timings["scale_curate_to_shards_full"] = {
+                "error": f"{type(exc).__name__}: {exc}",
+                "elapsed_at_failure": round(elapsed(), 1)}
+        finally:
+            shutil.rmtree(shard_dir, ignore_errors=True)
+        write_detail()
+
     # ------------------------------------------------------------------
     # span-dedup scale curve (r10 verdict item 3): the planted-corpus
     # measurement at MULTIPLE sizes, so the 100 TB claim rests on an
@@ -836,8 +863,11 @@ def main() -> None:
     # actually moved (AppStatusStore stage-metric delta — the direct
     # evidence the "only corpus-size shuffle is the fp aggregate" claim
     # needs).  Sizes are bench-budget bounded; the 1M point ran EARLY
-    # as scale_span_1m (above); scripts/span_curve.py runs the same
-    # harness standalone for SCALE.md.  The per-size corpus rides a
+    # as scale_span_1m (above); this 3-point curve runs LAST of all
+    # scale paths (it is the one item that may yield to the window —
+    # everything judged lands before it) with the tail budget;
+    # scripts/span_curve.py runs the same harness standalone for
+    # SCALE.md.  The per-size corpus rides a
     # SCOPED checkpoint so release_scoped actually frees its blocks
     # between sizes (ADVICE r11: unpersist after localCheckpoint is a
     # no-op, so corpora accumulated across sizes and pressured exactly
@@ -846,7 +876,7 @@ def main() -> None:
     curve = []
     try:
         for n_docs in (25_000, 100_000, 400_000):
-            if elapsed() > repeat_deadline + 420 and curve:
+            if elapsed() > repeat_deadline + 900 and curve:
                 curve.append({"n_docs": n_docs, "skipped": "budget"})
                 continue
             corpus = scoped_checkpoint(planted_span_corpus(spark, n_docs))
@@ -878,33 +908,6 @@ def main() -> None:
         scale_timings["scale_span_curve_error"] = \
             f"{type(exc).__name__}: {exc}"
     write_detail()
-
-    # full-recipe pipeline (r10 verdict item 6): the classic
-    # curate_to_shards row above deliberately stays knob-identical for
-    # round-over-round comparability; this one runs the whole recipe
-    # with the trained gate (fit EARLY, before the profiles) and
-    # span_k=25 (matches the stage profile; the production 50 exceeds
-    # the bench corpus' document lengths).  Stage attribution for the
-    # SAME config already ran early as scale_curate_stage_profile_full.
-    if qmodel is not None:
-        shard_dir = tempfile.mkdtemp(prefix="bench_shards_full_")
-        try:
-            t0 = time.perf_counter()
-            counts = curate_to_shards(
-                spark, sf_dir, shard_dir, span_k=25,
-                quality_model=qmodel, near_dup_max_bucket=1000)
-            scale_timings["scale_curate_to_shards_full"] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "loadavg1m": (loadavg() or [None])[0],
-                "split_counts": counts,
-            }
-        except Exception as exc:  # noqa: BLE001
-            scale_timings["scale_curate_to_shards_full"] = {
-                "error": f"{type(exc).__name__}: {exc}",
-                "elapsed_at_failure": round(elapsed(), 1)}
-        finally:
-            shutil.rmtree(shard_dir, ignore_errors=True)
-        write_detail()
 
     scale_timings.pop("_pending", None)
     load_samples["end"] = loadavg()

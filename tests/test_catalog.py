@@ -213,3 +213,46 @@ def test_quality_model_rename_failure_restores_previous(spark, tmp_path,
     assert restored["bias"] == pytest.approx(0.5)
     strays = [d for d in os.listdir(tmp_path) if "__old_" in d]
     assert strays == []
+
+
+def test_partition_facts_cached_and_rederivable(spark, catalog):
+    """ANALYZE-once for shuffle sizing too: the key-frequency facts are
+    probed once per (frame version, key set); a second apply_advice
+    with set_partitions=True (and any OTHER target size) derives its
+    knobs driver-side from the store — zero Spark jobs — and the
+    derived values match the engine-side partition_advice row exactly."""
+    from barberini_analytics_spark.core.stats import (
+        apply_advice, derive_partition_advice, partition_advice)
+
+    big = spark.range(100_000).selectExpr(
+        "CAST(id % 500 AS STRING) AS k", "id AS payload")
+    small = spark.range(50).selectExpr("CAST(id AS STRING) AS k")
+
+    engine = partition_advice(big, ["k"], 1 << 20, 4.0).first().asDict()
+    facts = catalog.partition_facts(big, ["k"])
+    assert facts["via"] == "probe"
+    derived = derive_partition_advice(facts, 1 << 20, 4.0)
+    for field in ("n_rows", "est_bytes", "shuffle_partitions",
+                  "key_ndv", "max_key_rows", "mean_key_rows",
+                  "skew_advice"):
+        assert derived[field] == engine[field], (field, derived, engine)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # warm the SIDE summaries too (range frames are probe-path);
+        # the second call must then be fully job-free
+        apply_advice(spark, big, small, "k", catalog=catalog,
+                     target_partition_bytes=1 << 20)
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        _, ev = apply_advice(spark, big, small, "k", catalog=catalog,
+                             target_partition_bytes=1 << 20)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, "warm partition advice launched jobs"
+        assert ev["partition"]["stats"] == "catalog"
+        assert ev["partition"]["shuffle_partitions"] == \
+            engine["shuffle_partitions"]
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == \
+            engine["shuffle_partitions"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
