@@ -256,3 +256,24 @@ def test_partition_facts_cached_and_rederivable(spark, catalog):
             engine["shuffle_partitions"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_cumulative_stage_metrics_counts_and_retention(spark):
+    """The stage counters behind every scale measurement: all five
+    counters present, monotonically non-decreasing across jobs, shuffle
+    bytes actually move when a shuffle runs — and the session retains
+    stages deep enough that long benches cannot evict the measurement
+    window (the r12 0.4MB-for-120MB artifact)."""
+    from barberini_analytics_spark.core.metrics import (
+        cumulative_stage_metrics)
+
+    assert int(spark.conf.get("spark.ui.retainedStages")) >= 100_000
+    m0 = cumulative_stage_metrics(spark)
+    assert set(m0) == {"shuffle_write_bytes", "memory_spill_bytes",
+                       "disk_spill_bytes", "executor_run_ms", "jvm_gc_ms"}
+    spark.range(200_000).selectExpr("id % 97 AS k") \
+        .groupBy("k").count().write.format("noop").mode("overwrite").save()
+    m1 = cumulative_stage_metrics(spark)
+    assert m1["shuffle_write_bytes"] > m0["shuffle_write_bytes"]
+    for field in m0:
+        assert m1[field] >= m0[field], field
