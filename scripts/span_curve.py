@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from barberini_analytics_spark.core.cache import (  # noqa: E402
-    release_scoped, scoped_checkpoint)
+    release_scoped, scope_mark, scoped_checkpoint)
 from barberini_analytics_spark.core.metrics import (  # noqa: E402
     cumulative_shuffle_bytes)
 from barberini_analytics_spark.core.session import get_spark  # noqa: E402
@@ -94,6 +94,13 @@ def main() -> None:
     hot_curve = []
     for n_docs in hot_sizes:
         corpus = scoped_checkpoint(hot_bucket_corpus(spark, n_docs))
+        # mark AFTER the corpus checkpoint: the per-tag release below
+        # must free only the minhash run's scoped persists — releasing
+        # the whole tier would free the corpus checkpoint too, and a
+        # freed checkpoint RAISES on the second tag's reuse
+        # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), per the core/cache
+        # contract
+        mark = scope_mark()
         row: dict[str, object] = {
             "n_docs": n_docs,
             "hot_docs": n_docs // 20,
@@ -116,7 +123,7 @@ def main() -> None:
             # signature logical plan — without a release the second
             # run silently reuses the first's scoped persist and
             # measures a warm cache, not the pipeline
-            release_scoped()
+            release_scoped(since=mark)
         row["loadavg1m"] = round(os.getloadavg()[0], 2)
         hot_curve.append(row)
         release_scoped()  # frees the corpus checkpoint blocks
