@@ -462,6 +462,13 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str = "text",
     is one shuffle back on the document id.  Reference analogue: the
     text-cleaning dedup inside post filtering (SURVEY §2.3 P4) lifted
     from document to segment grain.
+
+    NOTE (ADVICE r12): plan construction is EAGER — the segment stream
+    is query-scope persisted and the occurrence side's ``measured_hint``
+    may persist + count it (skipped when the statistics catalog already
+    holds its bytes).  Library callers outside the query registry own
+    the release: ``core.cache.scope_mark()`` / ``release_scoped()``
+    after consuming the result.
     """
     from ..core.cache import scoped_persist
 
@@ -590,6 +597,13 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     (``core.stats.measured_hint``): broadcast when it fits
     (``broadcast_bytes``, default the session threshold), merge —
     reusing the aggregate's hash partitioning — when it does not.
+
+    NOTE (ADVICE r12): plan construction is EAGER — the occurrence
+    stream is query-scope persisted and ``measured_hint`` may persist +
+    count the first-occurrence side (skipped when the statistics
+    catalog already holds its bytes).  Library callers outside the
+    query registry own the release: ``core.cache.scope_mark()`` /
+    ``release_scoped()`` after consuming the result.
     """
     from ..core.cache import scoped_persist
 
@@ -676,6 +690,11 @@ def dedup_spans(df: DataFrame, id_col: str, text_col: str = "text",
     a long heavily-duplicated document).  No second corpus shuffle
     beyond the one the span derivation already pays plus the join back
     on the document id.
+
+    NOTE (ADVICE r12): plan construction is EAGER (see
+    :func:`duplicate_spans`; the per-document span side adds one more
+    ``measured_hint``) — library callers outside the query registry
+    should release scoped persists after consuming the result.
     """
     spans = duplicate_spans(df, id_col, text_col, k, policy,
                             broadcast_bytes)

@@ -948,6 +948,13 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
     Returns the total map ``(id, kept, dup_of, max_cosine)`` where
     ``dup_of`` is the smallest dominating id and ``max_cosine`` the
     rounded best similarity (NULL for kept rows).
+
+    NOTE (ADVICE r12): the ``measured_hint`` on the dominated-ids side
+    is EAGER — plan construction may persist (query-scoped) and count
+    it, unless the statistics catalog already holds its measured bytes.
+    Library callers outside the query registry own the release: wrap
+    with ``core.cache.scope_mark()`` / ``release_scoped(since=...)`` or
+    call ``release_scoped()`` after consuming the result.
     """
     nrm = _norm2(F.col(vec_col))
     nv = vectors.select(
