@@ -27,9 +27,29 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: per-(session, path) frame memo: every ``spark.read.parquet`` call
+#: launches a one-task schema-inference job even for an already-read
+#: path, so re-constructing a registry query paid ~1-3 stray jobs per
+#: build (breaking the advisor's warm-call-zero-jobs contract) and a
+#: 50-query sweep paid ~100 of them.  Safe because load_table serves
+#: ONLY the read-only scale-factor tables — mutable paths (sinks,
+#: scratch) read via spark.read directly.
+_FRAME_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    memo_key = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    hit = _FRAME_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    df = _read_table(spark, sf_dir, name)
+    _FRAME_MEMO[memo_key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The generator has shipped events.ts under two encodings:
         # TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read nanos
