@@ -709,28 +709,30 @@ def main() -> None:
         exact: dict[int, set] = {}
         for r in SIM.brute_force_topk(cvecs, ann_queries, k=10).collect():
             exact.setdefault(r["query_id"], set()).add(r["vec_id"])
-        for nprobe in (4, 8):
-            for shortlist in (100, 400):
-                t0 = time.perf_counter()
-                got: dict[int, set] = {}
-                rows = SIM.ivf_pq_search(
-                    cvecs, cents, cb_resid, ann_queries, k=10,
-                    nprobe=nprobe, shortlist=shortlist, residual=True,
-                    compressed=codes).collect()
-                dt = time.perf_counter() - t0
-                for r in rows:
-                    got.setdefault(r["query_id"], set()).add(r["vec_id"])
-                recall = sum(len(exact[q] & got.get(q, set())) / 10
-                             for q in exact) / len(exact)
-                scale_timings[
-                    f"scale_ivf_pq_search_np{nprobe}_sl{shortlist}"] = {
-                    "sec": round(dt, 3),
-                    "qps": round(len(exact) / dt, 2),
-                    "recall_at_10": round(recall, 3),
-                    "n_queries": len(exact),
-                    "corpus_rows": 100_000,
-                    "loadavg1m": (loadavg() or [None])[0],
-                }
+        # ONE fixed-shortlist regime kept as the regression sentinel
+        # (r12 verdict What's-wrong 4: the other three fixed rows were
+        # proven obsolete by the auto default and burned bench tail) —
+        # sl=400 at np=4 is the row whose recall the auto default must
+        # keep matching
+        t0 = time.perf_counter()
+        got: dict[int, set] = {}
+        rows = SIM.ivf_pq_search(
+            cvecs, cents, cb_resid, ann_queries, k=10,
+            nprobe=4, shortlist=400, residual=True,
+            compressed=codes).collect()
+        dt = time.perf_counter() - t0
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall = sum(len(exact[q] & got.get(q, set())) / 10
+                     for q in exact) / len(exact)
+        scale_timings["scale_ivf_pq_search_np4_sl400"] = {
+            "sec": round(dt, 3),
+            "qps": round(len(exact) / dt, 2),
+            "recall_at_10": round(recall, 3),
+            "n_queries": len(exact),
+            "corpus_rows": 100_000,
+            "loadavg1m": (loadavg() or [None])[0],
+        }
         # auto-shortlist regime (r11 verdict item 2): shortlist=None
         # derives the shortlist from the probed row count
         # (operators/similarity.auto_shortlist — 8% of expected probed
@@ -758,6 +760,85 @@ def main() -> None:
             "corpus_rows": 100_000,
             "loadavg1m": (loadavg() or [None])[0],
         }
+        write_detail()
+        # ------------------------------------------------------------------
+        # Second corpus-size point for the auto-shortlist recall claim
+        # (r12 verdict item 2): the 8%-re-rank-fraction hypothesis had
+        # exactly one measured size (100k) behind it.  Same regime
+        # (n_cells from honest seeding, nprobe=4, residual PQ), 10× the
+        # corpus: index built once, recall@10 against brute-force truth,
+        # budget-guarded so a contaminated sweep cannot eat the window.
+        # ------------------------------------------------------------------
+        ann_1m_budget = float(os.environ.get("BENCH_ANN_1M_BUDGET", "1500"))
+        if elapsed() > ann_1m_budget:
+            scale_timings["scale_ivf_pq_search_1m_auto"] = {
+                "skipped": "budget",
+                "elapsed_at_start": round(elapsed(), 1)}
+        else:
+            from barberini_analytics_spark.core.cache import (
+                release_scoped as _rel, scoped_checkpoint as _chk)
+
+            t_gen = time.perf_counter()
+            cv1m = _chk(clustered_vectors(spark, 1_000_000))
+            cents_1m = _chk(honest_ivf_cells(cv1m))
+            n_cells_1m = cents_1m.count()
+            cb_1m = SIM.pq_train(
+                SIM.pq_residuals(cv1m.filter(F.col("vec_id") % 100 == 0),
+                                 cents_1m),
+                m=8, k=16, iters=1, vec_col="residual",
+                normalize=False).collect()
+            codes_1m = _chk(SIM.ivf_pq_build(cv1m, cents_1m, cb_1m,
+                                             residual=True))
+            codes_1m.count()
+            build_sec = time.perf_counter() - t_gen
+            q_1m = cv1m.filter(F.col("vec_id") % 200_000 == 17).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+            t0 = time.perf_counter()
+            exact_1m: dict[int, set] = {}
+            for r in SIM.brute_force_topk(cv1m, q_1m, k=10).collect():
+                exact_1m.setdefault(r["query_id"], set()).add(r["vec_id"])
+            brute_sec = time.perf_counter() - t0
+            sl_1m = SIM.auto_shortlist(1_000_000, n_cells_1m, 4, k=10)
+            t0 = time.perf_counter()
+            got_1m: dict[int, set] = {}
+            for r in SIM.ivf_pq_search(
+                    cv1m, cents_1m, cb_1m, q_1m, k=10, nprobe=4,
+                    shortlist=None, residual=True,
+                    compressed=codes_1m).collect():
+                got_1m.setdefault(r["query_id"], set()).add(r["vec_id"])
+            dt = time.perf_counter() - t0
+            recall_1m = sum(len(exact_1m[q] & got_1m.get(q, set())) / 10
+                            for q in exact_1m) / len(exact_1m)
+            # the decayed fixed constant, measured at the same size: the
+            # row pair (auto vs fixed-400) is the whole argument for the
+            # corpus-tracking default in two numbers
+            got_fx: dict[int, set] = {}
+            for r in SIM.ivf_pq_search(
+                    cv1m, cents_1m, cb_1m, q_1m, k=10, nprobe=4,
+                    shortlist=400, residual=True,
+                    compressed=codes_1m).collect():
+                got_fx.setdefault(r["query_id"], set()).add(r["vec_id"])
+            recall_fx = sum(len(exact_1m[q] & got_fx.get(q, set())) / 10
+                            for q in exact_1m) / len(exact_1m)
+            scale_timings["scale_ivf_pq_search_1m_auto"] = {
+                "sec": round(dt, 3),
+                "qps": round(len(exact_1m) / dt, 2),
+                "recall_at_10": round(recall_1m, 3),
+                "shortlist": sl_1m,
+                "n_cells": n_cells_1m,
+                "n_queries": len(exact_1m),
+                "corpus_rows": 1_000_000,
+                "recall_at_10_fixed_sl400": round(recall_fx, 3),
+                "build_sec": round(build_sec, 1),
+                "brute_force_sec": round(brute_sec, 1),
+                "loadavg1m": (loadavg() or [None])[0],
+                # the pinned assertion the driver can see: the auto
+                # default must hold the bench-regime recall bar at the
+                # second corpus size, else the fraction hypothesis is
+                # falsified and the row says so
+                "recall_bar_0.8": bool(recall_1m >= 0.8),
+            }
+            _rel()  # frees the 1M corpus/centroid/code checkpoints
         write_detail()
         # batch-QPS regimes (r9 verdict item 5): the "QPS scales with
         # batch size, not against it" claim, measured.  Same persisted
@@ -854,6 +935,100 @@ def main() -> None:
         finally:
             shutil.rmtree(shard_dir, ignore_errors=True)
         write_detail()
+
+    # ------------------------------------------------------------------
+    # Relational/view-family scale curve (r12 verdict item 4): the
+    # Barberini half of the engine had only sf0.1 points — this runs
+    # post_view_stack (J1 rank windows + 3-level union),
+    # customer_characteristics_view (8-way left-join + mode windows),
+    # and aspect_match_all (staged fuzzy joins) at 1×/3×/10× sf0.1,
+    # with shuffle-byte deltas per point, so the "near-linear
+    # bytes-per-row" claim for the rank-window/mode-window shapes is
+    # observed, not asserted.  Scaled inputs are id-shifted unions of
+    # the real sf0.1 tables written to scratch parquet (referential
+    # integrity preserved: all key columns shift by the same per-copy
+    # offset).  Construction (which includes the advisor's
+    # once-per-table-version probes) is timed separately from
+    # execution — probes are setup, queries are the curve.
+    # ------------------------------------------------------------------
+    rel_curve: dict[str, list] = {}
+    rel_root = tempfile.mkdtemp(prefix="bench_relscale_")
+    _REL_TABLES = {
+        "documents": ["doc_id"],
+        "events": ["event_id"],
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+    }
+    _REL_QUERIES = ("post_view_stack", "customer_characteristics_view",
+                    "aspect_match_all")
+    # beyond any real key at these SFs (lineitem sf1 tops out ~6M), yet
+    # small enough that shifted doc_ids survive the social fixture's
+    # timestamp arithmetic ((T0 + doc_id*3600) * 1e6 must fit in int64 —
+    # a 2^40 shift overflowed it)
+    _SHIFT = 100_000_000
+    try:
+        rel_budget = float(os.environ.get("BENCH_REL_CURVE_BUDGET", "2100"))
+        for factor in (1, 3, 10):
+            if factor > 1 and elapsed() > rel_budget:
+                for qn in _REL_QUERIES:
+                    rel_curve.setdefault(qn, []).append(
+                        {"factor": factor, "skipped": "budget"})
+                continue
+            if factor == 1:
+                fdir = sf_dir
+                write_sec = 0.0
+            else:
+                fdir = os.path.join(rel_root, f"x{factor}")
+                os.makedirs(fdir, exist_ok=True)
+                t_w = time.perf_counter()
+                for tbl, idcols in _REL_TABLES.items():
+                    base = load_table(spark, sf_dir, tbl)
+                    parts = []
+                    for i in range(factor):
+                        c = base
+                        for col in idcols:
+                            c = c.withColumn(
+                                col, F.col(col) + F.lit(i * _SHIFT))
+                        parts.append(c)
+                    out = parts[0]
+                    for p in parts[1:]:
+                        out = out.unionByName(p)
+                    out.write.mode("overwrite").parquet(
+                        os.path.join(fdir, f"{tbl}.parquet"))
+                write_sec = time.perf_counter() - t_w
+            for qn in _REL_QUERIES:
+                t_c = time.perf_counter()
+                df = QUERIES[qn](spark, fdir)
+                construct_sec = time.perf_counter() - t_c
+                m0 = cumulative_stage_metrics(spark)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                m1 = cumulative_stage_metrics(spark)
+                n_rows = df.count()
+                rel_curve.setdefault(qn, []).append({
+                    "factor": factor,
+                    "rows_out": int(n_rows),
+                    "sec": round(dt, 3),
+                    "construct_sec": round(construct_sec, 3),
+                    "shuffle_mb": round(
+                        (m1["shuffle_write_bytes"]
+                         - m0["shuffle_write_bytes"]) / 1e6, 2),
+                    "shuffle_bytes_per_row": round(
+                        (m1["shuffle_write_bytes"]
+                         - m0["shuffle_write_bytes"]) / max(n_rows, 1), 1),
+                    "scaled_input_write_sec": round(write_sec, 1),
+                    "loadavg1m": (loadavg() or [None])[0],
+                })
+                scale_timings["scale_relational_curve"] = rel_curve
+                write_detail()
+    except Exception as exc:  # noqa: BLE001
+        scale_timings["scale_relational_curve_error"] = \
+            f"{type(exc).__name__}: {exc}"
+    finally:
+        shutil.rmtree(rel_root, ignore_errors=True)
+    write_detail()
 
     # ------------------------------------------------------------------
     # span-dedup scale curve (r10 verdict item 3): the planted-corpus
