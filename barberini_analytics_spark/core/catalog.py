@@ -299,6 +299,13 @@ class StatsCatalog:
         global _DEFAULT
         if _DEFAULT is None:
             _DEFAULT = cls()
+            try:
+                # once per process: drop entries whose tables were
+                # deleted, re-enforce the LRU cap (≤ max_entries JSON
+                # reads — bounded, and off the per-query path)
+                _DEFAULT.sweep()
+            except Exception:
+                pass
         return _DEFAULT
 
     # -- store plumbing ----------------------------------------------------
