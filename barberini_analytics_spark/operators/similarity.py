@@ -718,6 +718,27 @@ def ivf_pq_build(corpus: DataFrame, centroids: DataFrame, codebook: list,
                            passthrough=("assigned_cell",))
 
 
+def auto_n_cells(n_corpus: int, nprobe: int = 4,
+                 min_cells: int = 16, max_cells: int = 65_536) -> int:
+    """√N-scaled IVF cell count — the per-decade escape hatch the
+    re-rank cost envelope names (SCALE.md r13): per-query work is
+    ``n_cells`` centroid scores + ``nprobe × N / n_cells`` probed
+    rows, minimized at ``n_cells = √(nprobe × N)``, so the probed mass
+    grows ~√N instead of linearly while the broadcast centroid table
+    stays tiny (√(4×10⁹) ≈ 63k cells × 256 B = 16 MB at a 4-billion
+    row corpus — still one broadcast).  Clamped to
+    ``[min_cells, max_cells]``; the build-side cost (k-means over a
+    bounded sample, one assignment pass) grows with ``n_cells`` and is
+    paid once per index build.  The bench regime pins ``n_cells=64``
+    for round-over-round comparability — this default is for
+    production builds sized to their corpus.
+    """
+    import math
+
+    ideal = int(round(math.sqrt(max(nprobe, 1) * max(n_corpus, 1))))
+    return max(min_cells, min(max_cells, ideal))
+
+
 def auto_shortlist(n_corpus: int, n_cells: int, nprobe: int,
                    k: int = 10, fraction: float = 0.08) -> int:
     """Corpus-tracking default for the ADC shortlist: re-rank

@@ -346,3 +346,25 @@ def test_auto_shortlist_scales_with_probed_mass(spark, emb, codebook):
     recalls = [len(exact[q] & got[q]) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
     release_scoped()
+
+
+def test_auto_n_cells_minimizes_probe_cost_and_clamps():
+    """auto_n_cells is the classic √(nprobe·N) IVF sizing: the returned
+    cell count must (a) sit at the minimum of the per-query cost model
+    cost(c) = c + nprobe·N/c over a 2× neighborhood, (b) grow ~√10 per
+    corpus decade, and (c) respect the clamps."""
+    from barberini_analytics_spark.operators.similarity import auto_n_cells
+
+    for n, nprobe in ((100_000, 4), (1_000_000, 4), (10_000_000, 8)):
+        c = auto_n_cells(n, nprobe)
+
+        def cost(cells):
+            return cells + nprobe * n / cells
+
+        assert cost(c) <= cost(c // 2) and cost(c) <= cost(c * 2), \
+            (n, nprobe, c)
+    # ~√10 ≈ 3.16 growth per decade
+    ratio = auto_n_cells(1_000_000) / auto_n_cells(100_000)
+    assert 2.5 <= ratio <= 4.0, ratio
+    assert auto_n_cells(10) == 16          # min clamp
+    assert auto_n_cells(10**12) == 65_536  # max clamp
