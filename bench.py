@@ -761,6 +761,63 @@ def main() -> None:
             "loadavg1m": (loadavg() or [None])[0],
         }
         write_detail()
+        # auto-sized cells + two-level build (r13): the full
+        # sublinear-search configuration — n_cells from auto_n_cells
+        # (√(nprobe·N)), index built via ivf_assign_two_level (the
+        # O(N·√C) path; flat assignment is the wall at this C), recall
+        # measured against the same brute-force truth.  The row guards
+        # BOTH new operators every round.
+        try:
+            t_b = time.perf_counter()
+            nc_auto = SIM.auto_n_cells(100_000, 4)
+            seeds_a = cvecs.orderBy(F.xxhash64("vec_id"), "vec_id") \
+                .limit(nc_auto).select(
+                    F.col("vec_id").alias("label"),
+                    F.col("embedding").alias("centroid"))
+            lab_a = SIM.ivf_assign_two_level(
+                cvecs, seeds_a, super_probe=2).select(
+                "vec_id", F.col("assigned_cell").alias("label"))
+            cents_a = SIM.centroids_by_key(
+                cvecs.join(lab_a, "vec_id"), "label") \
+                .localCheckpoint(eager=True)
+            ncc_a = cents_a.count()
+            cb_a = SIM.pq_train(
+                SIM.pq_residuals(cvecs.filter(F.col("vec_id") % 10 == 0),
+                                 cents_a),
+                m=8, k=16, iters=1, vec_col="residual",
+                normalize=False).collect()
+            codes_a = SIM.ivf_pq_build(cvecs, cents_a, cb_a,
+                                       residual=True, two_level=True) \
+                .localCheckpoint(eager=True)
+            codes_a.count()
+            build_a = time.perf_counter() - t_b
+            sl_a = SIM.auto_shortlist(100_000, ncc_a, 4, k=10)
+            t0 = time.perf_counter()
+            got_a: dict[int, set] = {}
+            for r in SIM.ivf_pq_search(
+                    cvecs, cents_a, cb_a, ann_queries, k=10, nprobe=4,
+                    shortlist=None, residual=True,
+                    compressed=codes_a).collect():
+                got_a.setdefault(r["query_id"], set()).add(r["vec_id"])
+            dt = time.perf_counter() - t0
+            recall_a = sum(len(exact[q] & got_a.get(q, set())) / 10
+                           for q in exact) / len(exact)
+            scale_timings["scale_ivf_pq_search_100k_auto_cells"] = {
+                "sec": round(dt, 3),
+                "qps": round(len(exact) / dt, 2),
+                "recall_at_10": round(recall_a, 3),
+                "n_cells": ncc_a,
+                "shortlist": sl_a,
+                "probed_rows_est": int(4 * 100_000 / max(ncc_a, 1)),
+                "build_sec": round(build_a, 1),
+                "n_queries": len(exact),
+                "corpus_rows": 100_000,
+                "loadavg1m": (loadavg() or [None])[0],
+            }
+        except Exception as exc:  # noqa: BLE001
+            scale_timings["scale_ivf_pq_search_100k_auto_cells"] = {
+                "error": f"{type(exc).__name__}: {exc}"}
+        write_detail()
         # ------------------------------------------------------------------
         # Second corpus-size point for the auto-shortlist recall claim
         # (r12 verdict item 2): the 8%-re-rank-fraction hypothesis had
