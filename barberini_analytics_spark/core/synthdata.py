@@ -41,7 +41,8 @@ def clustered_vectors(spark: SparkSession, n: int,
             ).cast("float")).alias("embedding"))
 
 
-def honest_ivf_cells(vectors: DataFrame, n_cells: int = 64) -> DataFrame:
+def honest_ivf_cells(vectors: DataFrame, n_cells: int = 64,
+                     two_level: bool | None = None) -> DataFrame:
     """IVF centroids for a synthetic corpus, built honestly:
     hash-scattered sampled-point seeding + one Lloyd assignment round —
     never the generator's own cluster labels.
@@ -53,16 +54,26 @@ def honest_ivf_cells(vectors: DataFrame, n_cells: int = 64) -> DataFrame:
     best-case recall.  Hash order scatters the sample across anchors
     (some get several seeds, some none), so the Lloyd round has to earn
     the geometry the way it would on real data.
-    """
-    from ..operators.similarity import centroids_by_key, ivf_assign
 
+    ``two_level=None`` auto-routes the Lloyd assignment through
+    :func:`..operators.similarity.ivf_assign_two_level` once
+    ``n_cells > 256`` — the flat O(N·C) scan is the build wall at
+    ``auto_n_cells`` sizes (measured: C=2000 × N=1M timed out a
+    10-minute local window; two-level assigns in ~37 s).
+    """
+    from ..operators.similarity import (centroids_by_key, ivf_assign,
+                                        ivf_assign_two_level)
+
+    if two_level is None:
+        two_level = n_cells > 256
+    assign = ivf_assign_two_level if two_level else ivf_assign
     seed_cents = (vectors
                   .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
                   .limit(n_cells)
                   .select(F.col("vec_id").alias("label"),
                           F.col("embedding").alias("centroid")))
     labeled = vectors.join(
-        ivf_assign(vectors, seed_cents)
+        assign(vectors, seed_cents)
         .select("vec_id", F.col("assigned_cell").alias("label")), "vec_id")
     return centroids_by_key(labeled, "label")
 

@@ -1084,6 +1084,19 @@ def main() -> None:
         scale_timings["scale_relational_curve_error"] = \
             f"{type(exc).__name__}: {exc}"
     finally:
+        # the ABSA token tables cached for the SCALED dirs are dead
+        # weight once the curve ends (their parquet is deleted below)
+        # — drop them so the bench tail's 400k-doc span corpora don't
+        # compete with ~13× of stale token cache for executor memory
+        try:
+            from barberini_analytics_spark.plans.absa_queries import (
+                _TOKENS_CACHE)
+
+            for key in [k for k in _TOKENS_CACHE
+                        if k[1].startswith(rel_root)]:
+                _TOKENS_CACHE.pop(key).unpersist()
+        except Exception:  # noqa: BLE001 - cleanup must not fail the bench
+            pass
         shutil.rmtree(rel_root, ignore_errors=True)
     write_detail()
 
