@@ -150,3 +150,83 @@ def hot_bucket_corpus(spark: SparkSession, n_docs: int,
         F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
         F.array_join(F.when(hot, boiler).otherwise(filler), " ")
         .alias("text"))
+
+
+def time_extended_event_slices(spark: SparkSession, events: DataFrame,
+                               landing_dir: str, factor: int,
+                               rows_per_slice: int = 12_500,
+                               gap_seconds: int = 10_800) -> dict:
+    """Write a time-EXTENDED ``factor``× copy of an events table as a
+    landing directory of contiguous, time-ordered parquet slices — the
+    file-drop shape a production ingestion stream consumes.
+
+    Copy ``i`` shifts ``ts`` by ``i × (span + gap_seconds)`` (the gap
+    must exceed the dedup watermark so copies never interleave inside
+    one horizon; default 3 h > the 2 h default horizon) and
+    ``event_id`` by ``i × 10^12`` (ids stay globally unique — the
+    streaming dedup must not collapse rows across copies).  ``user_id``
+    is NOT shifted: the user population is the stable dimension a
+    longer stream keeps enriching against.
+
+    Slices hold a CONSTANT ``rows_per_slice`` each, so a
+    ``maxFilesPerTrigger=1`` drain sees constant-size micro-batches and
+    the scale curve isolates the claim that matters at 100 TB: state
+    and per-batch cost track the ARRIVAL RATE × watermark horizon, not
+    the corpus size (a 10× longer stream is 10× more batches, not 10×
+    more state).  Files are stamped with strictly increasing mtimes —
+    the file source orders by modification time, so batch k is time
+    range k.
+
+    Single Spark job: slice ids come from a global ``ntile`` over event
+    time (bench-gen convenience; a production writer would
+    ``repartitionByRange`` straight off the feed), written
+    ``partitionBy`` slice, then the part files are renamed into the
+    flat landing layout.  Returns ``{"n_slices": int, "rows": int,
+    "write_sec": float}``.
+    """
+    import math
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import Window
+
+    t0 = time.perf_counter()
+    span = events.select(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+         + F.lit(int(gap_seconds))).alias("s")).first()["s"]
+    parts = []
+    for i in range(factor):
+        c = (events
+             .withColumn("ts", F.col("ts")
+                         + F.expr(f"INTERVAL {int(i) * int(span)} SECOND"))
+             .withColumn("event_id",
+                         F.col("event_id") + F.lit(i * 1_000_000_000_000)))
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    n_rows = events.count() * factor
+    n_slices = max(1, int(math.ceil(n_rows / rows_per_slice)))
+    sliced = out.withColumn(
+        "__slice",
+        F.ntile(n_slices).over(Window.orderBy("ts", "event_id")) - 1)
+    tmp = landing_dir.rstrip("/") + ".__stage"
+    (sliced.repartition(n_slices, "__slice")
+     .write.mode("overwrite").partitionBy("__slice").parquet(tmp))
+    os.makedirs(landing_dir, exist_ok=True)
+    base = time.time() - 86_400
+    written = 0
+    for s in range(n_slices):
+        sdir = os.path.join(tmp, f"__slice={s}")
+        part = [f for f in os.listdir(sdir)
+                if f.endswith(".parquet") and not f.startswith(".")]
+        for j, f in enumerate(sorted(part)):
+            dst = os.path.join(landing_dir, f"ev_{s:05d}_{j}.parquet")
+            shutil.move(os.path.join(sdir, f), dst)
+            os.utime(dst, (base + s, base + s))
+            written += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"n_slices": n_slices, "rows": int(n_rows),
+            "write_sec": round(time.perf_counter() - t0, 1),
+            "n_files": written}

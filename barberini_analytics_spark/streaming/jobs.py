@@ -33,19 +33,46 @@ from pyspark.sql.types import StructType
 
 from ..core.io import table_path
 
+#: raw file schemas per (session, path): every ``spark.read.parquet``
+#: launches a one-task schema-inference job even on re-read, and the
+#: stream source only needs the schema — memoizing keeps warm
+#: constructions of ``streaming_hourly_rollup`` job-free (same contract
+#: as ``core/io.load_table``; read-only sf tables only, landing dirs
+#: are cold by nature but also immutable once written).
+_RAW_SCHEMA_MEMO: dict[tuple[str, str], StructType] = {}
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _raw_schema(spark: SparkSession, path: str) -> StructType:
+    key = (spark.sparkContext.applicationId, path)
+    hit = _RAW_SCHEMA_MEMO.get(key)
+    if hit is None:
+        hit = _RAW_SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return hit
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  glob: str = "events.parquet",
+                  max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the events table (one-file-per-batch keeps
-    the availableNow drain deterministic)."""
+    the availableNow drain deterministic).
+
+    ``glob``/``max_files_per_trigger`` generalize the source to a landing
+    DIRECTORY of time-ordered event files (the production file-drop shape;
+    the streaming scale curve writes one) — the file source orders files
+    by modification time, so a writer that stamps slices with increasing
+    mtimes gets one contiguous time range per micro-batch.
+    """
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    schema_probe = (table_path(sf_dir, "events")
+                    if glob == "events.parquet" else sf_dir)
+    schema = _raw_schema(spark, schema_probe)
     # the file source needs a directory: stream the sf dir filtered to the
     # events file (a production feed would be a landing directory anyway)
     raw = (spark.readStream.schema(schema)
-           .option("maxFilesPerTrigger", 1)
-           .option("pathGlobFilter", "events.parquet")
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .option("pathGlobFilter", glob)
            .parquet(sf_dir))
     # normalize ts the same way core.io.load_table does (two generator
     # encodings in the wild: nanos-as-long and TIMESTAMP_NTZ micros)
@@ -231,6 +258,90 @@ def run_available_now(df: DataFrame, query_name: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return df.sparkSession.table(query_name)
+
+
+def run_available_now_with_progress(
+        df: DataFrame, query_name: str,
+        output_mode: str = "append") -> tuple[DataFrame, dict]:
+    """:func:`run_available_now`, plus a summary of the drain's progress
+    events — the instrumentation the streaming scale curve reads.
+
+    Returns ``(result, summary)`` where summary carries
+    ``n_batches`` (micro-batches that processed rows), ``input_rows``
+    (total source rows), ``max_state_rows`` (peak across batches of the
+    summed ``stateOperators[].numRowsTotal`` — the bounded-state claim
+    is about THIS number staying flat while the corpus grows),
+    ``max_state_bytes`` (same peak in state-store memory — rows can
+    stay flat while bytes grow, so the claim needs both), and
+    ``final_watermark`` (ISO string; append-mode window emission is
+    gated on it, so batch-parity checks filter to ``window_end <=``
+    this).
+    """
+    spark = df.sparkSession
+    # recentProgress keeps only the last N updates; size it to the drain
+    # so an 80-batch factor-10 curve point doesn't silently lose its
+    # early (state-building) batches from the max.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "400")
+    q = (df.writeStream.format("memory").queryName(query_name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    active = [p for p in progresses if p.get("numInputRows", 0) > 0]
+    max_state = 0
+    max_state_bytes = 0
+    for p in progresses:
+        ops = p.get("stateOperators", [])
+        max_state = max(max_state,
+                        sum(so.get("numRowsTotal", 0) for so in ops))
+        max_state_bytes = max(max_state_bytes,
+                              sum(so.get("memoryUsedBytes", 0)
+                                  for so in ops))
+    final_wm = None
+    for p in reversed(progresses):
+        wm = p.get("eventTime", {}).get("watermark")
+        if wm:
+            final_wm = wm
+            break
+    summary = {
+        "n_batches": len(active),
+        "input_rows": int(sum(p.get("numInputRows", 0) for p in active)),
+        "max_state_rows": int(max_state),
+        "max_state_bytes": int(max_state_bytes),
+        "final_watermark": final_wm,
+    }
+    return spark.table(query_name), summary
+
+
+def landing_rollup(spark: SparkSession, landing_dir: str,
+                   glob: str = "ev_*.parquet",
+                   window: str = "1 hour") -> DataFrame:
+    """The full ingestion chain over a landing DIRECTORY of time-ordered
+    event files: file stream → watermark dedup → stream-static segment
+    enrichment → event-time window agg (append mode — the production
+    emission shape; ``streaming_hourly_rollup`` keeps complete mode
+    because its oracle wants every window).
+
+    The enrichment dimension (distinct ``user_id`` → segment) is built
+    from a static read of the same landing dir and scope-persisted:
+    the stream-static contract re-evaluates the static side EVERY
+    micro-batch, and a constant-size drain has 8×factor of them — an
+    unpersisted distinct-over-corpus per batch would turn the curve
+    into a measurement of that instead of the stream.
+
+    Used by the streaming scale curve (bench.py) and its parity test;
+    drain with :func:`run_available_now_with_progress`.
+    """
+    from ..core.cache import scoped_persist
+
+    stream = stream_events(spark, landing_dir, glob=glob)
+    deduped = dedup_stream(stream, keys=["event_id"])
+    dim = scoped_persist(
+        spark.read.parquet(landing_dir).select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("int")))
+    enriched = enrich_stream(deduped, dim, on=["user_id"])
+    return windowed_engagement(enriched, window, watermark=None,
+                               extra_keys=["segment"])
 
 
 def dedup_stream(events: DataFrame, keys: Sequence[str] = ("event_id",),

@@ -1154,6 +1154,72 @@ def main() -> None:
             f"{type(exc).__name__}: {exc}"
     write_detail()
 
+    # ------------------------------------------------------------------
+    # streaming scale curve (r13, self-initiated): the one operator
+    # family without a measured curve.  Time-EXTENDED copies of the
+    # sf events table (×1/×3/×10 — longer stream, same arrival rate)
+    # are written as constant-row time-ordered landing slices and
+    # drained through the full ingestion chain (file stream → watermark
+    # dedup → stream-static enrich → windowed agg, append mode) with
+    # maxFilesPerTrigger=1, so micro-batches stay constant-size and the
+    # curve isolates the 100 TB claim: rows/s and PEAK STATE track the
+    # arrival rate × watermark horizon, not the corpus — a 10× longer
+    # stream is 10× more batches, never 10× more state.  Parity with
+    # the batch aggregate is pinned in tests/test_streaming.py.
+    # ------------------------------------------------------------------
+    stream_curve = []
+    try:
+        import tempfile as _tf
+
+        from barberini_analytics_spark.core.synthdata import (
+            time_extended_event_slices)
+        from barberini_analytics_spark.streaming.jobs import (
+            landing_rollup, run_available_now_with_progress)
+
+        stream_budget = float(
+            os.environ.get("BENCH_STREAM_CURVE_BUDGET", "2700"))
+        ev_base = load_table(spark, sf_dir, "events")
+        for factor in (1, 3, 10):
+            if factor > 1 and elapsed() > stream_budget:
+                stream_curve.append({"factor": factor,
+                                     "skipped": "budget"})
+                continue
+            landing = _tf.mkdtemp(prefix=f"bench_streamscale_x{factor}_")
+            info = time_extended_event_slices(
+                spark, ev_base, landing, factor=factor)
+            rolled = landing_rollup(spark, landing)
+            sh0 = cumulative_stage_metrics(spark)["shuffle_write_bytes"]
+            t0 = time.perf_counter()
+            out, prog = run_available_now_with_progress(
+                rolled, f"stream_curve_x{factor}", output_mode="append")
+            dt = time.perf_counter() - t0
+            out_rows = out.count()
+            spark.catalog.dropTempView(f"stream_curve_x{factor}")
+            stream_curve.append({
+                "factor": factor,
+                "input_rows": prog["input_rows"],
+                "n_batches": prog["n_batches"],
+                "sec": round(dt, 3),
+                "rows_per_sec": int(prog["input_rows"] / dt),
+                "max_state_rows": prog["max_state_rows"],
+                "max_state_mb": round(prog["max_state_bytes"] / 1e6, 2),
+                "out_rows": int(out_rows),
+                "shuffle_mb": round(
+                    (cumulative_stage_metrics(spark)["shuffle_write_bytes"]
+                     - sh0) / 1e6, 2),
+                "gen_sec": info["write_sec"],
+                "loadavg1m": (loadavg() or [None])[0],
+            })
+            release_scoped()  # frees the landing dim persist per factor
+            shutil.rmtree(landing, ignore_errors=True)
+            scale_timings["scale_streaming_curve"] = stream_curve
+            write_detail()
+    except Exception as exc:  # noqa: BLE001
+        scale_timings["scale_streaming_curve_error"] = \
+            f"{type(exc).__name__}: {exc}"
+    write_detail()
+
+
     scale_timings.pop("_pending", None)
     load_samples["end"] = loadavg()
     write_detail()

@@ -383,3 +383,52 @@ def test_quality_gate_table_path_is_streaming_legal(spark, tmp_path):
         "select doc_id, quality_prob from qgate_table").collect()
     assert len(rows) == 2
     assert all(0.0 < r.quality_prob < 1.0 for r in rows)
+
+
+def test_landing_slices_drain_constant_state(spark, tmp_path):
+    """The streaming scale curve's machinery, pinned at smoke scale:
+    ``time_extended_event_slices`` writes constant-row time-ordered
+    landing files, the ``landing_rollup`` drain processes them one
+    micro-batch per slice IN ORDER, append-mode emission matches the
+    batch aggregate up to the final watermark, and peak state stays
+    bounded by the slice size (eviction across batches), not the
+    corpus — the claim the sf0.1 curve measures at ×1/×3/×10."""
+    from barberini_analytics_spark.core.synthdata import (
+        time_extended_event_slices)
+
+    ev = load_table(spark, SF, "events")
+    landing = str(tmp_path / "landing")
+    info = time_extended_event_slices(spark, ev, landing, factor=2,
+                                      rows_per_slice=250)
+    assert info["n_slices"] == 8 and info["rows"] == 2000
+
+    rolled = SJ.landing_rollup(spark, landing)
+    out, summary = SJ.run_available_now_with_progress(
+        rolled, "landing_curve_test", output_mode="append")
+    got = out.toPandas()
+
+    assert summary["n_batches"] == 8
+    assert summary["input_rows"] == 2000
+    # eviction: peak state (dedup keys + open windows, summed) is
+    # slice-scale, nowhere near corpus-scale
+    assert 0 < summary["max_state_rows"] < 1000
+
+    import pandas as pd
+
+    wm = pd.Timestamp(summary["final_watermark"]).tz_localize(None)
+    expected = (
+        spark.read.parquet(landing)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type",
+                 (F.col("user_id") % 4).cast("int").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("value_sum"))
+        .filter(F.col("w.end") <= F.lit(wm))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "segment", "n", "value_sum")).toPandas()
+    key = ["window_start", "event_type", "segment"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["n"].to_numpy() == expected["n"].to_numpy()).all()
+    assert abs(got["value_sum"].to_numpy()
+               - expected["value_sum"].to_numpy()).max() < 1e-6
