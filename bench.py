@@ -1185,8 +1185,13 @@ def main() -> None:
                                      "skipped": "budget"})
                 continue
             landing = _tf.mkdtemp(prefix=f"bench_streamscale_x{factor}_")
+            # 25k rows/slice = 4/12/40 batches at sf0.1 — still enough
+            # batches per factor to show flat peak state, at half the
+            # tail cost of the 12.5k default (the first full run's 80
+            # ×10-factor batches cost ~210 s of bench tail)
             info = time_extended_event_slices(
-                spark, ev_base, landing, factor=factor)
+                spark, ev_base, landing, factor=factor,
+                rows_per_slice=25_000)
             rolled = landing_rollup(spark, landing)
             sh0 = cumulative_stage_metrics(spark)["shuffle_write_bytes"]
             t0 = time.perf_counter()
