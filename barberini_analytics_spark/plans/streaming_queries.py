@@ -74,7 +74,13 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = SJ.windowed_engagement(enriched, "1 hour", watermark=None,
                                     extra_keys=["segment"])
     name = f"hourly_rollup_{next(_counter)}"
-    out = SJ.run_available_now(rolled, name, output_mode="complete")
+    # 8 state partitions, not the CPU-sized 32: three stateful ops ×
+    # one state store per shuffle partition pay per-batch commit
+    # overhead per store (measured 4.3 s → 2.0 s warm at sf0.1 with
+    # identical results); the production knob tracks state volume
+    # (rate × watermark horizon), see state_scoped_shuffle_partitions
+    with SJ.state_scoped_shuffle_partitions(spark, 8):
+        out = SJ.run_available_now(rolled, name, output_mode="complete")
     return out.select(
         "window_start", "event_type", "segment", "n",
         F.col("value_sum").cast("long").alias("value_floor_sum"))

@@ -285,6 +285,37 @@ def condense_stream(events: DataFrame, keys: Sequence[str],
         GroupStateTimeout.NoTimeout))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def state_scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a streaming drain.
+
+    Stateful operators allocate ONE state store per shuffle partition,
+    and every micro-batch pays per-store commit/snapshot overhead —
+    so a chain with three stateful ops at the CPU-sized default (32)
+    runs 96 store commits per batch for state that fits in a handful.
+    Measured on the sf0.1 hourly rollup: 4.3 s warm at 32 partitions
+    → 2.0 s at 8, identical results.  The knob must track STATE VOLUME
+    (arrival rate × watermark horizon), not core count — a 100 TB
+    deployment raises it with traffic; a bench-scale drain lowers it.
+
+    The conf is session-wide, hence this scope: set before the stream
+    is planned (`.start()` fixes the state partition count for the
+    query's lifetime via its checkpoint), restored after the drain so
+    batch queries keep the CPU-sized default (AQE-coalesced CPU-heavy
+    parse stages serialize at low partition counts — the opposite
+    regime).
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_available_now(df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain everything currently available into a memory sink and return

@@ -1174,7 +1174,8 @@ def main() -> None:
         from barberini_analytics_spark.core.synthdata import (
             time_extended_event_slices)
         from barberini_analytics_spark.streaming.jobs import (
-            landing_rollup, run_available_now_with_progress)
+            landing_rollup, run_available_now_with_progress,
+            state_scoped_shuffle_partitions)
 
         stream_budget = float(
             os.environ.get("BENCH_STREAM_CURVE_BUDGET", "2700"))
@@ -1195,8 +1196,12 @@ def main() -> None:
             rolled = landing_rollup(spark, landing)
             sh0 = cumulative_stage_metrics(spark)["shuffle_write_bytes"]
             t0 = time.perf_counter()
-            out, prog = run_available_now_with_progress(
-                rolled, f"stream_curve_x{factor}", output_mode="append")
+            # state partitions sized to state volume (~15k rows), not
+            # core count — see state_scoped_shuffle_partitions
+            with state_scoped_shuffle_partitions(spark, 8):
+                out, prog = run_available_now_with_progress(
+                    rolled, f"stream_curve_x{factor}",
+                    output_mode="append")
             dt = time.perf_counter() - t0
             out_rows = out.count()
             spark.catalog.dropTempView(f"stream_curve_x{factor}")
