@@ -265,8 +265,15 @@ def corpus_quality_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full text scan + HOF signal chain per consumer (at 100 TB the
     # text scan is the dominant cost; the persisted rows are the narrow
     # signal scalars after column pruning)
+    # re-spread before the HOF signal chain: the local single-row-group
+    # parquet is unsplittable, so the gopher scan otherwise runs in ONE
+    # task (measured 3.1 s serial vs 0.9 s spread at sf0.1 — the
+    # _spread() pattern from the ingest parses; production parquet
+    # splits by row group and would not need it)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     gq = scoped_persist(
-        X.gopher_quality_filter(docs).drop("tokens", "text"))
+        X.gopher_quality_filter(docs.repartition(n_parts))
+        .drop("tokens", "text"))
     # the sampling pass reads only (doc_id, lang, source) — its scan is
     # column-pruned to three narrow columns, so a second scan is cheap
     samp = C.stratified_sample(

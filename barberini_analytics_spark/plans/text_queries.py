@@ -297,14 +297,14 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.fingerprint(out)
     out = X.repetition_signals(out)
     out = X.winnow_fingerprints(out)
-    # token-budgeted shard packing directly over the profile rows — no
-    # join-back: the operator's per-partition-totals pre-pass aggregates
-    # only (doc_id, n_tokens), so Catalyst column-prunes the heavy
-    # fingerprint/winnow projections out of that pass entirely
-    out = X.assign_token_shards(out, "n_tokens", "doc_id",
-                                _SHARD_TARGET_TOKENS,
-                                out_col="token_shard")
-    return out.select(
+    # ALL scalar outputs are computed BEFORE shard packing, so the
+    # packer's range shuffle + materialization (it checkpoints its
+    # ranged input — see assign_token_shards on why) carries ~20
+    # scalars per row, never the text/tokens/winnow arrays.  Packing
+    # the wide rows measured 3.6 s warm at sf0.1 vs 2.2 s narrow; at
+    # 100 TB range-shuffling the text column to assign a shard id is
+    # exactly the wasted exchange this avoids.
+    scalars = out.select(
         "doc_id", "lang",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -320,7 +320,6 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("winnow_fps").cast("long").alias("n_winnow_fp"),
         F.aggregate("winnow_fps", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("winnow_checksum"),
-        F.col("token_shard").cast("long").alias("token_shard"),
         # chunker under the hash gate: digest of every chunk window's
         # text (shared chunk_texts core, max 32 tokens / overlap 4)
         F.md5(F.array_join(
@@ -328,3 +327,8 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda c: c["chunk_text"]), "|"))
         .alias("chunks_digest"),
     )
+    sharded = X.assign_token_shards(scalars, "n_tokens", "doc_id",
+                                    _SHARD_TARGET_TOKENS,
+                                    out_col="token_shard")
+    return sharded.withColumn(
+        "token_shard", F.col("token_shard").cast("long"))
