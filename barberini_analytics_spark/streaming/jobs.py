@@ -372,12 +372,21 @@ def run_available_now_with_progress(
         if wm:
             final_wm = wm
             break
+    metric_keys: set = set()
+    for p in progresses:
+        for so in p.get("stateOperators", []):
+            metric_keys.update((so.get("customMetrics") or {}).keys())
     summary = {
         "n_batches": len(active),
         "input_rows": int(sum(p.get("numInputRows", 0) for p in active)),
         "max_state_rows": int(max_state),
         "max_state_bytes": int(max_state_bytes),
         "final_watermark": final_wm,
+        # which state-store backend actually ran: RocksDB reports
+        # rocksdb* custom metrics, the default HDFS-backed store a
+        # different (loadedMapCache*) set — tests assert on this
+        # instead of trusting the conf was honored
+        "state_custom_metric_keys": sorted(metric_keys),
     }
     return spark.table(query_name), summary
 

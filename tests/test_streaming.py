@@ -432,3 +432,49 @@ def test_landing_slices_drain_constant_state(spark, tmp_path):
     assert (got["n"].to_numpy() == expected["n"].to_numpy()).all()
     assert abs(got["value_sum"].to_numpy()
                - expected["value_sum"].to_numpy()).max() < 1e-6
+
+
+def test_rocksdb_state_store_runs_the_stateful_chain(spark, batch_events):
+    """The big-state production knob: the same dedup → window chain runs
+    under ``RocksDBStateStoreProvider`` (state spills to local disk
+    instead of executor heap — the 100 TB configuration once state
+    outgrows memory) with results identical to the default HDFS-backed
+    store.  The provider is asserted from the progress customMetrics
+    (rocksdb*), not trusted from the conf — a typo'd provider class
+    would otherwise fall back silently."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = SJ.stream_events(spark, SF)
+        rolled = SJ.windowed_engagement(
+            SJ.dedup_stream(stream), "1 hour", watermark=None)
+        out, summary = SJ.run_available_now_with_progress(
+            rolled, "rocksdb_chain", output_mode="complete")
+        got = out.toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    assert any(k.startswith("rocksdb") for k in
+               summary["state_custom_metric_keys"]), \
+        summary["state_custom_metric_keys"]
+
+    expected = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"),
+                             "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n",
+                "value_sum")).toPandas()
+    key = ["window_start", "window_end", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    expected = expected.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(expected)
+    assert (got["n"].to_numpy() == expected["n"].to_numpy()).all()
