@@ -222,10 +222,12 @@ def condense_stream(events: DataFrame, keys: Sequence[str],
     batch, not a Python row loop): change-point-vs-previous-row equals
     change-point-vs-last-emitted because a non-emitted row is value-equal
     to the last emitted one.  At bench group sizes (~70 rows/key) this is
-    a wash — state/Arrow overhead dominates — but a single hot key with a
-    200k-row batch measured 190× faster (4.15 s → 22 ms), which is the
-    difference between a stateful operator that survives skewed snapshot
-    feeds at 100 TB and one that stalls on its hottest key.
+    a wash — state/Arrow overhead dominates — but a 200k-row hot key
+    with realistically rare change-points measured ~4× end-to-end
+    (5.7–6.0 s → 1.4–1.6 s; the loop body alone is 190×, the residual
+    is scan/state/Arrow-input cost both paths pay) — the difference
+    between a stateful operator that survives skewed snapshot feeds at
+    100 TB and one that stalls on its hottest key.
     """
     keys = list(keys)
     value_cols = list(value_cols)
