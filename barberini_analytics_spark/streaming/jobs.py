@@ -25,6 +25,7 @@ snapshot feeds as streams:
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -285,9 +286,6 @@ def condense_stream(events: DataFrame, keys: Sequence[str],
     return (events.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout))
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
