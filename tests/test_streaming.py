@@ -478,3 +478,15 @@ def test_rocksdb_state_store_runs_the_stateful_chain(spark, batch_events):
     expected = expected.sort_values(key).reset_index(drop=True)
     assert len(got) == len(expected)
     assert (got["n"].to_numpy() == expected["n"].to_numpy()).all()
+
+
+def test_state_scoped_shuffle_partitions_restores_on_error(spark):
+    """The scoped conf must restore the session default even when the
+    drain inside it raises — a leaked low partition count would
+    serialize every CPU-heavy batch parse stage that follows."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="boom"):
+        with SJ.state_scoped_shuffle_partitions(spark, 2):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
