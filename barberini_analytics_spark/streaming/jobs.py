@@ -373,15 +373,21 @@ def run_available_now_with_progress(
             final_wm = wm
             break
     metric_keys: set = set()
+    dropped = 0
     for p in progresses:
         for so in p.get("stateOperators", []):
             metric_keys.update((so.get("customMetrics") or {}).keys())
+            dropped += so.get("numRowsDroppedByWatermark", 0)
     summary = {
         "n_batches": len(active),
         "input_rows": int(sum(p.get("numInputRows", 0) for p in active)),
         "max_state_rows": int(max_state),
         "max_state_bytes": int(max_state_bytes),
         "final_watermark": final_wm,
+        # late data the engine REFUSED (arrived with event time behind
+        # the watermark): the curve's ordered slices keep this at 0;
+        # a disordered feed shows its loss here instead of silently
+        "rows_dropped_by_watermark": int(dropped),
         # which state-store backend actually ran: RocksDB reports
         # rocksdb* custom metrics, the default HDFS-backed store a
         # different (loadedMapCache*) set — tests assert on this

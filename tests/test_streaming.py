@@ -490,3 +490,71 @@ def test_state_scoped_shuffle_partitions_restores_on_error(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data semantics end-to-end: ancient rows (days behind the
+    established watermark) must be DROPPED by the stateful chain and
+    the loss must be visible in ``rows_dropped_by_watermark``, never
+    silent.  The drop needs append mode (complete mode never evicts
+    state, so nothing is ever "too late") AND one extra batch: in a
+    chained dedup → aggregate topology the downstream operator's input
+    watermark lags the global one by a batch, so rows arriving only
+    one batch after their horizon still aggregate — the curve's
+    ordered slices pin the 0-drop case, this pins the refusal case."""
+    import os
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-10 12:00:00")
+    frames = [
+        # batch 0: on-time rows in two adjacent hourly windows
+        pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "ts": [t0, t0 + pd.Timedelta(minutes=10),
+                   t0 + pd.Timedelta(hours=1)],
+            "user_id": [7, 8, 9], "event_type": ["view"] * 3,
+            "value": [1.0, 2.0, 3.0]}),
+        # batch 1: advances the watermark past the on-time windows
+        pd.DataFrame({
+            "event_id": [4], "ts": [t0 + pd.Timedelta(hours=4)],
+            "user_id": [9], "event_type": ["view"], "value": [100.0]}),
+        # batch 2: two ANCIENT rows + a further advancer
+        pd.DataFrame({
+            "event_id": [100, 101, 5],
+            "ts": [t0 - pd.Timedelta(days=2), t0 - pd.Timedelta(days=3),
+                   t0 + pd.Timedelta(hours=6)],
+            "user_id": [7, 8, 9], "event_type": ["view"] * 3,
+            "value": [5.0, 6.0, 200.0]}),
+    ]
+    sch = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64())])
+    for i, fr in enumerate(frames):
+        p = str(d / f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(fr).cast(sch), p)
+        os.utime(p, (_t.time() - 100 + i * 5, _t.time() - 100 + i * 5))
+    schema = spark.read.parquet(str(d)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d))
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    rolled = SJ.windowed_engagement(
+        SJ.dedup_stream(stream, watermark="2 hours"), "1 hour",
+        watermark=None)
+    out, summary = SJ.run_available_now_with_progress(
+        rolled, "late_drop_test", output_mode="append")
+    got = out.toPandas()
+
+    # emitted: the on-time windows only (1+2 and 3); the ancient rows
+    # never reach a live window, the advancers' windows are held back
+    assert float(got["value_sum"].sum()) == 6.0
+    assert sorted(got["n"].astype(int).tolist()) == [1, 2]
+    # ...and the engine reports the refusal instead of hiding it
+    assert summary["rows_dropped_by_watermark"] == 2
+    assert summary["input_rows"] == 7
