@@ -1213,6 +1213,9 @@ def main() -> None:
                 "rows_per_sec": int(prog["input_rows"] / dt),
                 "max_state_rows": prog["max_state_rows"],
                 "max_state_mb": round(prog["max_state_bytes"] / 1e6, 2),
+                # ordered slices → the watermark never refuses a row;
+                # a nonzero here means the landing writer broke order
+                "rows_dropped": prog["rows_dropped_by_watermark"],
                 "out_rows": int(out_rows),
                 "shuffle_mb": round(
                     (cumulative_stage_metrics(spark)["shuffle_write_bytes"]
