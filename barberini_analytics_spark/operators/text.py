@@ -437,6 +437,213 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+def profile_features_arrow(df: DataFrame, id_cols: Sequence[str] = ("doc_id",),
+                           text_col: str = "text",
+                           stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+                           lexicons: dict[str, Sequence[str]] | None = None,
+                           bpe_pattern: str | None = None,
+                           k: int = 8, window: int = 4, base: int = 257,
+                           mod: int = 1_000_000_007,
+                           chunk_max: int = 32,
+                           chunk_overlap: int = 4) -> DataFrame:
+    """Every per-document profile scalar in ONE Arrow pass — the
+    vectorized-native rewrite of the ``quality_features → language_id →
+    fingerprint → repetition_signals → winnow_fingerprints`` expression
+    chain (guide §4.2: hand whole batches to native code instead of
+    running interpreted per-row lambdas).
+
+    Why: the array higher-order functions those operators use
+    (``transform``/``filter``/``aggregate`` lambdas) are evaluated
+    row-at-a-time OUTSIDE whole-stage codegen; at sf0.1 the profile scan
+    burned ~25 executor-CPU-seconds per pass on 1.5 MB of text.  The
+    same math over NumPy code-point arrays and C-level ``Counter``/
+    ``md5`` runs ~20× cheaper and crosses the Python boundary once,
+    carrying only (ids, text) in and ~20 scalars out.
+
+    Exactness contract (pinned by ``tests/test_profile_arrow.py``
+    against the expression chain, and by the DuckDB oracle hash):
+
+    - tokens are split IN THE JVM semantics: the input projection
+      computes ``lower(trim(text))`` Spark-side, and Python splits it
+      with the exact Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]+``;
+    - ``bpe_tokens`` (Java-regex dependent) is computed Spark-side in
+      the input projection and passed through;
+    - winnow hashes run the identical ``(acc·base + codepoint) % mod``
+      int64 recurrence over UTF-32 code points (``ascii(substring())``
+      equivalent), vectorized as ``k`` NumPy passes;
+    - fingerprints/digests are ``md5`` via hashlib — bit-identical;
+    - all ratios are single int/int double divisions (IEEE-identical),
+      with Spark's divide-by-zero→NULL honored.
+
+    Output columns (after the ``id_cols``): n_chars, n_tokens,
+    n_distinct_tokens, n_stopwords, mean_token_len, stopword_ratio,
+    alpha_ratio, distinct_ratio, predicted_lang, fingerprint, ws_tokens,
+    bpe_tokens, top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+    n_winnow_fp, winnow_checksum, chunks_digest.
+    """
+    from pyspark.sql import types as T
+
+    lex_sets = {lg: frozenset(ws) for lg, ws in
+                (lexicons or LANG_LEXICONS).items()}
+    langs = sorted(lex_sets)
+    stopset = frozenset(stopwords)
+    if chunk_overlap >= chunk_max:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = chunk_max - chunk_overlap
+
+    id_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(list(id_fields) + [
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("n_distinct_tokens", T.LongType()),
+        T.StructField("n_stopwords", T.LongType()),
+        T.StructField("mean_token_len", T.DoubleType()),
+        T.StructField("stopword_ratio", T.DoubleType()),
+        T.StructField("alpha_ratio", T.DoubleType()),
+        T.StructField("distinct_ratio", T.DoubleType()),
+        T.StructField("predicted_lang", T.StringType()),
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("ws_tokens", T.LongType()),
+        T.StructField("bpe_tokens", T.LongType()),
+        T.StructField("top_unigram_frac", T.DoubleType()),
+        T.StructField("top_bigram_frac", T.DoubleType()),
+        T.StructField("dup_trigram_frac", T.DoubleType()),
+        T.StructField("n_winnow_fp", T.LongType()),
+        T.StructField("winnow_checksum", T.LongType()),
+        T.StructField("chunks_digest", T.StringType()),
+    ])
+
+    src_cols = [F.col(c) for c in id_cols] + [
+        F.col(text_col).alias("__text"),
+        F.lower(F.trim(F.col(text_col))).alias("__lt"),
+    ]
+    if bpe_pattern is not None:
+        src_cols.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(bpe_pattern), 0))
+            .cast("long").alias("__bpe"))
+    src = df.select(*src_cols)
+    have_bpe = bpe_pattern is not None
+    min_winnow_len = k + window - 1
+
+    def compute(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+        from collections import Counter
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ws_re = re.compile("[ \t\n\x0b\f\r]+")
+        ws_codes = np.array([32, 9, 10, 11, 12, 13], dtype=np.uint32)
+        arrow_schema = pa.schema([
+            pa.field(f.name, pa.from_numpy_dtype(np.int64)
+                     if isinstance(f.dataType, T.LongType)
+                     else pa.float64()
+                     if isinstance(f.dataType, T.DoubleType)
+                     else pa.string()) for f in out_schema.fields])
+
+        for batch in batches:
+            names = batch.schema.names
+            texts = batch.column(names.index("__text")).to_pylist()
+            lts = batch.column(names.index("__lt")).to_pylist()
+            bpes = (batch.column(names.index("__bpe")).to_pylist()
+                    if have_bpe else [None] * batch.num_rows)
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields
+                                    if f.name not in id_cols}
+
+            for text, lt, bpe in zip(texts, lts, bpes):
+                if text is None or lt is None:
+                    for key in out:
+                        out[key].append(None)
+                    continue
+                tokens = ws_re.split(lt)
+                n_tok = len(tokens)
+                counts = Counter(tokens)
+                arr = np.frombuffer(text.encode("utf-32-le"),
+                                    dtype=np.uint32)
+                n_chars = arr.size
+                n_ws = int(np.isin(arr, ws_codes).sum())
+                n_alpha = int((((arr >= 65) & (arr <= 90))
+                               | ((arr >= 97) & (arr <= 122))).sum())
+                n_stop = sum(counts[t] for t in stopset if t in counts)
+                out["n_chars"].append(n_chars)
+                out["n_tokens"].append(n_tok)
+                out["n_distinct_tokens"].append(len(counts))
+                out["n_stopwords"].append(n_stop)
+                out["mean_token_len"].append(
+                    (n_chars - n_ws) / n_tok if n_tok else None)
+                out["stopword_ratio"].append(
+                    n_stop / n_tok if n_tok else None)
+                out["alpha_ratio"].append(
+                    n_alpha / n_chars if n_chars else None)
+                out["distinct_ratio"].append(
+                    len(counts) / n_tok if n_tok else None)
+                # argmax with ties -> lexicographically first language
+                # (identical to the sorted-langs strict-> fold)
+                best_lang, best_hits = langs[0], -1
+                for lg in langs:
+                    hits = sum(c for t, c in counts.items()
+                               if t in lex_sets[lg])
+                    if hits > best_hits:
+                        best_lang, best_hits = lg, hits
+                out["predicted_lang"].append(best_lang)
+                joined = " ".join(tokens)
+                out["fingerprint"].append(int(
+                    hashlib.md5(joined.encode("utf-8")).hexdigest()[:14],
+                    16))
+                # split(trim(text)) has the same token COUNT as the
+                # lowered split (case never changes whitespace)
+                out["ws_tokens"].append(n_tok)
+                out["bpe_tokens"].append(bpe)
+                out["top_unigram_frac"].append(
+                    max(counts.values()) / n_tok if n_tok else None)
+                if n_tok >= 2:
+                    bi = Counter(f"{tokens[i]} {tokens[i + 1]}"
+                                 for i in range(n_tok - 1))
+                    out["top_bigram_frac"].append(
+                        max(bi.values()) / (n_tok - 1))
+                else:
+                    out["top_bigram_frac"].append(None)
+                if n_tok >= 3:
+                    tri = Counter(
+                        f"{tokens[i]} {tokens[i + 1]} {tokens[i + 2]}"
+                        for i in range(n_tok - 2))
+                    out["dup_trigram_frac"].append(
+                        1.0 - len(tri) / (n_tok - 2))
+                else:
+                    out["dup_trigram_frac"].append(None)
+                if n_chars >= min_winnow_len:
+                    codes = arr.astype(np.int64)
+                    m = n_chars - k + 1
+                    acc = np.zeros(m, dtype=np.int64)
+                    for j in range(k):
+                        acc = (acc * base + codes[j:j + m]) % mod
+                    mins = sliding_window_view(acc, window).min(axis=1)
+                    fps = np.unique(mins)
+                    out["n_winnow_fp"].append(int(fps.size))
+                    out["winnow_checksum"].append(int(fps.sum()))
+                else:
+                    out["n_winnow_fp"].append(None)
+                    out["winnow_checksum"].append(None)
+                ub = max(n_tok - chunk_overlap - 1, 0)
+                chunks = "|".join(
+                    " ".join(tokens[s:s + chunk_max])
+                    for s in range(0, ub + 1, stride))
+                out["chunks_digest"].append(
+                    hashlib.md5(chunks.encode("utf-8")).hexdigest())
+
+            arrays = []
+            for f, af in zip(out_schema.fields, arrow_schema):
+                if f.name in id_cols:
+                    arrays.append(batch.column(names.index(f.name)))
+                else:
+                    arrays.append(pa.array(out[f.name], type=af.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return src.mapInArrow(compute, out_schema)
+
+
 def scrub_pii(df: DataFrame, text_col: str = "text",
               out_col: str | None = None) -> DataFrame:
     """Redact emails / IPv4s / phone-like digit runs with typed tokens.
@@ -759,9 +966,20 @@ def assign_token_shards(df: DataFrame, token_col: str, order_col: str,
     the range exchange differently per job — renumbered pids then miss
     the offset map and produce NULL shards.  (Surfaced by the sf0.1
     oracle sweep: correct at 500 docs, 74% NULL at 5,000.)
-    """
-    from ..core.cache import scoped_checkpoint
 
+    The INPUT is query-scope persisted first: ``repartitionByRange``
+    runs a range-bound sampling job over its child before the actual
+    exchange, so an expensive upstream (document_profile's per-row
+    feature projection) would otherwise execute twice per run — the
+    r13 stage profile showed two back-to-back full-cost stages, one
+    with zero shuffle write (the sampler) and one with the range
+    exchange's.  Persisting the packer input (narrow scalar rows by
+    contract — callers project text/token payloads away first) makes
+    the sampler and the exchange share one materialization.
+    """
+    from ..core.cache import scoped_checkpoint, scoped_persist
+
+    df = scoped_persist(df)
     ranged = scoped_checkpoint(
         df.repartitionByRange(F.col(order_col))
         .withColumn("__pid", F.spark_partition_id()))

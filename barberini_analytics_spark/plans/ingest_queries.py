@@ -708,14 +708,19 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of page rows parse in parallel instead of 4 giant documents.  The
     # page-concat agg is CPU-heavy with few shuffle bytes — pin its width
     # with a keyed repartition (see _spread_by) or AQE serializes it.
-    pages = _feed(spark, sf_dir, "fb_pages", lambda: (
+    # The final _spread is INSIDE the cached build: the persisted feed
+    # then already carries full-width partitioning, so per-run parses
+    # read the cache directly instead of paying a fresh round-robin
+    # exchange of the ~100 MB body column on every execution (the r13
+    # profile showed two such 22 MB-write exchanges per warm run).
+    pages = _feed(spark, sf_dir, "fb_pages", lambda: _spread(
         _spread_by(orders.withColumn("pg", (ok / 100).cast("bigint")), "pg")
         .groupBy("pg")
         .agg(F.concat(F.lit('{"data": ['),
                       F.concat_ws(",", F.collect_list(post_obj)),
                       F.lit("]}")).alias("body"))))
     posts = (
-        _spread(pages).select(F.explode(F.from_json("body", _FB_POSTS_SCHEMA)["data"])
+        pages.select(F.explode(F.from_json("body", _FB_POSTS_SCHEMA)["data"])
                      .alias("p"))
         .select(
             F.split("p.id", "_").getItem(0).alias("page_id"),
@@ -745,7 +750,10 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         "post_clicks_by_type",
         '{"video play":%d,"link clicks":%d,"other clicks":%d}',
         ok % 25, ok % 15, ok % 35))
-    ins_body = _feed(spark, sf_dir, "fb_ins", lambda: orders.select(
+    # spread INSIDE the cached build (see the pages feed note): the local
+    # single-row-group parquet scan is 1 partition, so without it the
+    # cached feed would serialize the per-run insights parse
+    ins_body = _feed(spark, sf_dir, "fb_ins", lambda: _spread(orders.select(
         ok.cast("string").alias("post_id"),
         F.concat(F.lit('{"data": ['), F.concat_ws(
             ",",
@@ -756,14 +764,14 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                    metric("post_impressions_paid", "%d", ok % 1000)),
             metric("post_impressions", "%d", ok % 2000),
             metric("post_impressions_unique", "%d", ok % 1500),
-        ), F.lit("]}")).alias("body")))
+        ), F.lit("]}")).alias("body"))))
 
     # the wide extraction is shuffle-free: the `data` array is searched with
     # codegen'd array `filter` per metric name (the reference's
     # `[d for d in data if d['name'] == …][0]` list comprehension) — no
     # explode, no re-aggregation; whole-stage codegen CSE evaluates the
     # single full-body from_json once per row
-    parsed = _spread(ins_body).select(
+    parsed = ins_body.select(
         "post_id",
         F.from_json("body", _FB_INS_STR_SCHEMA)["data"].alias("d"))
 
@@ -839,38 +847,47 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "yyyy-MM-dd"),
         cid, rname)).otherwise(F.lit(""))
     comment_obj = F.concat(base, reply_part, F.lit("}"))
-    # same build-width pin as the posts pages (CPU-heavy concat agg)
-    cpages = _feed(spark, sf_dir, "fb_cpages", lambda: (
+    # same build-width pin as the posts pages (CPU-heavy concat agg), and
+    # the same spread-inside-the-cache move
+    cpages = _feed(spark, sf_dir, "fb_cpages", lambda: _spread(
         _spread_by(li, "l_orderkey").groupBy("l_orderkey").agg(
             F.concat(F.lit('{"data": ['),
                      F.concat_ws(",", F.collect_list(comment_obj)),
                      F.lit("]}")).alias("body"))))
-    top = _spread(cpages).select(
+    top = cpages.select(
         F.explode(F.from_json("body", _FB_COMMENTS_SCHEMA)["data"])
         .alias("c"))
-    toplevel = top.select(
-        F.split("c.id", "_").getItem(0).alias("post_id"),
-        F.split("c.id", "_").getItem(1).alias("comment_id"),
-        F.to_timestamp("c.created_time").alias("comment_date"),
-        F.col("c.message").alias("comment_text"),
-        (F.col("c.from.name") == _MUSEUM).alias("is_from_museum"),
-        F.lit(None).cast("string").alias("response_to"),
+
+    # toplevel + replies in ONE pass: the two-branch union consumed `top`
+    # twice, and Catalyst re-runs the generator per consumer — the r13
+    # profile showed the full-body from_json over the ~100 MB comments
+    # cache executing TWICE per run.  Emitting each comment's row and its
+    # optional reply row as one array + explode keeps a single parse.
+    def _cm_row(c, response_to):
+        return F.struct(
+            F.split(c["id"], "_").getItem(0).alias("post_id"),
+            F.split(c["id"], "_").getItem(1).alias("comment_id"),
+            F.to_timestamp(c["created_time"]).alias("comment_date"),
+            c["message"].alias("comment_text"),
+            (c["from"]["name"] == _MUSEUM).alias("is_from_museum"),
+            response_to.alias("response_to"),
+        )
+
+    c = F.col("c")
+    emit = F.concat(
+        F.array(_cm_row(c, F.lit(None).cast("string"))),
+        F.when(
+            (c["comment_count"] > 0) & c["comments"].isNotNull(),
+            F.transform(
+                c["comments"]["data"],
+                lambda r: _cm_row(r, F.split(c["id"], "_").getItem(1))),
+        ).otherwise(F.array().cast(
+            "array<struct<post_id:string,comment_id:string,"
+            "comment_date:timestamp,comment_text:string,"
+            "is_from_museum:boolean,response_to:string>>")),
     )
-    replies = (
-        top.filter((F.col("c.comment_count") > 0)
-                   & F.col("c.comments").isNotNull())
-        .select(F.split("c.id", "_").getItem(1).alias("parent_id"),
-                F.explode("c.comments.data").alias("r"))
-        .select(
-            F.split("r.id", "_").getItem(0).alias("post_id"),
-            F.split("r.id", "_").getItem(1).alias("comment_id"),
-            F.to_timestamp("r.created_time").alias("comment_date"),
-            F.col("r.message").alias("comment_text"),
-            (F.col("r.from.name") == _MUSEUM).alias("is_from_museum"),
-            F.col("parent_id").alias("response_to"),
-        ))
-    cm = toplevel.unionByName(replies).dropDuplicates(
-        ["comment_id", "post_id"])
+    cm = (top.select(F.explode(emit).alias("e")).select("e.*")
+          .dropDuplicates(["comment_id", "post_id"]))
 
     return (
         posts.join(ins, "post_id")
@@ -1044,9 +1061,11 @@ def gomus_scrape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat_ws("", F.collect_list(tr)),
                  F.lit("</tbody></table>")).alias("tbl"))
 
-    docs = _spread(_feed(spark, sf_dir, "gomus_docs", lambda: (
+    # spread inside the cached build (see fb_graph_flatten): per-run
+    # parses read the pre-spread cache with no fresh exchange
+    docs = _feed(spark, sf_dir, "gomus_docs", lambda: _spread(
         header.join(tables, header.o_orderkey == tables.l_orderkey)
-        .select(F.concat("head", "tbl").alias("doc")))))
+        .select(F.concat("head", "tbl").alias("doc"))))
 
     # --- parse: booking fields (doc level), then article explode ---------
     mail_raw = F.regexp_extract("doc", r"<small>([^<]*)</small>", 1)

@@ -292,41 +292,18 @@ def document_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest_queries import _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
-    out = X.quality_features(docs, stopwords=_STOPWORDS)
-    out = X.language_id(out)
-    out = X.fingerprint(out)
-    out = X.repetition_signals(out)
-    out = X.winnow_fingerprints(out)
-    # ALL scalar outputs are computed BEFORE shard packing, so the
-    # packer's range shuffle + materialization (it checkpoints its
-    # ranged input — see assign_token_shards on why) carries ~20
-    # scalars per row, never the text/tokens/winnow arrays.  Packing
-    # the wide rows measured 3.6 s warm at sf0.1 vs 2.2 s narrow; at
-    # 100 TB range-shuffling the text column to assign a shard id is
-    # exactly the wasted exchange this avoids.
-    scalars = out.select(
-        "doc_id", "lang",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
-        F.col("n_stopwords").cast("long").alias("n_stopwords"),
-        "mean_token_len", "stopword_ratio", "alpha_ratio", "distinct_ratio",
-        "predicted_lang", "fingerprint",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
-        .cast("long").alias("bpe_tokens"),
-        "top_unigram_frac", "top_bigram_frac", "dup_trigram_frac",
-        F.size("winnow_fps").cast("long").alias("n_winnow_fp"),
-        F.aggregate("winnow_fps", F.lit(0).cast("long"),
-                    lambda a, x: a + x).alias("winnow_checksum"),
-        # chunker under the hash gate: digest of every chunk window's
-        # text (shared chunk_texts core, max 32 tokens / overlap 4)
-        F.md5(F.array_join(
-            F.transform(X.chunk_texts(F.col("tokens"), 32, 4),
-                        lambda c: c["chunk_text"]), "|"))
-        .alias("chunks_digest"),
-    )
+    # ALL scalar outputs are computed in ONE Arrow pass BEFORE shard
+    # packing (operators/text.profile_features_arrow — the vectorized
+    # rewrite of the quality/language/fingerprint/repetition/winnow
+    # expression chain; its docstring carries the exactness contract and
+    # tests/test_profile_arrow.py pins it against the expression path).
+    # The packer's range shuffle + materialization then carries ~20
+    # scalars per row, never the text/tokens/winnow arrays; at 100 TB
+    # range-shuffling the text column to assign a shard id is exactly
+    # the wasted exchange this avoids.
+    scalars = X.profile_features_arrow(
+        docs, id_cols=("doc_id", "lang"), stopwords=_STOPWORDS,
+        bpe_pattern=_BPE_PATTERN)
     sharded = X.assign_token_shards(scalars, "n_tokens", "doc_id",
                                     _SHARD_TARGET_TOKENS,
                                     out_col="token_shard")
