@@ -29,6 +29,70 @@ from pyspark.sql import DataFrame, functions as F
 from ..core.cache import scoped_checkpoint
 
 
+def connected_components_local(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find twin of :func:`connected_components` —
+    identical output contract (every node labeled with the smallest id
+    reachable from it) for the measured SMALL-graph path.
+
+    The distributed min-label loop costs 2 barrier jobs per round
+    (eager checkpoint + convergence probe); on the few-hundred-edge
+    verified-pair graphs the near-dup bench produces, that is multiple
+    seconds of pure job latency for microseconds of actual work.  The
+    caller gates on the MEASURED pair count (the pairs frame is
+    persisted and counted anyway), so corpus-scale graphs still take
+    the distributed path.  Parity pinned in ``tests/test_graph.py``.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def pagerank_local(edges: list[tuple[int, int]], damping: float = 0.85,
+                   n_iter: int = 10) -> dict[int, float]:
+    """Driver-side twin of :func:`pagerank` (with
+    ``redistribute_dangling=False``) for the measured small-graph path:
+    the same fixed-round power iteration, ``(1-d)/n + d·Σ r(u)/deg(u)``
+    per node per round, contributions accumulated in sorted-edge order
+    so the result is deterministic.  Floating-point summation order
+    differs from the distributed partition order by design — the same
+    ulp-reordering tolerance the DuckDB oracle parity already relies
+    on; callers hash only ``round(rank, 6)``.  Parity pinned in
+    ``tests/test_graph.py``.
+    """
+    from collections import Counter, defaultdict
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    deg = Counter(u for u, _ in edges)
+    base = (1.0 - damping) / n
+    ranks = {v: 1.0 / n for v in nodes}
+    edges_sorted = sorted(edges)
+    for _ in range(n_iter):
+        contrib: dict[int, float] = defaultdict(float)
+        for u, v in edges_sorted:
+            contrib[v] += ranks[u] / deg[u]
+        ranks = {v: base + damping * contrib.get(v, 0.0) for v in nodes}
+    return ranks
+
+
 def pagerank(nodes: DataFrame, edges: DataFrame, id_col: str = "id",
              src: str = "id1", dst: str = "id2", damping: float = 0.85,
              n_iter: int = 10, out_col: str = "rank",

@@ -225,15 +225,38 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
 
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
-    txt = F.lower(F.trim(F.col(text_col)))
-    tris = F.when(
-        F.length(txt) >= 3,
-        F.transform(F.sequence(F.lit(1), F.length(txt) - 2),
-                    lambda i: txt.substr(i, F.lit(3))),
-    )
+
+    # Char-trigram explode as ONE Arrow pass (guide §4.2): the
+    # `transform(sequence(...), i -> substr(i, 3))` lambda is evaluated
+    # interpreted per row outside codegen, and UTF8String.substr is
+    # O(i) per call — O(len²) per document.  Python slices the
+    # JVM-lowered text by code points (identical substrings: str
+    # slicing == Spark substr code-point semantics) in C.  Documents
+    # shorter than 3 chars emit no rows, matching explode(NULL).
+    def _tri_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            lts = batch.column(1).to_pylist()
+            out_ids, out_tris = [], []
+            for i, lt in zip(ids, lts):
+                if lt is None or len(lt) < 3:
+                    continue
+                out_ids.extend([i] * (len(lt) - 2))
+                out_tris.extend(lt[j:j + 3] for j in range(len(lt) - 2))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=batch.schema.field(0).type),
+                 pa.array(out_tris, type=pa.string())],
+                names=[id_col, "__tri"])
+
+    id_field = df.schema[id_col]
     doc_tris = scoped_persist(
         df.repartition(n_part)
-        .select(id_col, F.explode(tris).alias("__tri")))
+        .select(id_col, F.lower(F.trim(F.col(text_col))).alias("__lt"))
+        .mapInArrow(_tri_batches,
+                    f"{id_col} {id_field.dataType.simpleString()}, "
+                    "__tri string"))
     c3 = scoped_persist(
         doc_tris.groupBy("__tri").agg(F.count(F.lit(1)).alias("__c3")))
     c2 = (

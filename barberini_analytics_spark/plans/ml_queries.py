@@ -378,7 +378,12 @@ def topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = _topic_tokens(spark, sf_dir)
     assign = _fit_topics(
         tokens, (spark.sparkContext.applicationId, sf_dir))
-    assign.write.mode("overwrite").parquet(_TOPIC_ASSIGN_PATH)
+    # REBALANCE before the scratch write (guide §6): AQE coalesces the
+    # doc-grain assignment to sensibly sized output files (1 at bench
+    # scale, proportional at corpus scale) instead of one tiny file per
+    # shuffle partition, each paying ~0.3 s of local-fs commit latency
+    assign.hint("rebalance").write.mode("overwrite") \
+        .parquet(_TOPIC_ASSIGN_PATH)
     term_counts = (tokens.join(assign, "doc_id")
                    .groupBy("topic", "word").count())
     top20 = top_k_per_group(
@@ -672,8 +677,15 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str,
         rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
         vecs = np.array([r.embedding for r in rows], dtype=np.float64)
         labels = cosine_dbscan(vecs, eps=0.37, min_samples=2)
+        # one parallelize slice: the plain-list createDataFrame splits
+        # into ~32 python-runner slices, and the scratch write below
+        # then commits 32 tiny files at ~0.3 s of fs latency EACH (the
+        # r13 stage profile's 9 s zero-CPU write stage).  The fitted
+        # assignment is a bounded post-fit frame — one slice, one file.
         assign = spark.createDataFrame(
-            [(int(r.vec_id), int(lb)) for r, lb in zip(rows, labels)],
+            spark.sparkContext.parallelize(
+                [(int(r.vec_id), int(lb)) for r, lb in zip(rows, labels)],
+                1),
             ["vec_id", "cluster"])
 
     # persist the fitted assignment for the oracle's post-fit re-check

@@ -159,7 +159,18 @@ def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc char-trigram LM cross-entropy (the CCNet perplexity-filter
     # stand-in): model = one alphabet³-bounded broadcast aggregate
     lm = X.ngram_lm_score(docs).select("doc_id", "lm_score")
-    return out.join(top3, "doc_id").join(lm, "doc_id", "left")
+    # Join the two doc-grained digests into ONE persisted dim first:
+    # chained joins made Catalyst broadcast the 540k-row gram UNION
+    # (its IMR stats undercut the digests' default-width estimates)
+    # and sort-merge the lm side — a full sort of the gram stream per
+    # run.  Materializing the merged (doc_id, tfidf_top3, lm_score)
+    # dim gives the join REAL cached stats: at bench scale it
+    # broadcasts (~5k rows), at corpus scale its actual bytes exceed
+    # the threshold and the join degrades to the partitioned plan —
+    # the same measured-stats discipline as the minhash staging.
+    dims = scoped_persist(top3.join(lm, "doc_id", "left"))
+    dims.count()
+    return out.join(dims, "doc_id")
 
 
 # BPE-ish pre-tokenizer pattern (GPT-2 style, minus the \s+(?!\S) lookahead

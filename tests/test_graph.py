@@ -93,3 +93,51 @@ def test_pagerank_closed_form_two_nodes(spark):
     assert abs(got[3] - r3) < 1e-9
     assert abs(got[1] - got[2]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# driver-side twins for the measured small-graph path (r13)
+# ---------------------------------------------------------------------------
+
+def test_local_cc_matches_distributed(spark):
+    import random
+
+    from barberini_analytics_spark.operators.graph import (
+        connected_components, connected_components_local)
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    sym = edges + [(b, a) for a, b in edges]
+    node_ids = sorted({x for e in sym for x in e})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    edf = spark.createDataFrame(sym, ["id1", "id2"])
+    dist = {r.id: r.label
+            for r in connected_components(
+                nodes, edf, symmetrize=False).collect()}
+    local = connected_components_local(sym)
+    assert local == dist
+
+
+def test_local_pagerank_matches_distributed(spark):
+    import random
+
+    from barberini_analytics_spark.operators.graph import (
+        pagerank, pagerank_local)
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(70)}
+    edges = [(a, b) for a, b in edges if a != b]
+    sym = sorted(set(edges) | {(b, a) for a, b in edges})
+    node_ids = sorted({x for e in sym for x in e})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    edf = spark.createDataFrame(sym, ["id1", "id2"])
+    dist = {r.id: r.rank
+            for r in pagerank(nodes, edf, n_iter=2, damping=0.85,
+                              redistribute_dangling=False,
+                              checkpoint_every=0).collect()}
+    local = pagerank_local(sym, damping=0.85, n_iter=2)
+    assert sorted(local) == sorted(dist)
+    for node in dist:
+        # summation order differs by design; round-6 hashing absorbs it
+        assert abs(local[node] - dist[node]) < 1e-12
