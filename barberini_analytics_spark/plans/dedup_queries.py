@@ -642,8 +642,30 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket), so candidate volume is O(sum of bucket² sizes), not
     O(n²) — the plan that survives a 100×-scale-up where the brute-force
     pair join does not.  Bits-per-band trades recall for bucket size.
+
+    r13 restructure (guide §8 "decide with small rows, move big rows
+    once" / §2.3 "project before the exchange"):
+
+    - the banded frame carries ONLY ``(vec_id, band, bucket)`` — before,
+      the bands explode and the bucket self-join shuffled every
+      embedding ``×bands`` copies (44 MB at sf0.1 for a ~1 MB id+bucket
+      payload), and ``dropDuplicates`` over the array columns forced a
+      SortAggregate; the id-grain dedup is a plain hash aggregate;
+    - the 24 interpreted sign-projection folds are computed ONCE
+      (scoped-persisted, spread over ``n_part`` tasks — the single-file
+      local parquet is unsplittable) instead of once per join side;
+    - embeddings are attached AFTER the pair set is known (two joins on
+      vec_id against the deduped pairs, whose real cached stats are
+      materialized before planning), and each vector's norm is computed
+      once per VECTOR in the attach projection, not once per PAIR —
+      the ``cosine()`` fold order per element is unchanged, so the
+      scored doubles are bit-identical to the oracle's.
     """
+    from ..core.cache import scoped_persist
+    from ..operators.similarity import _dot, _norm2
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     projs = [
         F.expr(
             f"aggregate(sequence(1, {_SRP_DIM}), CAST(0.0 AS DOUBLE), "
@@ -665,13 +687,14 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SRP_BANDS)
         ])
     )
-    banded = (
-        emb.select("vec_id", "embedding", bands.alias("bb"))
-        .select("vec_id", "embedding", "bb.band", "bb.bucket")
+    banded = scoped_persist(
+        emb.repartition(n_part)
+        .select("vec_id", bands.alias("bb"))
+        .select("vec_id", "bb.band", "bb.bucket")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    pairs = scoped_persist(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -681,17 +704,28 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            F.col("a.embedding").alias("e1"),
-            F.col("b.embedding").alias("e2"),
         )
         .dropDuplicates(["id1", "id2"])
     )
-    from ..operators.similarity import cosine
-
+    # materialize: the attach joins below plan against REAL cached stats
+    # (the pair set is bucket²-bounded — tiny at bench scale, and always
+    # ≪ corpus by LSH construction), the same measured-stats discipline
+    # as the minhash staging
+    pairs.count()
+    vecs = emb.select("vec_id", "embedding",
+                      _norm2(F.col("embedding")).alias("__n"))
     return (
-        cand.select(
+        pairs
+        .join(vecs.select(F.col("vec_id").alias("id1"),
+                          F.col("embedding").alias("e1"),
+                          F.col("__n").alias("n1")), "id1")
+        .join(vecs.select(F.col("vec_id").alias("id2"),
+                          F.col("embedding").alias("e2"),
+                          F.col("__n").alias("n2")), "id2")
+        .select(
             "id1", "id2",
-            F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("cosine"),
+            F.round(_dot(F.col("e1"), F.col("e2"))
+                    / (F.col("n1") * F.col("n2")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= _COS_THRESHOLD)
     )

@@ -400,22 +400,44 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tier below — on identical doubles; the oracle recomputes its own
     # means, with the 6-decimal cosine round absorbing the last ulp
     cents = spark.read.parquet(_IVF_CENTS_PATH)
-    assign = S.ivf_assign(emb.select("vec_id", "embedding"), cents, key_col="label")
+    # r13 (guide §1.2/§2.6): the five tiers below (assign, PQ, int8,
+    # residual codes, residual bias) all scan the same two columns, and
+    # the single-row-group local parquet is unsplittable — composed
+    # naively every tier ran SERIALLY in one task, and the shared
+    # subtrees (assign, resid) were re-evaluated once per consumer
+    # (warm 4.5 s wall for 4.6 executor-seconds).  One spread + persist
+    # parallelizes every per-row fold 32-way and computes each shared
+    # subtree once; all folds are per-row (partition-independent), so
+    # results are bit-identical.
+    from ..core.cache import scoped_persist
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # spread width derives from the INPUT SIZE (plan-stats bytes, zero
+    # jobs), not the core count: at sf0.1 (~0.8 MB) per-task overhead
+    # (python-worker handshakes, scheduling) dominates and 8 tasks beat
+    # 32 by ~1.9× wall; a corpus-scale input walks the estimate up to
+    # the session cap.  ~4 MB per task because the per-row folds here
+    # are CPU-heavy per byte (dim-64 aggregates per tier).
+    est = int(emb._jdf.queryExecution().optimizedPlan()
+              .stats().sizeInBytes())
+    spread = min(n_part, max(8, (est + (4 << 20) - 1) // (4 << 20)))
+    base = scoped_persist(
+        emb.select("vec_id", "embedding").repartition(spread))
+    assign = scoped_persist(S.ivf_assign(base, cents, key_col="label"))
 
     cb_rows = _pq_codebook(spark, emb, sf_dir)
     # the Arrow encoder is BIT-EQUAL to the pure-expression pq_encode
     # (sequential cumsum folds — pinned in tests/test_pq.py), so the
     # oracle hash covers both; it's ~16× faster (janino rejects the
     # 128-distance expression tree, which then evaluates interpreted)
-    enc = S.pq_encode_arrow(emb.select("vec_id", "embedding"), cb_rows,
-                            m=_PQ_M, k=_PQ_K)
+    enc = S.pq_encode_arrow(base, cb_rows, m=_PQ_M, k=_PQ_K)
     q0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     adc = S.pq_adc_scores(enc, cb_rows, list(q0), m=_PQ_M, k=_PQ_K,
                           out_col="adc_q0")
     # int8 tier at the same grain (operators/similarity.quantize_int8):
     # absmax scale + exact codes + reconstruction audit — consolidated
     # here because the driver records at most 50 registry entries
-    q8 = S.quantize_int8(emb, codes_col="int8_codes",
+    q8 = S.quantize_int8(base, codes_col="int8_codes",
                          scale_col="int8_scale")
     deq = S.dequantize_int8(F.col("int8_codes"), F.col("int8_scale"))
     mae = F.aggregate(
@@ -444,18 +466,19 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     chat = cents.select(
         F.col("label").alias("assigned_cell"),
         S.l2_normalize(F.col("centroid"), 64).alias("__chat"))
-    resid = (
-        emb.select("vec_id", "embedding")
+    resid = scoped_persist(
+        base
         .join(assign.select("vec_id", "assigned_cell"), "vec_id")
         .join(F.broadcast(chat), "assigned_cell")
         .select(
             "vec_id", "__chat",
             F.zip_with(S.l2_normalize(F.col("embedding"), 64), "__chat",
                        lambda a, b: a - b).alias("residual")))
-    rcodes = S.pq_encode_arrow(resid.select("vec_id", "residual"),
-                               rcb_rows, m=_PQ_M, k=_PQ_K,
-                               vec_col="residual", normalize=False) \
-        .withColumnRenamed("pq_code", "pq_resid_code")
+    rcodes = scoped_persist(
+        S.pq_encode_arrow(resid.select("vec_id", "residual"),
+                          rcb_rows, m=_PQ_M, k=_PQ_K,
+                          vec_col="residual", normalize=False)
+        .withColumnRenamed("pq_code", "pq_resid_code"))
     rlut = S.pq_adc_scores(
         rcodes.withColumnRenamed("pq_resid_code", "pq_code"), rcb_rows,
         list(q0), m=_PQ_M, k=_PQ_K, out_col="__rlut") \
