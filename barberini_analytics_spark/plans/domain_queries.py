@@ -543,6 +543,13 @@ def customer_characteristics_view(spark: SparkSession,
     ``advise=True`` exercises the closed statistics-advisor loop on the
     orders ⋈ order_contains join (strategy hint from observed stats;
     semantics unchanged — this entry stays hash-green either way)."""
+    # r13 measured, left UNCHANGED (guide §1.3): the view's cost is a
+    # ~55-stage AQE cascade over tiny frames (no stage >0.9 s wall, no
+    # spill, fetch-wait 0) — scoped-persisting the reused gomus tables
+    # was A/B-tested interleaved in one session (none 2.53 s / event
+    # 2.61 s / event+booking 2.66 s min-of-4) and only adds
+    # materialization barriers; the 21 parquet scans are
+    # column-pruned and overlap across the 8 independent dims.
     out = V.customer_characteristics(_gomus_tables(spark, sf_dir),
                                      advise=True)
     return out.select(
