@@ -215,11 +215,13 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
     100 TB shape: the model is one hash aggregate whose result is
     bounded by the alphabet cubed — broadcast to the scoring join, so
     scoring is a map-side join + one per-document aggregate.  No UDFs,
-    no driver-side fit.  The trigram frame feeds both the model
-    aggregates and the scoring pass, so it is query-scope persisted
-    (and re-spread first: without it Catalyst re-runs the explode per
-    consumer, serially on an unsplittable single-row-group input); the
-    tiny ``c3`` table is persisted too so ``c2``/``V`` don't re-count.
+    no per-row Python.  The trigram frame feeds both the model counts
+    and the scoring pass, so it is query-scope persisted (and re-spread
+    first: without it Catalyst re-runs the explode per consumer,
+    serially on an unsplittable single-row-group input).  The model
+    itself is folded from the collected ``C₃`` rows on the driver —
+    bounded by the same alphabet³ argument that makes the model
+    broadcastable in the first place.
     """
     from ..core.cache import scoped_persist
 
@@ -229,25 +231,46 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
     # Char-trigram explode as ONE Arrow pass (guide §4.2): the
     # `transform(sequence(...), i -> substr(i, 3))` lambda is evaluated
     # interpreted per row outside codegen, and UTF8String.substr is
-    # O(i) per call — O(len²) per document.  Python slices the
-    # JVM-lowered text by code points (identical substrings: str
-    # slicing == Spark substr code-point semantics) in C.  Documents
-    # shorter than 3 chars emit no rows, matching explode(NULL).
+    # O(i) per call — O(len²) per document.  r13 second pass: each
+    # trigram travels as a BIJECTIVE int64 code (three code points ≤
+    # U+10FFFF < 2²¹, packed ``cp₀<<42 | cp₁<<21 | cp₂`` — always
+    # positive in a signed 64-bit int), built numpy-vectorized from the
+    # UTF-32 encoding of the JVM-lowered text.  vs the string explode
+    # this removes the per-document Python slicing loop (1.48M PyString
+    # builds at sf0.1) and shrinks the cached/shuffled key to 8 fixed
+    # bytes.  EXACTNESS: the code↔trigram map is bijective, so every
+    # count (C₃, C₂ via the top-42-bit prefix, V via the low-21-bit
+    # third char) equals its string-grain twin integer-for-integer, the
+    # model doubles are identical, and per-doc emission order is
+    # unchanged so the score ``avg`` accumulates in the same order —
+    # pinned against a string-sliced reference model in
+    # tests/test_operators.py.  Documents shorter than 3 code points
+    # emit no rows, matching explode(NULL).
     def _tri_batches(batches):
+        import numpy as np
         import pyarrow as pa
 
         for batch in batches:
             ids = batch.column(0).to_pylist()
             lts = batch.column(1).to_pylist()
-            out_ids, out_tris = [], []
+            id_parts, code_parts = [], []
             for i, lt in zip(ids, lts):
                 if lt is None or len(lt) < 3:
                     continue
-                out_ids.extend([i] * (len(lt) - 2))
-                out_tris.extend(lt[j:j + 3] for j in range(len(lt) - 2))
+                cp = np.frombuffer(lt.encode("utf-32-le"),
+                                   dtype=np.uint32).astype(np.int64)
+                code_parts.append(
+                    (cp[:-2] << 42) | (cp[1:-1] << 21) | cp[2:])
+                id_parts.append((i, len(cp) - 2))
+            if code_parts:
+                codes = np.concatenate(code_parts)
+                out_ids = [i for i, n in id_parts for _ in range(n)]
+            else:
+                codes = np.empty(0, dtype=np.int64)
+                out_ids = []
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_ids, type=batch.schema.field(0).type),
-                 pa.array(out_tris, type=pa.string())],
+                 pa.array(codes, type=pa.int64())],
                 names=[id_col, "__tri"])
 
     id_field = df.schema[id_col]
@@ -256,25 +279,36 @@ def ngram_lm_score(df: DataFrame, id_col: str = "doc_id",
         .select(id_col, F.lower(F.trim(F.col(text_col))).alias("__lt"))
         .mapInArrow(_tri_batches,
                     f"{id_col} {id_field.dataType.simpleString()}, "
-                    "__tri string"))
-    c3 = scoped_persist(
-        doc_tris.groupBy("__tri").agg(F.count(F.lit(1)).alias("__c3")))
-    c2 = (
-        c3.groupBy(F.substring("__tri", 1, 2).alias("__pre"))
-        .agg(F.sum("__c3").alias("__c2"))
-    )
-    v = c3.agg(
-        F.countDistinct(F.substring("__tri", 3, 1)).alias("__v"))
-    model = (
-        c3.withColumn("__pre", F.substring("__tri", 1, 2))
-        .join(F.broadcast(c2), "__pre")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "__tri",
-            F.log((F.col("__c3") + F.lit(add_k))
-                  / (F.col("__c2") + F.lit(add_k) * F.col("__v")))
-            .alias("__logp"),
-        )
+                    "__tri long"))
+    # model fold on the driver (guide §1.2 job-count economics): C₃ is
+    # alphabet³-bounded — broadcast-sized BY DESIGN (``F.broadcast(model)``
+    # below already collects the same rows into the driver inside the
+    # broadcast build), so deriving C₂ and V from the collected counts is
+    # the same memory class but removes the c3 persist + the c2/v/model
+    # broadcast-build job cascade from the per-run chain (measured 18 →
+    # 12 driver jobs at sf0.1 — pure scheduler latency on tiny frames).
+    # Every fold is INTEGER-exact; ``log`` stays a Spark expression over
+    # the exact ints, so the model doubles are bit-identical to the
+    # aggregate-built twin (pinned by the hand-computed test).
+    c3_rows = doc_tris.groupBy("__tri").agg(
+        F.count(F.lit(1)).alias("__c3")).collect()
+    c2: dict = {}
+    vset: set = set()
+    for r in c3_rows:
+        code = r["__tri"]
+        c2[code >> 21] = c2.get(code >> 21, 0) + r["__c3"]
+        vset.add(code & ((1 << 21) - 1))
+    spark = df.sparkSession
+    model = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(r["__tri"], r["__c3"], c2[r["__tri"] >> 21])
+             for r in c3_rows], 1),
+        "__tri long, __c3 long, __c2 long",
+    ).select(
+        "__tri",
+        F.log((F.col("__c3") + F.lit(add_k))
+              / (F.col("__c2") + F.lit(add_k) * F.lit(len(vset))))
+        .alias("__logp"),
     )
     scores = (
         doc_tris.join(F.broadcast(model), "__tri")

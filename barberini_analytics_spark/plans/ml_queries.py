@@ -20,6 +20,9 @@ collected data.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -660,36 +663,52 @@ def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str,
     core-point partitions — pinned by tests/test_ml.py).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # gate+1 LIMIT probe: decides the path without ever counting past the
-    # bound (a full count() here would scan the whole table at 100 TB);
-    # ``max_rows`` is overridable so tests can force the LSH path on a
-    # small corpus (the driver always calls with the default)
-    n = emb.select("vec_id").limit(max_rows + 1).count()
-    if n > max_rows:
+    # gate+1 LIMIT collect: ONE bounded job both decides the path and (on
+    # the small path) delivers the fit rows — the r13 stage profile showed
+    # the separate probe job + orderBy-collect each re-scanning the table
+    # (~3.5 s of the query's 7 s warm wall for a 2k-row input).  The limit
+    # only truncates when the table EXCEEDS the gate, so at or below
+    # ``max_rows`` the collected set is complete and the driver-side sort
+    # reproduces the orderBy exactly; past the gate the rows are discarded
+    # unread (never more than gate+1 held).  ``max_rows`` is overridable
+    # so tests can force the LSH path on a small corpus.
+    rows = emb.select("vec_id", "embedding").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         # LSH scale path: no collect, same core-point partitions
         # (tests/test_ml.py pins the equivalence at small scale)
         from ..ml.dbscan import dbscan_distributed
 
+        del rows
         assign = dbscan_distributed(
             emb, eps=0.37, min_samples=2).withColumnRenamed(
                 "label", "cluster")
+        assign.write.mode("overwrite").parquet(_DBSCAN_ASSIGN_PATH)
     else:
-        rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+        rows.sort(key=lambda r: r.vec_id)
         vecs = np.array([r.embedding for r in rows], dtype=np.float64)
         labels = cosine_dbscan(vecs, eps=0.37, min_samples=2)
-        # one parallelize slice: the plain-list createDataFrame splits
-        # into ~32 python-runner slices, and the scratch write below
-        # then commits 32 tiny files at ~0.3 s of fs latency EACH (the
-        # r13 stage profile's 9 s zero-CPU write stage).  The fitted
-        # assignment is a bounded post-fit frame — one slice, one file.
-        assign = spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(int(r.vec_id), int(lb)) for r, lb in zip(rows, labels)],
-                1),
-            ["vec_id", "cluster"])
+        # driver-side pyarrow write (guide §6 output sizing, §5 driver
+        # discipline): the fitted assignment is a bounded post-fit list
+        # already ON the driver — round-tripping it through
+        # createDataFrame + a Spark write paid a schema-inference job
+        # plus ~2 s of job/commit latency for a 2-column scratch file.
+        # One .parquet file, same schema the distributed branch writes.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-    # persist the fitted assignment for the oracle's post-fit re-check
-    assign.write.mode("overwrite").parquet(_DBSCAN_ASSIGN_PATH)
+        if os.path.isdir(_DBSCAN_ASSIGN_PATH):
+            shutil.rmtree(_DBSCAN_ASSIGN_PATH)
+        os.makedirs(_DBSCAN_ASSIGN_PATH)
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array([int(r.vec_id) for r in rows],
+                                   pa.int64()),
+                "cluster": pa.array([int(lb) for lb in labels],
+                                    pa.int64()),
+            }),
+            os.path.join(_DBSCAN_ASSIGN_PATH, "part-00000.parquet"))
+
+    # the oracle's post-fit re-check reads the same persisted assignment
     assign = spark.read.parquet(_DBSCAN_ASSIGN_PATH)
 
     # distributed labeling: cluster centroids × broadcast vocabulary index

@@ -427,3 +427,41 @@ def test_ngram_lm_score_model_join_is_broadcast(spark):
     df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     plan = ngram_lm_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_lm_score_int64_codes_match_string_grain(spark):
+    """The packed-int64 trigram codes (cp₀<<42 | cp₁<<21 | cp₂) must
+    reproduce the string-grain model EXACTLY — multi-script text incl.
+    astral code points (> U+FFFF, e.g. 🦜 = U+1F99C) exercises the
+    21-bit packing, short/NULL docs the explode(NULL) arm."""
+    import math
+
+    from barberini_analytics_spark.operators.text import ngram_lm_score
+
+    docs = [(1, "grüße aus potsdam"), (2, "  padded  "),
+            (3, "🦜🦜🦜 papagei 🦜"), (4, "ab"), (5, None), (6, "ααβγδε")]
+
+    # string-sliced reference of the same add-1 trigram model
+    tri_counts: dict = {}
+    doc_tris: dict = {}
+    for i, t in docs:
+        lt = t.strip().lower() if t is not None else None
+        ts = ([lt[j:j + 3] for j in range(len(lt) - 2)]
+              if lt is not None and len(lt) >= 3 else [])
+        doc_tris[i] = ts
+        for x in ts:
+            tri_counts[x] = tri_counts.get(x, 0) + 1
+    c2: dict = {}
+    for x, c in tri_counts.items():
+        c2[x[:2]] = c2.get(x[:2], 0) + c
+    vv = len({x[2] for x in tri_counts})
+    logp = {x: math.log((c + 1.0) / (c2[x[:2]] + 1.0 * vv))
+            for x, c in tri_counts.items()}
+    expected = {
+        i: (round(-sum(logp[x] for x in ts) / len(ts), 6) if ts else None)
+        for i, ts in doc_tris.items()}
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.lm_score
+           for r in ngram_lm_score(df).select("doc_id", "lm_score").collect()}
+    assert got == expected
