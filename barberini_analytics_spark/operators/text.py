@@ -341,21 +341,31 @@ def tfidf_top_terms(tokens: DataFrame, k: int = 3, id_col: str = "doc_id",
     """
     from ..core.cache import scoped_persist
 
-    # persist + materialize tf: it feeds THREE consumers (dfreq, the
-    # N-docs aggregate, and the score join), and materializing first
-    # gives the word join REAL cached statistics — the document-
-    # frequency table is vocab-sized, but its pre-materialization
-    # estimate flows through the token explode (fan-out invisible to
-    # size-only estimation), which at corpus scale can statically plan
-    # a multi-GB broadcast (same failure family as the span-dedup hit
-    # join; see operators/dedup.py).  With real stats Catalyst keeps
-    # the bench-scale broadcast win and drops it when vocab is big.
+    # persist tf: it feeds THREE consumers (dfreq, the N-docs aggregate,
+    # and the score join).  The broadcast-vs-merge decision on the word
+    # join is owned by the measured hint on dfreq below — the document-
+    # frequency table is vocab-sized, but its static estimate flows
+    # through the token explode (fan-out invisible to size-only
+    # estimation), which at corpus scale can statically plan a multi-GB
+    # broadcast (same failure family as the span-dedup hit join; see
+    # operators/dedup.py).  Measured bytes keep the bench-scale
+    # broadcast win and drop it when vocab is big.
     tf = scoped_persist(
         tokens.filter(F.col(word_col) != "")
         .groupBy(id_col, word_col).agg(F.count("*").alias("__tf"))
     )
-    tf.count()
-    dfreq = tf.groupBy(word_col).agg(F.count("*").alias("__df"))
+    # r13: the explicit tf.count() barrier is replaced by a catalog-warm
+    # measured hint on the VOCAB side of the join — the side the
+    # broadcast decision is actually about.  On a catalog miss the hint
+    # persists+counts dfreq (materializing tf en route, so the barrier
+    # cost is unchanged); on a hit it applies the stored bytes with ZERO
+    # jobs and tf materializes lazily inside the action.  tf's plan is
+    # expression-only over the token scan, so the fingerprint is
+    # content-stable and a rewritten corpus self-invalidates.
+    from ..core.stats import measured_hint
+
+    dfreq, _ = measured_hint(
+        tf.groupBy(word_col).agg(F.count("*").alias("__df")))
     n_docs = tf.agg(F.countDistinct(id_col).alias("__n"))
     scored = (
         tf.join(dfreq, word_col)
