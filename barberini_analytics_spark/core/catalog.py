@@ -116,19 +116,35 @@ def _local_path(uri: str) -> str:
     return uri
 
 
-def plan_fingerprint(df: DataFrame) -> str:
+def plan_fingerprint(df: DataFrame, *,
+                     include_semantic_hash: bool = True) -> str | None:
     """Content key for a frame: canonicalized logical plan hash
     (``semanticHash``) FOLDED WITH the full canonicalized plan string
     (the 32-bit hash alone leaves cross-plan collisions to chance —
     ADVICE r12) plus the identity+mtime+size of every input file, so
     rewriting a source table changes the key and old summaries become
     unreachable (the staleness story — nothing ever has to be
-    invalidated)."""
-    h = hashlib.sha256(str(df.semanticHash()).encode())
+    invalidated).
+
+    ``include_semantic_hash=False`` keys on the canonicalized plan
+    STRING + input files only: ``semanticHash`` hashes leaf node
+    arguments including RDD object identity, so a plan containing a
+    per-run ``parallelize`` leaf gets a fresh hash every execution even
+    when its canonicalized string (and content) is unchanged — the
+    ``measured_hint(assume_content_stable=True)`` path needs the
+    string-only key to ever hit.  Returns ``None`` in that mode when
+    the plan string cannot be rendered (the string IS the key then;
+    falling back to the 32-bit hash alone would under-key)."""
+    if include_semantic_hash:
+        h = hashlib.sha256(str(df.semanticHash()).encode())
+    else:
+        h = hashlib.sha256(b"plan-string-only:")
     try:
         h.update(df._jdf.queryExecution().analyzed().canonicalized()
                  .toString().encode())
     except Exception:
+        if not include_semantic_hash:
+            return None  # no stable component available
         pass  # plan-string render unavailable — the 32-bit hash remains
     for f in sorted(df.inputFiles()):
         p = _local_path(f)

@@ -341,7 +341,8 @@ HINT_DECISIONS: deque = deque(maxlen=64)
 
 
 def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None,
-                  catalog=None, use_catalog: bool = True
+                  catalog=None, use_catalog: bool = True,
+                  assume_content_stable: bool = False
                   ) -> tuple[DataFrame, dict]:
     """Materialize-then-decide join hint for a derived (non-scan) side:
     persist ``df`` (query-scoped), run it, read its ACTUAL cached bytes
@@ -388,6 +389,20 @@ def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None,
     None`` reads the session's ``spark.sql.autoBroadcastJoinThreshold``
     (falling back to 10 MB when auto-broadcast is disabled — the
     explicit hint is legal and cheap regardless of the auto setting).
+
+    ``assume_content_stable=True`` is the caller-asserted override of
+    ``fingerprint_is_content_stable`` for plans whose only RDD-backed
+    leaves are DETERMINISTIC functions of the plan's file inputs (e.g.
+    a driver-folded model built from a collect over the same parquet
+    scan the plan reads — the fingerprint already covers those files'
+    mtime+size, so it fully determines the leaf's content even though
+    the generic check cannot prove it).  The assertion is sizing-only:
+    the catalog stores byte/row FACTS and the broadcast-vs-merge
+    decision is re-derived per call, so a wrong assertion can mis-size
+    a hint but never change results.  Callers own bumping the plan
+    (any structural change reshapes the canonicalized plan string and
+    so the key) — literal constants folded from collected data are part
+    of the plan string and therefore of the key.
     """
     from .cache import scoped_persist
 
@@ -418,10 +433,16 @@ def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None,
             from .catalog import (StatsCatalog, fingerprint_is_content_stable,
                                   plan_fingerprint)
 
-            if fingerprint_is_content_stable(df):
+            if assume_content_stable or fingerprint_is_content_stable(df):
                 cat = catalog or StatsCatalog.default()
-                key = plan_fingerprint(df)
-                hit = cat.hint_bytes(key)
+                # the asserted-stable path keys on the canonicalized
+                # plan STRING (semanticHash hashes RDD leaf identity,
+                # which is fresh every run — the key would never hit)
+                key = plan_fingerprint(
+                    df, include_semantic_hash=not assume_content_stable)
+                if key is None:
+                    cat = None
+                hit = cat.hint_bytes(key) if cat is not None else None
                 if hit is not None:
                     # stored FACTS, fresh decision: the threshold is the
                     # caller's, so one measurement serves any threshold

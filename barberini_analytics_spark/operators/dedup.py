@@ -549,9 +549,17 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
     ``k``-token substring; document-grain exact dedup covers them).
     """
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    fps = F.transform(
+    # r14: the lambda emits the raw md5 HEX once per position; the
+    # hi/lo struct is split out AFTER the explode in a codegen'd
+    # Project.  Building the struct inside the lambda evaluated
+    # ``md5(concat_ws(slice(...)))`` TWICE per position (array HOF
+    # lambdas run interpreted — codegen subexpression elimination never
+    # sees them), i.e. the query's dominant CPU ran twice (guide §4.2 /
+    # §1.2 per-task work; measured 1.5× on the fingerprint pass,
+    # bit-identical structs).
+    md5s = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - k),
-        lambda p: hash112(F.concat_ws(" ", F.slice(tokens, p + 1, k))),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(tokens, p + 1, k))),
     )
     # explicit-count repartition before the CPU-bound fan-out (see
     # word_shingles: bare repartition(col) is AQE-coalescible to ~1)
@@ -561,7 +569,16 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
         df.filter(F.size(tokens) >= k)
         .repartition(n_part, F.col(id_col))
         .select(F.col(id_col),
-                F.posexplode(fps).alias("pos", "kgram_fp"))
+                F.posexplode(md5s).alias("pos", "__h"))
+        .select(
+            F.col(id_col), "pos",
+            F.struct(
+                F.conv(F.substring("__h", 1, 14), 16, 10).cast("long")
+                .alias("hi"),
+                F.conv(F.substring("__h", 15, 14), 16, 10).cast("long")
+                .alias("lo"),
+            ).alias("kgram_fp"),
+        )
     )
 
 

@@ -271,9 +271,20 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, the global first-occurrence ranking, the windowed
     interval merge, AND the span-removal reassembly bit-exactly.
     """
+    from ..core.cache import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = X.fingerprint(docs).select("doc_id", "fingerprint")
-    groups = D.exact_dedup(docs, "doc_id")
+    # r14: the doc-grain fingerprint feeds BOTH the per-document probe
+    # side and the group aggregate; persisting the (doc_id, fingerprint)
+    # pair (16 bytes/row) computes the normalize+md5 scan once instead
+    # of twice (guide §2.6 — D.exact_dedup(docs) re-derived the same
+    # hash56(normalized) expression over a second full scan).  The
+    # groupBy below IS exact_dedup's body, run over the shared frame.
+    per_doc = scoped_persist(
+        X.fingerprint(docs).select("doc_id", "fingerprint"))
+    groups = per_doc.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).alias("n_dups"))
     segs = D.dedup_segments(docs, "doc_id",
                             tokens_per_segment=_SEG_TOKENS, min_docs=2)
     sims = D.simhash(docs, "doc_id", bits=_SIMHASH_BITS)

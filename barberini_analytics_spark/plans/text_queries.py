@@ -159,17 +159,27 @@ def document_token_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc char-trigram LM cross-entropy (the CCNet perplexity-filter
     # stand-in): model = one alphabet³-bounded broadcast aggregate
     lm = X.ngram_lm_score(docs).select("doc_id", "lm_score")
-    # Join the two doc-grained digests into ONE persisted dim first:
-    # chained joins made Catalyst broadcast the 540k-row gram UNION
-    # (its IMR stats undercut the digests' default-width estimates)
-    # and sort-merge the lm side — a full sort of the gram stream per
-    # run.  Materializing the merged (doc_id, tfidf_top3, lm_score)
-    # dim gives the join REAL cached stats: at bench scale it
-    # broadcasts (~5k rows), at corpus scale its actual bytes exceed
-    # the threshold and the join degrades to the partitioned plan —
-    # the same measured-stats discipline as the minhash staging.
-    dims = scoped_persist(top3.join(lm, "doc_id", "left"))
-    dims.count()
+    # Join the two doc-grained digests into ONE dim first: chained
+    # joins made Catalyst broadcast the 540k-row gram UNION (its IMR
+    # stats undercut the digests' default-width estimates) and
+    # sort-merge the lm side — a full sort of the gram stream per run.
+    # r14: the r13 `scoped_persist + dims.count()` plan-build barrier
+    # (a per-run job that materializes the whole tfidf+lm digest
+    # pipeline BEFORE the timed action, and is doc-grained — it grows
+    # with the corpus) is replaced by the catalog-warm `measured_hint`,
+    # exactly as `dfreq` inside tfidf_top_terms: a catalog hit applies
+    # the stored bytes with ZERO jobs and the dim materializes lazily
+    # inside the action; a miss measures once per corpus version.  At
+    # bench scale the stored bytes broadcast the ~5k-row dim, at corpus
+    # scale they exceed the threshold and the join degrades to the
+    # partitioned plan.  `assume_content_stable=True` is required —
+    # and honest — because the lm side embeds the driver-folded
+    # trigram model (an RDD-backed leaf) whose content is a pure
+    # function of the same documents parquet the fingerprint covers.
+    from ..core.stats import measured_hint
+
+    dims, _ = measured_hint(top3.join(lm, "doc_id", "left"),
+                            assume_content_stable=True)
     return out.join(dims, "doc_id")
 
 

@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every registered query into
-plans/r13/<query>_<tag>.txt — the optimization round's plan evidence.
+plans/$BA_PLANS_ROUND/<query>_<tag>.txt (default round "r14") — the
+optimization round's plan evidence.
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
   tag    suffix for the files (e.g. "before", "after")
@@ -22,7 +23,8 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or sorted(QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r13")
+    out_dir = os.path.join(HERE, "plans",
+                           os.environ.get("BA_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
