@@ -74,12 +74,27 @@ def _extract(col: Column, regex: str) -> Column:
 def _add_zeroes(col: Column, width: int) -> Column:
     """Left-pad the longest (≤ width) boundary-guarded digit run to
     ``width`` zeros; pass through unchanged when no digit run exists
-    (cleanse_data.py:256-272)."""
-    runs = [
-        F.lpad(_extract(col, rf"\d{{{n}}}"), width, "0")
-        for n in range(width, 0, -1)
-    ]
-    return F.coalesce(*runs, col)
+    (cleanse_data.py:256-272).
+
+    One ``regexp_extract_all`` pass instead of the previous ``width``
+    separate ``regexp_extract`` passes (r14, guide §4.2): the guarded
+    ``\\d{{n}}`` patterns each matched exactly the MAXIMAL runs of
+    length n (the boundary guards exclude digits on both sides), and
+    the width-to-1 coalesce picked the longest length class, leftmost
+    within it.  Extracting every maximal run of length ≤ width in one
+    scan and folding to the longest (strict ``>`` keeps the leftmost on
+    ties) chooses the identical run; runs longer than ``width`` are
+    matched by neither form (backtracking cannot satisfy the non-digit
+    lookahead inside a longer run).  Pinned value-for-value by
+    tests/test_functions.py.
+    """
+    runs = F.regexp_extract_all(
+        col, F.lit(rf"{_LOOKBEHIND}(\d{{1,{width}}}){_LOOKAHEAD}"), 1)
+    best = F.aggregate(
+        runs, F.lit(""),
+        lambda acc, x: F.when(F.length(x) > F.length(acc), x)
+        .otherwise(acc))
+    return F.when(best != "", F.lpad(best, width, "0")).otherwise(col)
 
 
 def _candidate(code: Column, iso: str, zeroes: int, regex: str) -> Column:

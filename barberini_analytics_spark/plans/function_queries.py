@@ -190,7 +190,21 @@ POSTAL_ORACLE_CTES = f"""
 def cleansed_geocoded_customers(spark: SparkSession,
                                 cust: DataFrame) -> DataFrame:
     """Fixture codes → full P8 chain (cleanse + DE geocode) over a raw
-    ``customer`` frame; keeps any extra caller columns."""
+    ``customer`` frame; keeps any extra caller columns.
+
+    r14 negative result, measured and recorded: rewriting this as a
+    distinct-(postal_code, country)-pairs cleanse + null-safe broadcast
+    join back (guide §8 "decide with small rows" — the pair domain is
+    bounded, 7× fewer regex rows at sf0.1) LOST at bench scale:
+    interleaved min-of-6 noop 1.45 s direct vs 1.56–1.82 s pairs.  The
+    regex CPU parallelizes across all cores while the added distinct
+    exchange + pair-cache stages are serial job latency, which
+    dominates at sf0.1.  The per-row regex count was cut instead
+    (``functions/postal._add_zeroes`` single-pass rewrite) — less CPU
+    at EVERY scale with zero new stages.  On a real 100 TB lake the
+    pairs shape becomes right again (corpus-proportional regex vs a
+    bounded pair table); re-evaluate there before resurrecting it.
+    """
     df = cust.withColumn("postal_code", F.expr(POSTAL_CODE_EXPR)) \
         .withColumn("country", F.expr(POSTAL_COUNTRY_EXPR))
     whitelist = spark.createDataFrame(POSTAL_WHITELIST_ROWS, ["plz"])
