@@ -603,14 +603,30 @@ def profile_features_arrow(df: DataFrame, id_cols: Sequence[str] = ("doc_id",),
 
         ws_re = re.compile("[ \t\n\x0b\f\r]+")
         ws_codes = np.array([32, 9, 10, 11, 12, 13], dtype=np.uint32)
-        arrow_schema = pa.schema([
-            pa.field(f.name, pa.from_numpy_dtype(np.int64)
-                     if isinstance(f.dataType, T.LongType)
-                     else pa.float64()
-                     if isinstance(f.dataType, T.DoubleType)
-                     else pa.string()) for f in out_schema.fields])
 
+        def build_schema(in_schema):
+            # pass-through id columns keep their INPUT Arrow type
+            # (ADVICE r13: the Long/Double/string heuristic broke for
+            # e.g. integer or date ids — the arrays are taken verbatim
+            # from the input batch, so the declared type must match it)
+            fields = []
+            for f in out_schema.fields:
+                if f.name in id_cols:
+                    fields.append(pa.field(
+                        f.name, in_schema.field(f.name).type))
+                elif isinstance(f.dataType, T.LongType):
+                    fields.append(pa.field(f.name,
+                                           pa.from_numpy_dtype(np.int64)))
+                elif isinstance(f.dataType, T.DoubleType):
+                    fields.append(pa.field(f.name, pa.float64()))
+                else:
+                    fields.append(pa.field(f.name, pa.string()))
+            return pa.schema(fields)
+
+        arrow_schema = None
         for batch in batches:
+            if arrow_schema is None:
+                arrow_schema = build_schema(batch.schema)
             names = batch.schema.names
             texts = batch.column(names.index("__text")).to_pylist()
             lts = batch.column(names.index("__lt")).to_pylist()

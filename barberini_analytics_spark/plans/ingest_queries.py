@@ -874,10 +874,16 @@ def fb_graph_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     c = F.col("c")
+    # guard on comments.DATA, not the comments struct (ADVICE r13):
+    # F.concat returns NULL if ANY argument is NULL, so a non-null
+    # comments struct carrying a NULL data array would make transform()
+    # return NULL, concat NULL out the whole emit array, and explode
+    # silently drop the top-level comment row (the struct-null case is
+    # covered too — a NULL struct's field access is NULL)
     emit = F.concat(
         F.array(_cm_row(c, F.lit(None).cast("string"))),
         F.when(
-            (c["comment_count"] > 0) & c["comments"].isNotNull(),
+            (c["comment_count"] > 0) & c["comments"]["data"].isNotNull(),
             F.transform(
                 c["comments"]["data"],
                 lambda r: _cm_row(r, F.split(c["id"], "_").getItem(1))),

@@ -108,3 +108,18 @@ def test_profile_arrow_null_text_row(spark):
     assert rows[1]["n_tokens"] is None
     assert rows[1]["chunks_digest"] is None
     assert rows[2]["n_tokens"] == 3
+
+
+def test_profile_arrow_non_long_id_columns(spark):
+    """ADVICE r13: id columns of any input type pass through verbatim —
+    the output Arrow schema must take their type from the INPUT batch,
+    not assume long/double/string.  An int id previously crashed
+    RecordBatch.from_arrays with a schema mismatch."""
+    df = spark.createDataFrame(
+        [(7, "en", "some ok text here")],
+        "doc_id int, lang string, text string")
+    row = X.profile_features_arrow(
+        df, id_cols=("doc_id", "lang"), stopwords=_STOPWORDS,
+        bpe_pattern=_BPE_PATTERN).collect()[0]
+    assert row["doc_id"] == 7
+    assert row["n_tokens"] == 4
