@@ -116,36 +116,34 @@ def _local_path(uri: str) -> str:
     return uri
 
 
-def plan_fingerprint(df: DataFrame, *,
-                     include_semantic_hash: bool = True) -> str | None:
-    """Content key for a frame: canonicalized logical plan hash
-    (``semanticHash``) FOLDED WITH the full canonicalized plan string
-    (the 32-bit hash alone leaves cross-plan collisions to chance —
-    ADVICE r12) plus the identity+mtime+size of every input file, so
+def plan_fingerprint(df: DataFrame) -> str:
+    """Content key for a frame: sha256 of the full canonicalized plan
+    STRING plus the identity+mtime+size of every input file, so
     rewriting a source table changes the key and old summaries become
     unreachable (the staleness story — nothing ever has to be
     invalidated).
 
-    ``include_semantic_hash=False`` keys on the canonicalized plan
-    STRING + input files only: ``semanticHash`` hashes leaf node
-    arguments including RDD object identity, so a plan containing a
-    per-run ``parallelize`` leaf gets a fresh hash every execution even
-    when its canonicalized string (and content) is unchanged — the
-    ``measured_hint(assume_content_stable=True)`` path needs the
-    string-only key to ever hit.  Returns ``None`` in that mode when
-    the plan string cannot be rendered (the string IS the key then;
-    falling back to the 32-bit hash alone would under-key)."""
-    if include_semantic_hash:
-        h = hashlib.sha256(str(df.semanticHash()).encode())
-    else:
-        h = hashlib.sha256(b"plan-string-only:")
+    ``semanticHash`` is deliberately NOT part of the key (r14): it is
+    the canonicalized tree's ``hashCode``, and leaf nodes hash
+    session-bound components — a LogicalRelation's file-index/session
+    references, a LogicalRDD's RDD identity — so the SAME parquet plan
+    hashes differently in every session (measured: an identical dfreq
+    plan gave 836867990 vs 1202164722 in two processes) and any key
+    folding it in turns the PERSISTENT catalog into a per-session one:
+    every fresh session re-pays every measured_hint barrier.  The
+    canonicalized string is a richer rendering of the same tree and is
+    byte-stable across sessions (measured); cross-plan collisions need
+    byte-identical canonical plans, which is equality, not chance.
+    When the string cannot be rendered, fall back to semanticHash +
+    files (weaker: within-session validity, still content-safe for
+    stable leaves)."""
     try:
-        h.update(df._jdf.queryExecution().analyzed().canonicalized()
-                 .toString().encode())
+        plan_str = (df._jdf.queryExecution().analyzed().canonicalized()
+                    .toString())
+        h = hashlib.sha256(b"plan-string:" + plan_str.encode())
     except Exception:
-        if not include_semantic_hash:
-            return None  # no stable component available
-        pass  # plan-string render unavailable — the 32-bit hash remains
+        h = hashlib.sha256(
+            b"semantic-only:" + str(df.semanticHash()).encode())
     for f in sorted(df.inputFiles()):
         p = _local_path(f)
         try:

@@ -435,14 +435,8 @@ def measured_hint(df: DataFrame, *, broadcast_bytes: int | None = None,
 
             if assume_content_stable or fingerprint_is_content_stable(df):
                 cat = catalog or StatsCatalog.default()
-                # the asserted-stable path keys on the canonicalized
-                # plan STRING (semanticHash hashes RDD leaf identity,
-                # which is fresh every run — the key would never hit)
-                key = plan_fingerprint(
-                    df, include_semantic_hash=not assume_content_stable)
-                if key is None:
-                    cat = None
-                hit = cat.hint_bytes(key) if cat is not None else None
+                key = plan_fingerprint(df)
+                hit = cat.hint_bytes(key)
                 if hit is not None:
                     # stored FACTS, fresh decision: the threshold is the
                     # caller's, so one measurement serves any threshold

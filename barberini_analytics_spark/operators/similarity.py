@@ -1103,11 +1103,57 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
                   F.col(id_col).alias("__id_a"), F.col("__nv").alias("__va"))
     b = nv.select(F.col(cluster_col),
                   F.col(id_col).alias("__id_b"), F.col("__nv").alias("__vb"))
+    # r14 (guide §2.5, measured need): the within-cluster self-join has
+    # at most (distinct clusters) non-empty partitions — on the bench
+    # corpus that is 10 keys, a hard parallelism ceiling AQE cannot
+    # split (one key is indivisible to OptimizeSkewedJoin) and the pair
+    # work per cell grows QUADRATICALLY with cell size (measured 5.7×
+    # wall at 5× rows).  When the cluster-key NDV undershoots the
+    # session's shuffle width, the join key widens to (cluster,
+    # id_b-bucket): the b side carries its hash bucket (no replication),
+    # the a side replicates once per bucket, and every (i < j) pair
+    # still meets EXACTLY once — in partition (label, bucket(j)) — so
+    # the scored stream is row-identical and the dot expression
+    # unchanged (bit-identical __cos).  The NDV comes from the
+    # statistics catalog (probed once per table version, zero jobs
+    # warm; content-unstable frames probe live).  s=1 keeps the r13
+    # plan bit-for-bit.
+    n_buckets = 1
+    try:
+        from ..core.catalog import StatsCatalog
+
+        facts = StatsCatalog.default().partition_facts(
+            vectors.select(id_col, cluster_col), [cluster_col])
+        ndv = int(facts.get("key_ndv") or 0)
+        n_part = int(vectors.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        if ndv > 0:
+            n_buckets = max(1, min(16, n_part // ndv))
+    except Exception:
+        n_buckets = 1  # statistics must never fail the operator
+    join_keys = [cluster_col]
+    if n_buckets > 1:
+        b = b.withColumn(
+            "__bk", F.pmod(F.xxhash64(F.col("__id_b")),
+                           F.lit(n_buckets)).cast("int"))
+        a = a.withColumn(
+            "__bk", F.explode(F.array(*[F.lit(i)
+                                        for i in range(n_buckets)])))
+        join_keys = [cluster_col, "__bk"]
+        # explicit-count repartition so the SMJ reuses THIS exchange:
+        # the pair scoring is CPU-heavy but byte-small, and AQE's
+        # size-based coalescing would fold the widened key back to a
+        # handful of tasks (the word_shingles pattern — measured 12
+        # tasks for a 26 CPU-s stage at 5× bench scale)
+        n_part = int(vectors.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        a = a.repartition(n_part, *join_keys)
+        b = b.repartition(n_part, *join_keys)
     pairs = (
         # merge hint: both sides are the corpus with an array column the
         # size estimator counts at its 1-element default — broadcast of
         # either side would be a corpus-size driver collect at scale
-        a.join(b.hint("merge"), cluster_col)
+        a.join(b.hint("merge"), join_keys)
         .filter(F.col("__id_a") < F.col("__id_b"))
         .select("__id_a", "__id_b",
                 F.round(_dot(F.col("__va"), F.col("__vb")), 6)

@@ -454,3 +454,34 @@ def test_footer_pricing_covers_special_character_columns(spark, catalog,
     assert s_special["via"] == "footer" and s_narrow["via"] == "footer"
     # the special-character column's 200-char payload must be priced
     assert s_special["bytes_est"] > s_narrow["bytes_est"] * 5
+
+
+def test_plan_fingerprint_stable_across_sessions(spark):
+    """r14: the fingerprint must key on the canonicalized plan STRING,
+    never ``semanticHash`` — leaf nodes hash session-bound components
+    (file-index/RDD identity), so a semanticHash-containing key made the
+    persistent catalog miss in every fresh session (measured: the same
+    parquet plan hashed 836867990 vs 1202164722 in two processes).  A
+    subprocess computes the same frame's fingerprint in its own Spark
+    session; it must equal this session's."""
+    import subprocess
+    import sys
+
+    from barberini_analytics_spark.core.catalog import plan_fingerprint
+
+    path = os.path.join(SF_SMOKE, "nation.parquet")
+    here = spark.read.parquet(path).select("n_nationkey", "n_name")
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from barberini_analytics_spark.core.session import get_spark\n"
+        "from barberini_analytics_spark.core.catalog import plan_fingerprint\n"
+        "spark = get_spark('fp-sub', 2)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"df = spark.read.parquet({path!r}).select('n_nationkey', 'n_name')\n"
+        "print('FP=' + plan_fingerprint(df))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("FP=")]
+    assert line, out.stderr[-2000:]
+    assert line[0][3:] == plan_fingerprint(here)
