@@ -136,8 +136,10 @@ def absa_to_db(spark: SparkSession, warehouse: str) -> dict[str, int]:
 
     post = spark.read.parquet(_table_path(warehouse, "post"))
     tokens = tokenize(post, ["source", "post_id"])
-    aspects = spark.createDataFrame([(w,) for w in ASPECT_WORDS],
-                                    ["matched"])
+    from .core.localrel import values_df
+
+    aspects = values_df(spark, [(w,) for w in ASPECT_WORDS],
+                        "matched string")
     matched = match_occurrences(tokens, aspects, "equality",
                                 id_cols=("source", "post_id"))
     sinks.materialize(
@@ -145,9 +147,8 @@ def absa_to_db(spark: SparkSession, warehouse: str) -> dict[str, int]:
                        "matched"),
         _table_path(warehouse, "post_aspect"))
 
-    polarity = spark.createDataFrame(
-        [(w, v) for w, v in POLARITY_DECIPOINTS.items()],
-        ["word", "decipoints"])
+    polarity = values_df(spark, list(POLARITY_DECIPOINTS.items()),
+                         "word string, decipoints bigint")
     sentiment = (
         tokens.join(F.broadcast(polarity), "word")
         .groupBy("source", "post_id")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..core.io import load_table
+from ..core.localrel import values_df
 from ..operators import fuzzy as FZ
 from ..operators import text as X
 from .registry import query
@@ -62,7 +63,11 @@ def _trgm_sql(expr: str) -> str:
 
 
 def _aspect_lexicon(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(w,) for w in ASPECT_WORDS], ["matched"])
+    # VALUES LocalRelation, not createDataFrame: the RDD-backed literal
+    # paid a ~32-slice python-runner job per broadcast build — 6-7 s of
+    # measured zero-CPU stage run-time per run across the three match
+    # branches (core/localrel.py)
+    return values_df(spark, [(w,) for w in ASPECT_WORDS], "matched string")
 
 
 _TOKENS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -250,9 +255,8 @@ def _document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     polarity words / document tokens (post_sentiments.py:115-139).
     """
     tokens = _tokens(spark, sf_dir)
-    pol = spark.createDataFrame(
-        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
-    )
+    pol = values_df(spark, list(POLARITY_DECIPOINTS.items()),
+                    "word string, w10 bigint")
     hits = tokens.join(F.broadcast(pol), "word")
     doc_tokens = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
     agg = hits.groupBy("doc_id").agg(
@@ -322,9 +326,8 @@ def _sentence_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentence_index",
         (F.floor((F.col("word_index") - 1) / _SENT_LEN).cast("int") + 1),
     )
-    pol = spark.createDataFrame(
-        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
-    )
+    pol = values_df(spark, list(POLARITY_DECIPOINTS.items()),
+                    "word string, w10 bigint")
     return (
         sent.join(F.broadcast(pol), "word")
         .groupBy("doc_id", "sentence_index")
@@ -454,9 +457,8 @@ def _aspect_sentiment_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("word").alias("aspect_word"),
         F.col("sentence_index").alias("a_sent"),
     )
-    pol = spark.createDataFrame(
-        [(w, v) for w, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
-    )
+    pol = values_df(spark, list(POLARITY_DECIPOINTS.items()),
+                    "word string, w10 bigint")
     pol_occ = sent.join(F.broadcast(pol), "word").select(
         "doc_id", F.col("word_index").alias("polarity_word_index"),
         F.col("sentence_index").alias("p_sent"), "w10",
@@ -656,11 +658,11 @@ def inflection_polarity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this stays a map-side join with no shuffle on the fact side.
     """
     tokens = _tokens(spark, sf_dir)
-    lex = spark.createDataFrame(
+    lex = values_df(
+        spark,
         [(lemma, w10, list(forms))
          for lemma, (w10, forms) in INFLECTION_LEXICON.items()],
-        ["lemma", "w10", "infl"],
-    )
+        "lemma string, w10 bigint, infl array<string>")
     identity = lex.select(
         "lemma", "w10", F.col("lemma").alias("form"),
         F.lit("identity").alias("match_kind"),
@@ -753,9 +755,8 @@ def opinion_pattern_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lexicon=_EN_POS_LEXICON, capitalized_noun=False, suffix_rules=(),
         verb_shapes=(), default="NOUN")
     pairs = extract_opinion_pairs(tagged)
-    pol = spark.createDataFrame(
-        [(w_, v) for w_, v in POLARITY_DECIPOINTS.items()], ["word", "w10"]
-    )
+    pol = values_df(spark, list(POLARITY_DECIPOINTS.items()),
+                    "word string, w10 bigint")
     return (
         pairs.join(F.broadcast(pol),
                    pol.word == pairs.opinion_word)

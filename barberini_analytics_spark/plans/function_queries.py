@@ -207,7 +207,9 @@ def cleansed_geocoded_customers(spark: SparkSession,
     """
     df = cust.withColumn("postal_code", F.expr(POSTAL_CODE_EXPR)) \
         .withColumn("country", F.expr(POSTAL_COUNTRY_EXPR))
-    whitelist = spark.createDataFrame(POSTAL_WHITELIST_ROWS, ["plz"])
+    from ..core.localrel import values_df
+
+    whitelist = values_df(spark, POSTAL_WHITELIST_ROWS, "plz string")
     return PC.geocode_german_codes(PC.cleanse_postal_codes(df, whitelist))
 
 

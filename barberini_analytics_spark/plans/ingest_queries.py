@@ -304,8 +304,10 @@ def app_review_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("]}")).alias("body"))
     # requested language -> language the API actually answers with ('xx' is
     # unsupported and falls back to English — duplicate payload on purpose)
-    lang_map = spark.createDataFrame(
-        [("de", "de"), ("en", "en"), ("xx", "en")], ["lang", "src_lang"])
+    from ..core.localrel import values_df
+
+    lang_map = values_df(spark, [("de", "de"), ("en", "en"), ("xx", "en")],
+                         "lang string, src_lang string")
     fetched = lang_map.join(payloads, "src_lang").select("lang", "body")
     parsed = _spread(fetched).select(
         F.explode(F.from_json("body", _GPLAY_SCHEMA)["results"]).alias("r"))
@@ -529,9 +531,12 @@ def sepl_phrase_polarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s.getItem(5) == "m").alias("manual_correction"),
         ))
 
-    sentiws_lines = spark.createDataFrame(
+    from ..core.localrel import values_df
+
+    sentiws_lines = values_df(
+        spark,
         [(f"{w}|{p}\t{v}\t{','.join(infl)}",)
-         for w, p, v, infl in SENTIWS_SAMPLE], ["value"])
+         for w, p, v, infl in SENTIWS_SAMPLE], "value string")
     sentiws = parse_sentiws_lines(sentiws_lines)
 
     u = (
@@ -1284,9 +1289,12 @@ def misc_source_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("int").cast("string"),
         ).alias("line"),
     )
-    fixed = spark.createDataFrame(
+    from ..core.localrel import values_df
+
+    fixed = values_df(
+        spark,
         [(0, 0, "junk,0,0"), (1, 0, "order_id,order_date,amount_cents")],
-        ["sheet_index", "row_index", "line"])
+        "sheet_index bigint, row_index bigint, line string")
     workbook = data_rows.unionByName(fixed)
     sheet = decode_excel_serial(
         parse_sheet(workbook, sheet_index=1,

@@ -328,7 +328,9 @@ def extended_dataset_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(timestamp_micros((1704067200 + doc_id * 3600) * 1000000)"
         " AS DATE) AS post_date",
         "lower(text) AS text")
-    terms = spark.createDataFrame([(t,) for t in _TERMS], ["term"])
+    from ..core.localrel import values_df
+
+    terms = values_df(spark, [(t,) for t in _TERMS], "term string")
     candidates = docs.join(
         F.broadcast(terms),
         F.expr(r"text rlike ('\\b' || term || '\\b')")).cache()

@@ -544,7 +544,12 @@ def visitor_prediction_forecast(spark: SparkSession,
     preds_rows = spark.sparkContext.parallelize(scaled_preds, 1)
     spark.createDataFrame(preds_rows, "step int, scaled double") \
         .write.mode("overwrite").parquet(_FORECAST_PREDS_PATH)
-    return spark.createDataFrame(out, ["date", "entries"])
+    # single slice (see preds above): the default createDataFrame split
+    # the 7-row result into ~32 python-runner slices, so every
+    # materialization of the returned frame paid a 32-task scheduling
+    # job for 7 rows
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1), "date date, entries bigint")
 
 
 # ---------------------------------------------------------------------------
