@@ -60,13 +60,20 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str = "text",
     ``transform`` over the token array builds the shingle list without a
     join or window; ``explode`` + ``distinct`` yields the set.
     """
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(tokens)
+    # r14: the token split is HOISTED into a projected column — an array
+    # HOF lambda is evaluated interpreted per element, and a lambda body
+    # that embeds the split expression re-runs the full regex split of
+    # the document once PER SHINGLE POSITION (O(len²) splits per doc;
+    # measured 1.7× on the k-gram twin of this pattern).  The lambda now
+    # references the once-per-row column.
+    split_expr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.col("__toks")
+    n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.when(
         n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
     # repartition before the explode: corpus tables often arrive as few large
     # files (locally: one), and the shingle explode + downstream md5 hashing
     # is CPU-bound — spread it across the cluster before fan-out.  The
@@ -75,10 +82,13 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str = "text",
     # bytes and collapses the exchange to ~1 partition, serializing the
     # whole shingle stage (measured 6× on the sf0.1 table); with an
     # explicit count AQE leaves user repartitions alone.
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
     return (
-        df.repartition(n, F.col(id_col))
-        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias(out_col))
+        df.repartition(n_part, F.col(id_col))
+        .withColumn("__toks", split_expr)
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(shingles)).alias(out_col))
     )
 
 
@@ -421,16 +431,25 @@ def segment_documents(df: DataFrame, id_col: str, text_col: str = "text",
     """
     if sep is not None:
         segs = F.split(F.trim(F.col(text_col)), sep)
-    else:
-        k = tokens_per_segment
-        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-        n_blocks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-        segs = F.transform(
-            F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        return (
+            df.select(id_col,
+                      F.posexplode(segs).alias("seg_index", "segment"))
+            .filter(F.trim(F.col("segment")) != "")
         )
+    k = tokens_per_segment
+    # hoisted split (r14): embedding the split in the transform lambda
+    # re-ran it once per BLOCK (interpreted HOF, no subexpression
+    # elimination); the lambda now slices the once-per-row column
+    toks = F.col("__toks")
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
     return (
-        df.select(id_col, F.posexplode(segs).alias("seg_index", "segment"))
+        df.withColumn("__toks",
+                      F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .select(id_col, F.posexplode(segs).alias("seg_index", "segment"))
         .filter(F.trim(F.col("segment")) != "")
     )
 
@@ -549,17 +568,20 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
     ``k``-token substring; document-grain exact dedup covers them).
     """
     tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # r14: the lambda emits the raw md5 HEX once per position; the
-    # hi/lo struct is split out AFTER the explode in a codegen'd
-    # Project.  Building the struct inside the lambda evaluated
+    # r14: two per-task-work fixes on the dominant CPU (guide §4.2 /
+    # §1.2).  (a) The lambda emits the raw md5 HEX once per position;
+    # the hi/lo struct is split out AFTER the explode in a codegen'd
+    # Project — building the struct inside the lambda evaluated
     # ``md5(concat_ws(slice(...)))`` TWICE per position (array HOF
     # lambdas run interpreted — codegen subexpression elimination never
-    # sees them), i.e. the query's dominant CPU ran twice (guide §4.2 /
-    # §1.2 per-task work; measured 1.5× on the fingerprint pass,
-    # bit-identical structs).
+    # sees them; measured 1.5× on the fingerprint pass, bit-identical
+    # structs).  (b) The token split is HOISTED into a projected column:
+    # a lambda body embedding the split re-ran the full regex split once
+    # per k-gram POSITION (measured another 1.7× on this pass).
+    toks = F.col("__toks")
     md5s = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - k),
-        lambda p: F.md5(F.concat_ws(" ", F.slice(tokens, p + 1, k))),
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda p: F.md5(F.concat_ws(" ", F.slice(toks, p + 1, k))),
     )
     # explicit-count repartition before the CPU-bound fan-out (see
     # word_shingles: bare repartition(col) is AQE-coalescible to ~1)
@@ -568,6 +590,7 @@ def kgram_occurrences(df: DataFrame, id_col: str, text_col: str = "text",
     return (
         df.filter(F.size(tokens) >= k)
         .repartition(n_part, F.col(id_col))
+        .withColumn("__toks", tokens)
         .select(F.col(id_col),
                 F.posexplode(md5s).alias("pos", "__h"))
         .select(

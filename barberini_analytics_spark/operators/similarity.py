@@ -433,7 +433,15 @@ def ivf_search(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
 
 
 def l2_normalize(vec: Column, dim: int) -> Column:
-    """Unit-normalize an ``array`` column (double-widened, ordered fold)."""
+    """Unit-normalize an ``array`` column (double-widened, ordered fold).
+
+    The norm is LET-BOUND through a one-element outer ``transform`` (r14):
+    HOF lambdas evaluate interpreted, so a division lambda that embeds the
+    norm aggregate re-ran the whole O(dim) sum-of-squares once per ELEMENT
+    — O(dim²) per vector.  Binding it as the outer lambda's variable
+    evaluates it once; the per-element division (and so every double) is
+    unchanged.
+    """
     norm = F.sqrt(
         F.aggregate(
             F.sequence(F.lit(1), F.lit(dim)),
@@ -443,7 +451,10 @@ def l2_normalize(vec: Column, dim: int) -> Column:
             * F.element_at(vec, i).cast("double"),
         )
     )
-    return F.transform(vec, lambda x: x.cast("double") / norm)
+    return F.transform(
+        F.array(norm),
+        lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+    ).getItem(0)
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
@@ -1095,10 +1106,15 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
     with ``core.cache.scope_mark()`` / ``release_scoped(since=...)`` or
     call ``release_scoped()`` after consuming the result.
     """
-    nrm = _norm2(F.col(vec_col))
-    nv = vectors.select(
+    # hoist the norm into a projected column (r14): embedding the
+    # _norm2 aggregate in the division lambda re-ran the O(dim)
+    # sum-of-squares once per ELEMENT (interpreted HOF); the column is
+    # computed once per row and the per-element division is unchanged
+    nv = vectors.withColumn("__nrm", _norm2(F.col(vec_col))).select(
         F.col(id_col), F.col(cluster_col),
-        F.transform(vec_col, lambda x: x.cast("double") / nrm).alias("__nv"))
+        F.transform(vec_col,
+                    lambda x: x.cast("double") / F.col("__nrm"))
+        .alias("__nv"))
     a = nv.select(F.col(cluster_col),
                   F.col(id_col).alias("__id_a"), F.col("__nv").alias("__va"))
     b = nv.select(F.col(cluster_col),
