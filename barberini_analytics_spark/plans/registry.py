@@ -9,6 +9,15 @@ The driver compares both at sf0.01 (row count + schema + value hash), so:
   order differs between engines; rounding makes the hash stable),
 - counts/sums of integers are cast to BIGINT on both sides (DuckDB sums
   integers into HUGEINT, Spark into LONG).
+
+Eager-construction contract (ADVICE r13): building a registered query's
+DataFrame MAY run Spark jobs before any action — the statistics layer's
+``measured_hint`` measures a join side once per corpus version (zero jobs
+on a catalog hit), and driver-folded models (``ngram_lm_score``'s C₃
+collect, the gated ML fits) collect bounded frames at plan-construction
+time.  Callers that only want to INSPECT a plan (explain, tests) should
+expect those jobs; the bench/driver time construction + execution
+together, so the contract costs nothing it wouldn't pay anyway.
 """
 
 from __future__ import annotations
